@@ -1,0 +1,133 @@
+"""Generate golden oracle rollouts by running the *reference* solvers.
+
+Runs the read-only reference repo (/root/reference) at its default physics
+configs but shortened horizons, and saves the rollouts as npz under
+tests/golden/. These files are committed as data; ns_tpu's golden tests gate
+the JAX solvers on field-error tolerances against them (SURVEY.md §4).
+
+Also times the reference runs to fill the measured-oracle rows of BASELINE.md.
+
+Usage:  python tools/make_goldens.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "..", "tests", "golden")
+os.makedirs(GOLDEN, exist_ok=True)
+
+timings = {}
+
+
+def cavity_bcs(boundary_mod, dx, dy):
+    D = boundary_mod.DirichletBoundaryCondition
+    N = boundary_mod.NeumannBoundaryCondition
+    u_bc = [D(0, "left", dx, dy), D(1, "right", dx, dy),
+            D(0, "top", dx, dy), D(0, "bottom", dx, dy)]
+    v_bc = [D(0, "left", dx, dy), D(0, "right", dx, dy),
+            D(0, "top", dx, dy), D(0, "bottom", dx, dy)]
+    p_bc = [D(0, "top", dx, dy), N(0, "bottom", dx, dy),
+            N(0, "left", dx, dy), N(0, "right", dx, dy)]
+    return u_bc, v_bc, p_bc
+
+
+def run_direct_fd(nt):
+    from src import boundary
+    from src.direct_fd.simulate import NavierStokesSystem
+
+    nx = ny = 50
+    dx = dy = 2.0 / (nx - 1.0)
+    u_bc, v_bc, p_bc = cavity_bcs(boundary, dx, dy)
+    sys_ = NavierStokesSystem(
+        np.zeros((nx, ny)), np.zeros((nx, ny)), np.zeros((nx, ny)),
+        u_bc, v_bc, p_bc, nt=nt, nit=50, nx=nx, ny=ny, dt=0.001, rho=1, nu=0.1)
+    t0 = time.perf_counter()
+    u, v, p = sys_.simulate()
+    el = time.perf_counter() - t0
+    timings["direct_fd"] = dict(nt=nt, nx=nx, seconds=el, steps_per_sec=nt / el,
+                                cell_updates_per_sec=nt * nx * ny / el)
+    np.savez(os.path.join(GOLDEN, f"direct_fd_nt{nt}.npz"), u=u, v=v, p=p)
+
+
+class _RaggedNPShim:
+    """numpy proxy whose `array` tolerates ragged lists (numpy<1.24 behavior
+    the reference relies on at chorin_fd/simulate.py:106-121)."""
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+    @staticmethod
+    def array(obj, *args, **kwargs):
+        try:
+            return np.array(obj, *args, **kwargs)
+        except ValueError:
+            return np.array(obj, *args, dtype=object, **kwargs)
+
+
+def run_chorin_fd(nt, method):
+    from src import boundary
+    import src.chorin_fd.simulate as ref_mod
+    ref_mod.np = _RaggedNPShim()
+    NavierStokesSystem = ref_mod.NavierStokesSystem
+
+    nx = ny = 51
+    dx = dy = 2.0 / (nx - 1.0)
+    u_bc, v_bc, p_bc = cavity_bcs(boundary, dx, dy)
+    sys_ = NavierStokesSystem(
+        np.zeros((nx, ny)), np.zeros((nx, ny)), np.zeros((nx, ny)),
+        u_bc, v_bc, p_bc, nt=nt, nit=200, nx=nx, ny=ny, dt=0.001,
+        rho=1, nu=0.1, beta=1.25, method=method)
+    t0 = time.perf_counter()
+    u, v, p = sys_.simulate()
+    el = time.perf_counter() - t0
+    timings[f"chorin_fd_{method}"] = dict(
+        nt=nt, nx=nx, seconds=el, steps_per_sec=nt / el,
+        cell_updates_per_sec=nt * nx * ny / el)
+    np.savez(os.path.join(GOLDEN, f"chorin_fd_{method}_nt{nt}.npz"), u=u, v=v, p=p)
+
+
+def run_chorin_spectral(nt):
+    # chorin_fd's module-level filterwarnings('error') (simulate.py:1-3) is
+    # global; relax it so chorin_spectral's docstring SyntaxWarnings don't
+    # abort the import (the module re-arms 'error' itself at exec time).
+    import warnings
+    warnings.resetwarnings()
+    warnings.simplefilter("ignore")
+    from src import boundary
+    from src.chorin_spectral.simulate import NavierStokesSystem
+
+    nx = ny = 51
+    dx = dy = 2.0 / (nx - 1.0)
+    u_bc, v_bc, _ = cavity_bcs(boundary, dx, dy)
+    sys_ = NavierStokesSystem(
+        np.zeros((nx, ny)), np.zeros((nx, ny)), np.zeros((nx, ny)),
+        u_bc, v_bc, nt=nt, nit=200, nx=nx, ny=ny, dt=0.001,
+        rho=1, nu=0.1, beta=1.25)
+    t0 = time.perf_counter()
+    u, v, p = sys_.simulate()
+    el = time.perf_counter() - t0
+    timings["chorin_spectral"] = dict(
+        nt=nt, nx=nx, seconds=el, steps_per_sec=nt / el,
+        cell_updates_per_sec=nt * nx * ny / el)
+    np.savez(os.path.join(GOLDEN, f"chorin_spectral_nt{nt}.npz"), u=u, v=v, p=p)
+    # save the setup operators too: cheb identity tests compare against these
+    np.savez(os.path.join(GOLDEN, "chorin_spectral_ops.npz"),
+             Tx=sys_.Tx, Tx_inv=sys_.Tx_inv, Dx=sys_.Dx, Dx_sqr=sys_.Dx_sqr,
+             DPx=sys_.DPx, DxDPx=sys_.DxDPx)
+
+
+if __name__ == "__main__":
+    run_direct_fd(nt=20)
+    run_chorin_fd(nt=12, method="semi_implicit")
+    run_chorin_fd(nt=12, method="explicit")
+    run_chorin_spectral(nt=3)
+    with open(os.path.join(GOLDEN, "timings.json"), "w") as f:
+        json.dump(timings, f, indent=2)
+    print(json.dumps(timings, indent=2))
