@@ -1,0 +1,267 @@
+"""Chorin projection on a uniform FD grid.
+
+Capability parity with the reference chorin_fd family
+(reference src/chorin_fd/simulate.py:10-324):
+
+  - predictor, two modes (ref :60-61):
+      'explicit'      — Adams-Bashforth for advection AND diffusion
+                        (ref :63-91). The reference's y-advection terms
+                        reuse the axis-0 (x) difference (ref :74,76,82-85);
+                        that behavior is replicated exactly so the golden
+                        rollouts match (`quirk_compat=True`, default), with
+                        the corrected stencil available behind the flag.
+      'semi_implicit' — Adams-Bashforth advection + Crank-Nicolson diffusion
+                        via an ADI two-sweep (ref :93-167). The reference
+                        rebuilds its tridiagonal operators and calls dense
+                        np.linalg.solve four times *per step* (ref :105-121,
+                        :137-165); here the (N-2)x(N-2) operators are
+                        factored ONCE at setup on the host in float64 and
+                        each ADI sweep becomes a single MXU matmul by the
+                        precomputed inverse.
+  - pressure: reference uses sequential Gauss-Seidel SOR with a per-cell
+    python double loop (ref :169-202). TPU-native replacement: red-black SOR
+    (ns_tpu/ops/poisson.py) with the same relaxation formula, tol=5e-6 and
+    iteration-cap semantics (ref :183,190) — parity holds at convergence.
+  - correction: u <- u* - dt/(2dx) * grad(p), central (ref :204-210).
+  - step order: predictor -> u/v BCs -> pressure -> p BCs -> correction
+    (ref :212-234); ICs get BCs applied once at init (ref :236-249);
+    (u^n, u^{n-1}) history threaded through the rollout (ref :251-271).
+
+Axis convention preserved from the reference: axis 0 carries x-differences
+(ref :73), the opposite of direct_fd.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.core.bc import BC, apply_bcs
+from ns_tpu.core.state import FlowState
+from ns_tpu.ops.poisson import sor_redblack, sor_wavefront
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ChorinFDConfig:
+    """Constructor-parameter parity with ref chorin_fd/simulate.py:51-61."""
+
+    nt: int = 200
+    nit: int = 50
+    nx: int = 50
+    ny: int = 50
+    dt: float = 0.001
+    rho: float = 1.0
+    nu: float = 1.0
+    beta: float = 1.25
+    method: str = "semi_implicit"  # 'explicit' | 'semi_implicit'
+    sor_tol: float = 5e-6  # ref :183
+    quirk_compat: bool = True  # replicate the explicit-path axis quirk
+    # 'redblack': fast data-parallel SOR (same fixed point, default);
+    # 'gauss_seidel': exact reference iterate order via wavefront sweeps.
+    pressure_mode: str = "redblack"
+
+    def __post_init__(self):
+        if self.method not in ("semi_implicit", "explicit"):
+            raise ValueError(f"method must be semi_implicit|explicit, got {self.method!r}")
+
+    @property
+    def dx(self) -> float:
+        return 2.0 / (self.nx - 1)  # ref :58
+
+    @property
+    def dy(self) -> float:
+        return 2.0 / (self.ny - 1)
+
+
+def _adi_inverses(cfg: ChorinFDConfig, dtype) -> tuple[Array, Array]:
+    """Precompute the Crank-Nicolson ADI operator inverses.
+
+    The reference builds tridiagonal A (x-sweep) and B (y-sweep) from
+    scipy.sparse.diags and dense-solves per step (ref :105-121). Same
+    matrices, factored once in float64 on host, stored as dense inverses so
+    each sweep is one matmul on the MXU (SURVEY.md §7 build plan item 3).
+    """
+    dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
+    n, m = cfg.nx - 2, cfg.ny - 2
+    A = (np.diag(np.full(n, 2.0 / nu * dx**2 + 2.0 * dt))
+         + np.diag(np.full(n - 1, -dt), -1) + np.diag(np.full(n - 1, -dt), 1))
+    B = (np.diag(np.full(m, 2.0 / nu * dy**2 + 2.0 * dt))
+         + np.diag(np.full(m - 1, -dt), -1) + np.diag(np.full(m - 1, -dt), 1))
+    return (jnp.asarray(np.linalg.inv(A), dtype=dtype),
+            jnp.asarray(np.linalg.inv(B), dtype=dtype))
+
+
+def _explicit_predictor(cfg: ChorinFDConfig, un, vn, un1, vn1):
+    """Adams-Bashforth advection + diffusion (ref :63-91).
+
+    With quirk_compat (default) the y-advection derivative of each field
+    reuses the axis-0 difference exactly as the reference wrote it
+    (ref :74,76,82-85); otherwise the corrected axis-1 difference is used.
+    """
+    dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
+
+    def adv_diff(f, f1):
+        # x-derivatives, axis 0 (ref :73)
+        f_dx = (f[2:, 1:-1] - f[:-2, 1:-1]) / (2.0 * dx)
+        f1_dx = (f1[2:, 1:-1] - f1[:-2, 1:-1]) / (2.0 * dx)
+        if cfg.quirk_compat:
+            # reference reuses the axis-0 difference for the y-term too,
+            # only dividing by 2*dy (ref :74)
+            f_dy = (f[2:, 1:-1] - f[:-2, 1:-1]) / (2.0 * dy)
+            f1_dy = (f1[2:, 1:-1] - f1[:-2, 1:-1]) / (2.0 * dy)
+        else:
+            f_dy = (f[1:-1, 2:] - f[1:-1, :-2]) / (2.0 * dy)
+            f1_dy = (f1[1:-1, 2:] - f1[1:-1, :-2]) / (2.0 * dy)
+        lap_f = ((f[2:, 1:-1] - 2 * f[1:-1, 1:-1] + f[:-2, 1:-1]) / dx**2
+                 + (f[1:-1, 2:] - 2 * f[1:-1, 1:-1] + f[1:-1, :-2]) / dy**2)
+        lap_f1 = ((f1[2:, 1:-1] - 2 * f1[1:-1, 1:-1] + f1[:-2, 1:-1]) / dx**2
+                  + (f1[1:-1, 2:] - 2 * f1[1:-1, 1:-1] + f1[1:-1, :-2]) / dy**2)
+        return f_dx, f_dy, f1_dx, f1_dy, lap_f, lap_f1
+
+    u_dx, u_dy, u1_dx, u1_dy, lap_u, lap_u1 = adv_diff(un, un1)
+    v_dx, v_dy, v1_dx, v1_dy, lap_v, lap_v1 = adv_diff(vn, vn1)
+    uc, vc = un[1:-1, 1:-1], vn[1:-1, 1:-1]
+    uc1, vc1 = un1[1:-1, 1:-1], vn1[1:-1, 1:-1]
+
+    ui_int = uc - dt * (1.5 * (uc * u_dx + vc * u_dy)
+                        - 0.5 * (uc1 * u1_dx + vc1 * u1_dy)) \
+        + dt * cfg.nu * (1.5 * lap_u - 0.5 * lap_u1)
+    vi_int = vc - dt * (1.5 * (uc * v_dx + vc * v_dy)
+                        - 0.5 * (uc1 * v1_dx + vc1 * v1_dy)) \
+        + dt * nu * (1.5 * lap_v - 0.5 * lap_v1)
+
+    return (un.at[1:-1, 1:-1].set(ui_int), vn.at[1:-1, 1:-1].set(vi_int))
+
+
+def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1):
+    """AB advection + Crank-Nicolson ADI diffusion (ref :93-167), with the
+    per-step dense solves replaced by matmuls against precomputed inverses."""
+    dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
+
+    def advect(f, g, h):
+        # f * dh/dx + g * dh/dy, centered, axis0=x (ref :126-129)
+        return (f[1:-1, 1:-1] * (h[2:, 1:-1] - h[:-2, 1:-1]) / (2.0 * dx)
+                + g[1:-1, 1:-1] * (h[1:-1, 2:] - h[1:-1, :-2]) / (2.0 * dy))
+
+    def lap(h):
+        return ((h[2:, 1:-1] - 2 * h[1:-1, 1:-1] + h[:-2, 1:-1]) / dx**2
+                + (h[1:-1, 2:] - 2 * h[1:-1, 1:-1] + h[1:-1, :-2]) / dy**2)
+
+    def sweeps(hn, hn1, Hn, Hn1):
+        # -- x-sweep (ref :131-137): A ht = C
+        C1 = dt / 2.0 * (3.0 * Hn - Hn1)
+        C2 = dt * nu * lap(hn)
+        C = 2.0 / nu * dx**2 * (C1 + C2)
+        ht = A_inv @ C
+        # -- y-sweep (ref :157-159): B hi = S
+        S = (2.0 / nu * dy**2 * (ht + hn[1:-1, 1:-1])
+             - dt * (hn[1:-1, 2:] - 2 * hn[1:-1, 1:-1] + hn[1:-1, :-2]))
+        return B_inv @ S
+
+    uHn, uHn1 = advect(un, vn, un), advect(un1, vn1, un1)
+    vHn, vHn1 = advect(un, vn, vn), advect(un1, vn1, vn1)
+    ui_int = sweeps(un, un1, uHn, uHn1)
+    vi_int = sweeps(vn, vn1, vHn, vHn1)
+    return (un.at[1:-1, 1:-1].set(ui_int), vn.at[1:-1, 1:-1].set(vi_int))
+
+
+def _pressure_rhs(cfg: ChorinFDConfig, ui: Array, vi: Array) -> Array:
+    """Scaled divergence source of the SOR iteration (ref :186-188)."""
+    dt, dx, dy, rho = cfg.dt, cfg.dx, cfg.dy, cfg.rho
+    interior = (dx * rho * dy**2 / dt * (ui[1:-1, 1:-1] - ui[:-2, 1:-1])
+                + dy * rho * dx**2 / dt * (vi[1:-1, 1:-1] - vi[1:-1, :-2]))
+    return jnp.zeros_like(ui).at[1:-1, 1:-1].set(interior)
+
+
+def _correction(cfg: ChorinFDConfig, ui, vi, p):
+    """Projection u <- u* - dt/(2h) grad p, central (ref :204-210)."""
+    dt, dx, dy = cfg.dt, cfg.dx, cfg.dy
+    u_int = ui[1:-1, 1:-1] - dt / (2.0 * dx) * (p[2:, 1:-1] - p[:-2, 1:-1])
+    v_int = vi[1:-1, 1:-1] - dt / (2.0 * dy) * (p[1:-1, 2:] - p[1:-1, :-2])
+    return ui.at[1:-1, 1:-1].set(u_int), vi.at[1:-1, 1:-1].set(v_int)
+
+
+def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
+              p_bc: Sequence[BC], dtype=jnp.float32):
+    """Build the pure one-timestep function (ref step, :212-234)."""
+    if cfg.method == "semi_implicit":
+        A_inv, B_inv = _adi_inverses(cfg, dtype)
+
+    def step(state: FlowState) -> FlowState:
+        un, vn, p = state.u, state.v, state.p
+        un1, vn1 = state.u_prev, state.v_prev
+
+        if cfg.method == "explicit":
+            ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
+        else:
+            ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv, un, vn, un1, vn1)
+
+        ui = apply_bcs(ui, u_bc)
+        vi = apply_bcs(vi, v_bc)
+
+        rhs_c = _pressure_rhs(cfg, ui, vi)
+        sor = sor_wavefront if cfg.pressure_mode == "gauss_seidel" else sor_redblack
+        p = sor(p, rhs_c, cfg.dx, cfg.dy, cfg.beta, cfg.sor_tol, cfg.nit)
+        p = apply_bcs(p, p_bc)
+
+        u_next, v_next = _correction(cfg, ui, vi, p)
+        return FlowState(u=u_next, v=v_next, p=p, u_prev=un, v_prev=vn)
+
+    return step
+
+
+def init_state(cfg: ChorinFDConfig, u_ic, v_ic, p_ic, u_bc, v_bc, p_bc,
+               dtype=jnp.float32) -> FlowState:
+    """Apply BCs to the ICs once and seed the AB history (ref :236-249,:256)."""
+    u = apply_bcs(jnp.asarray(u_ic, dtype=dtype), u_bc)
+    v = apply_bcs(jnp.asarray(v_ic, dtype=dtype), v_bc)
+    p = apply_bcs(jnp.asarray(p_ic, dtype=dtype), p_bc)
+    return FlowState(u=u, v=v, p=p).with_history()
+
+
+def simulate(cfg: ChorinFDConfig, state0: FlowState, u_bc, v_bc, p_bc,
+             dtype=jnp.float32):
+    """Rollout under lax.scan returning stacked (nt,nx,ny) fields (ref :251-271)."""
+    step = make_step(cfg, u_bc, v_bc, p_bc, dtype=dtype)
+
+    def body(state, _):
+        state = step(state)
+        return state, (state.u, state.v, state.p)
+
+    _, seqs = jax.lax.scan(body, state0, None, length=cfg.nt)
+    return seqs
+
+
+class NavierStokesSystem:
+    """Reference-API wrapper (ref chorin_fd/simulate.py:10-61)."""
+
+    def __init__(self, u_ic, v_ic, p_ic, u_bc, v_bc, p_bc,
+                 nt=200, nit=50, nx=50, ny=50, dt=0.001,
+                 rho=1, nu=1, beta=1.25, method="semi_implicit",
+                 dtype=jnp.float32, quirk_compat=True,
+                 pressure_mode="redblack"):
+        self.cfg = ChorinFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
+                                  rho=rho, nu=nu, beta=beta, method=method,
+                                  quirk_compat=quirk_compat,
+                                  pressure_mode=pressure_mode)
+        self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
+        self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
+                                 self.u_bc, self.v_bc, self.p_bc, dtype=dtype)
+        self._step = jax.jit(make_step(self.cfg, self.u_bc, self.v_bc,
+                                       self.p_bc, dtype=dtype))
+        self._simulate = jax.jit(partial(
+            simulate, self.cfg, u_bc=self.u_bc, v_bc=self.v_bc,
+            p_bc=self.p_bc, dtype=dtype))
+
+    def step(self, state: FlowState) -> FlowState:
+        return self._step(state)
+
+    def simulate(self):
+        return self._simulate(self.state0)
