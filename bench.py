@@ -1,0 +1,60 @@
+"""Benchmark harness: one JSON line for the driver.
+
+Primary metric (BASELINE.json north star): cell-updates/sec/chip for the
+2D Chorin-spectral (periodic Fourier) solver at 1024^2, target 1e9.
+vs_baseline is value / 1e9 (the reference publishes no numbers of its own —
+BASELINE.md records its measured CPU oracle rates; the chorin_fd CPU oracle
+measured 2.7e3 cell-updates/s).
+
+Run: python bench.py  (on the real TPU; JAX_PLATFORMS left as-is)
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ns_tpu.solvers import spectral_periodic as sp
+
+NORTH_STAR = 1.0e9  # cell-updates/sec/chip @ 1024^2 spectral
+
+
+def bench_spectral(nx=1024, nt=200, warmup_nt=10):
+    cfg = sp.SpectralPeriodicConfig(nt=nt, nx=nx, ny=nx, dt=5e-4, nu=1e-4,
+                                    dtype="float32")
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
+    carry0 = sp.init_from_vorticity(cfg, w0)
+
+    warm_cfg = sp.SpectralPeriodicConfig(nt=warmup_nt, nx=nx, ny=nx, dt=5e-4,
+                                         nu=1e-4, dtype="float32")
+    roll_warm = jax.jit(lambda c: sp.rollout_final(warm_cfg, c))
+    roll = jax.jit(lambda c: sp.rollout_final(cfg, c))
+
+    jax.block_until_ready(roll_warm(carry0))  # compile small variant
+    jax.block_until_ready(roll(carry0))       # compile + first run
+    t0 = time.perf_counter()
+    out = roll(carry0)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    # sanity: finite output (to_host launders around the axon complex-
+    # executable readback limitation)
+    from ns_tpu.utils import to_host
+    w_hat, _ = out
+    finite = to_host(jnp.isfinite(jnp.abs(w_hat)).all().astype(jnp.float32))
+    assert finite == 1.0, "rollout produced non-finite state"
+
+    cell_updates = nt * nx * nx / elapsed
+    return dict(elapsed=elapsed, steps_per_sec=nt / elapsed,
+                cell_updates_per_sec=cell_updates)
+
+
+if __name__ == "__main__":
+    r = bench_spectral()
+    print(json.dumps({
+        "metric": "spectral_periodic_cell_updates_per_sec_1024sq",
+        "value": r["cell_updates_per_sec"],
+        "unit": "cell-updates/s/chip",
+        "vs_baseline": r["cell_updates_per_sec"] / NORTH_STAR,
+    }))

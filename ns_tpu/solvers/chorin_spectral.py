@@ -1,0 +1,400 @@
+"""Chorin projection with Chebyshev pseudospectral collocation.
+
+Capability parity with the reference chorin_spectral family
+(reference src/chorin_spectral/simulate.py:10-621):
+
+  - one-time setup (ref :59-199): Gauss-Lobatto mesh, T/T^-1 transforms,
+    derivative matrices D and D^2, Robin-style BC constants folded into
+    modified interior operators, eigendecompositions of the BC-modified
+    Helmholtz operators and of the P_N - P_{N-2} pressure operators
+    Dx*DPx / Dy*DPy, with inverses cached. All of this runs in float64
+    NumPy on the host (ns_tpu/ops/cheb.py) and ships to the device as
+    constants.
+  - per step: predictor solves the Helmholtz system
+    2u* - dt*Lap(u*) = F (AB advection + CN diffusion RHS, ref :258-282)
+    by the P^-1 F Q^-T / eigenvalue-divide / transform-back trick
+    (ref :284-298), then reconstructs boundary rows/cols from interior
+    values (ref :300-334; corners stay zero — reference TODO at :321,
+    replicated). Correction solves the Uzawa system for Q = p interior by
+    the same diagonalization (ref :339-383).
+  - the rollout threads (u^n, u^{n-1}) history exactly like chorin_fd
+    (ref :547-570).
+
+Per step this family is ~20 dense (N-2)^2 matmuls — already MXU-shaped;
+under jit each step is a single fused XLA program.
+
+NOTE (measured, see tests/golden): the reference scheme as written is
+numerically unstable at its own default config — fields grow ~1e5x per step
+from a zero+lid start and overflow by step ~6. Parity is therefore asserted
+on the first 3 steps in float64. The corrected operator mode
+(`quirk_compat=False`, proper D @ D second derivative) is provided for
+actual use. The reference supports Dirichlet BCs only (raises
+NotImplementedError for Neumann at ref :218-227); here Neumann enters
+through the Robin beta coefficients the derivation already carries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.core.bc import BC
+from ns_tpu.core.state import FlowState
+from ns_tpu.ops import cheb
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ChorinSpectralConfig:
+    """Constructor-parameter parity with ref chorin_spectral/simulate.py:41-52."""
+
+    nt: int = 200
+    nit: int = 50  # kept for signature parity; unused (direct solves)
+    nx: int = 50
+    ny: int = 50
+    dt: float = 0.001
+    rho: float = 1.0
+    nu: float = 1.0
+    beta: float = 1.25  # kept for signature parity; unused
+    quirk_compat: bool = True  # replicate D @ D.T second derivative
+    # Deflate the near-null constant-pressure mode of the Uzawa operator
+    # (pressure is defined up to a constant; the reference divides by the
+    # ~0 eigenvalue sum, ref :372-373, which inflates Q to ~1e16 and costs
+    # ~13 digits of cancellation in the velocity update). Defaults on for
+    # the corrected mode, off for exact reference parity.
+    deflate_pressure_nullspace: bool = False
+
+    @property
+    def dx(self) -> float:
+        return 2.0 / self.nx  # ref :48 (unlike FD's 2/(n-1))
+
+    @property
+    def dy(self) -> float:
+        return 2.0 / self.ny
+
+
+def _process_bcs(bc_list: Sequence[BC]):
+    """Map the BC list to Robin constants per side (ref :201-230).
+
+    Dirichlet -> alpha=1, g=value on that side. The side naming quirk is
+    preserved: top -> minus_y, bottom -> plus_y (ref :210-215), matching the
+    descending Gauss-Lobatto coordinate. Neumann -> beta=1, g=value (an
+    extension — the reference raises NotImplementedError, ref :218-221).
+    """
+    c = {f"{w}_{s}": 0.0 for w in ("alpha", "beta", "g")
+         for s in ("minus_x", "plus_x", "minus_y", "plus_y")}
+    side_map = {"left": "minus_x", "right": "plus_x",
+                "top": "minus_y", "bottom": "plus_y"}
+    seen = set()
+    for bc in bc_list:
+        s = side_map[bc.side]
+        seen.add(s)
+        kind = "alpha" if bc.kind == "dirichlet" else "beta"
+        c[f"{kind}_{s}"] = 1.0
+        c[f"g_{s}"] = float(bc.value)
+    missing = set(side_map.values()) - seen
+    if missing:
+        raise ValueError(f"chorin_spectral needs BCs on all four sides; missing {missing}")
+    return c
+
+
+def _boundary_constants(D: np.ndarray, c: dict, axis: str):
+    """e, c0-, c0+, cN-, cN+, b0, bN per ref :102-118."""
+    am, ap = c[f"alpha_minus_{axis}"], c[f"alpha_plus_{axis}"]
+    bm, bp = c[f"beta_minus_{axis}"], c[f"beta_plus_{axis}"]
+    c0_minus = -bp * D[0, -1]
+    c0_plus = am + bm * D[-1, -1]
+    cN_plus = -bm * D[-1, 0]
+    cN_minus = ap + bp * D[0, 0]
+    e = c0_plus * cN_minus - c0_minus * cN_plus
+    b0 = -c0_plus * bp * D[0, 1:-1] - c0_minus * bm * D[-1, 1:-1]
+    bN = -cN_minus * bm * D[-1, 1:-1] - cN_plus * bp * D[0, 1:-1]
+    return dict(e=e, c0_minus=c0_minus, c0_plus=c0_plus,
+                cN_minus=cN_minus, cN_plus=cN_plus, b0=b0, bN=bN)
+
+
+class _FieldOps:
+    """Device constants for one velocity field's Helmholtz solve + BC rows."""
+
+    def __init__(self, Dx, Dy, Dx_sqr, Dy_sqr, cbc, dtype):
+        self.kx = _boundary_constants(Dx, cbc, "x")
+        self.ky = _boundary_constants(Dy, cbc, "y")
+        self.g = {k: cbc[k] for k in
+                  ("g_minus_x", "g_plus_x", "g_minus_y", "g_plus_y")}
+        # BC-modified interior operators (ref :159-166; note the reference
+        # broadcast adds the (N-2,) edge-weight vector across matrix rows)
+        Mx = Dx_sqr[1:-1, 1:-1] + (1.0 / self.kx["e"]) * (
+            self.kx["b0"] * Dx_sqr[1:-1, 0] + self.kx["bN"] * Dx_sqr[1:-1, -1])
+        My = Dy_sqr[1:-1, 1:-1] + (1.0 / self.ky["e"]) * (
+            self.ky["b0"] * Dy_sqr[1:-1, 0] + self.ky["bN"] * Dy_sqr[1:-1, -1])
+        lamx, P = cheb.eig_real(Mx, "helmholtz-x")
+        lamy, Q = cheb.eig_real(My, "helmholtz-y")
+        self.lamx = jnp.asarray(lamx, dtype)
+        self.lamy = jnp.asarray(lamy, dtype)
+        self.P = jnp.asarray(P, dtype)
+        self.Q = jnp.asarray(Q, dtype)
+        self.P_inv = jnp.asarray(np.linalg.inv(P), dtype)
+        self.Q_inv = jnp.asarray(np.linalg.inv(Q), dtype)
+        self.b0_x = jnp.asarray(self.kx["b0"], dtype)
+        self.bN_x = jnp.asarray(self.kx["bN"], dtype)
+        self.b0_y = jnp.asarray(self.ky["b0"], dtype)
+        self.bN_y = jnp.asarray(self.ky["bN"], dtype)
+
+
+def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
+    """One-time host-side construction of all device constants (ref :59-199)."""
+    Nx, Ny = cfg.nx, cfg.ny
+    Dx = cheb.d_matrix(Nx, quirk_compat=cfg.quirk_compat)
+    Dy = cheb.d_matrix(Ny, quirk_compat=cfg.quirk_compat)
+    Dx_sqr = cheb.d_sqr_matrix(Nx, quirk_compat=cfg.quirk_compat)
+    Dy_sqr = cheb.d_sqr_matrix(Ny, quirk_compat=cfg.quirk_compat)
+
+    u_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr, _process_bcs(u_bc), dtype)
+    v_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr, _process_bcs(v_bc), dtype)
+
+    DPx = cheb.d_matrix_pn_minus_2(Nx, quirk_compat=cfg.quirk_compat)
+    DPy = cheb.d_matrix_pn_minus_2(Ny, quirk_compat=cfg.quirk_compat)
+    DxDPx = Dx[1:-1, 1:-1] @ DPx
+    DyDPy = Dy[1:-1, 1:-1] @ DPy
+    plamx, PP = cheb.eig_real(DxDPx, "pressure-x")
+    plamy, PQ = cheb.eig_real(DyDPy, "pressure-y")
+
+    consts = dict(
+        Dx_int=jnp.asarray(Dx[1:-1, 1:-1], dtype),
+        Dy_int=jnp.asarray(Dy[1:-1, 1:-1], dtype),
+        Dx_sqr_int=jnp.asarray(Dx_sqr[1:-1, 1:-1], dtype),
+        Dy_sqr_int=jnp.asarray(Dy_sqr[1:-1, 1:-1], dtype),
+        # full interior rows incl. boundary columns, for the corrected mode's
+        # boundary lifting (the reference drops these, so its lid BC never
+        # enters the Helmholtz RHS — part of why its scheme is unstable)
+        Dx_rows=jnp.asarray(Dx[1:-1, :], dtype),
+        Dy_rows=jnp.asarray(Dy[1:-1, :], dtype),
+        Dx_sqr_rows=jnp.asarray(Dx_sqr[1:-1, :], dtype),
+        Dy_sqr_rows=jnp.asarray(Dy_sqr[1:-1, :], dtype),
+        Dx_bar=jnp.asarray(np.stack([Dx[1:-1, 0], Dx[1:-1, -1]]).T, dtype),
+        Dy_bar=jnp.asarray(np.stack([Dy[1:-1, 0], Dy[1:-1, -1]]).T, dtype),
+        DxDPx=jnp.asarray(DxDPx, dtype),
+        DyDPy=jnp.asarray(DyDPy, dtype),
+        DPx=jnp.asarray(DPx, dtype),
+        DPy=jnp.asarray(DPy, dtype),
+        p_lamx=jnp.asarray(plamx, dtype),
+        p_lamy=jnp.asarray(plamy, dtype),
+        p_P=jnp.asarray(PP, dtype),
+        p_Q=jnp.asarray(PQ, dtype),
+        p_P_inv=jnp.asarray(np.linalg.inv(PP), dtype),
+        p_Q_inv=jnp.asarray(np.linalg.inv(PQ), dtype),
+    )
+    return u_ops, v_ops, consts
+
+
+def _helmholtz_solve(F, ops: _FieldOps, dt):
+    """(2 - dt*Lap) u = F via eigen-diagonalization (ref :284-298)."""
+    H_tilde = ops.P_inv @ F
+    H_hat = H_tilde @ ops.Q_inv.T
+    denom = 2.0 - dt * ops.lamx[:, None] - dt * ops.lamy[None, :]
+    u_hat = H_hat / denom
+    return ops.P @ (u_hat @ ops.Q.T)
+
+
+def _boundary_rows(soln, ops: _FieldOps):
+    """Reconstruct edge rows/cols from the interior solve (ref :245-256)."""
+    kx, ky, g = ops.kx, ops.ky, ops.g
+    x0 = (jnp.sum(ops.b0_x[:, None] * soln, axis=0)
+          + (kx["c0_minus"] * g["g_minus_x"] + kx["c0_plus"] * g["g_plus_x"])) / kx["e"]
+    xN = jnp.sum(ops.bN_x[:, None] * soln, axis=0) / kx["e"]
+    y0 = (jnp.sum(ops.b0_y[None, :] * soln, axis=1)
+          + (ky["c0_minus"] * g["g_minus_y"] + ky["c0_plus"] * g["g_plus_y"])) / ky["e"]
+    yN = jnp.sum(ops.bN_y[None, :] * soln, axis=1) / ky["e"]
+    return x0, xN, y0, yN
+
+
+def _assemble(nx, ny, interior, edges, dtype):
+    """Zeros + interior + 4 edges; corners stay zero (ref :320-334)."""
+    x0, xN, y0, yN = edges
+    out = jnp.zeros((nx, ny), dtype=dtype)
+    out = out.at[1:-1, 1:-1].set(interior)
+    out = out.at[0, 1:-1].set(x0)
+    out = out.at[-1, 1:-1].set(xN)
+    out = out.at[1:-1, 0].set(y0)
+    out = out.at[1:-1, -1].set(yN)
+    return out
+
+
+def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
+    u_ops, v_ops, C = _setup(cfg, u_bc, v_bc, dtype)
+    dt, rho = cfg.dt, cfg.rho
+    Nx, Ny = cfg.nx, cfg.ny
+
+    def predictor_ref(un, vn, un1, vn1):
+        """AB advection + CN diffusion RHS, Helmholtz solve — exact reference
+        algorithm (ref :232-337): all derivative products use interior-only
+        operator blocks, so boundary values never enter the RHS."""
+        _un, _un1 = un[1:-1, 1:-1], un1[1:-1, 1:-1]
+        _vn, _vn1 = vn[1:-1, 1:-1], vn1[1:-1, 1:-1]
+        Dx, Dy = C["Dx_int"], C["Dy_int"]
+        Dx2, Dy2 = C["Dx_sqr_int"], C["Dy_sqr_int"]
+
+        def F_of(h, h1):
+            h_dx, h_dy = Dx @ h, h @ Dy.T
+            h1_dx, h1_dy = Dx @ h1, h1 @ Dy.T
+            h_ddx, h_ddy = Dx2 @ h, h @ Dy2.T
+            return (2.0 * h
+                    - 3.0 * dt * (_un * h_dx + _vn * h_dy)
+                    + dt * (_un1 * h1_dx + _vn1 * h1_dy)
+                    + dt * (h_ddx + h_ddy))
+
+        u_F = F_of(_un, _un1)
+        v_F = F_of(_vn, _vn1)
+        u_soln = _helmholtz_solve(u_F, u_ops, dt)
+        v_soln = _helmholtz_solve(v_F, v_ops, dt)
+        ui = _assemble(Nx, Ny, u_soln, _boundary_rows(u_soln, u_ops), dtype)
+        vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
+        return ui, vi
+
+    def predictor_corrected(un, vn, un1, vn1):
+        """Corrected-mode predictor: same AB/CN Helmholtz structure, but all
+        spatial derivatives use the FULL interior operator rows (boundary
+        columns included) and the known Dirichlet boundary values of u* are
+        lifted into the RHS:
+
+            (2 - dt*Lap_int) u*_int = F + dt * (D2x boundary cols + y terms)
+
+        which is the standard collocation treatment the reference omits.
+        """
+        Dxr, Dyr = C["Dx_rows"], C["Dy_rows"]
+        Dx2r, Dy2r = C["Dx_sqr_rows"], C["Dy_sqr_rows"]
+        _un, _vn = un[1:-1, 1:-1], vn[1:-1, 1:-1]
+        _un1, _vn1 = un1[1:-1, 1:-1], vn1[1:-1, 1:-1]
+
+        def F_of(h_full, h1_full, ops):
+            h, h1 = h_full[1:-1, 1:-1], h1_full[1:-1, 1:-1]
+            h_dx, h_dy = Dxr @ h_full[:, 1:-1], h_full[1:-1, :] @ Dyr.T
+            h1_dx, h1_dy = Dxr @ h1_full[:, 1:-1], h1_full[1:-1, :] @ Dyr.T
+            h_ddx, h_ddy = Dx2r @ h_full[:, 1:-1], h_full[1:-1, :] @ Dy2r.T
+            F = (2.0 * h
+                 - 3.0 * dt * (_un * h_dx + _vn * h_dy)
+                 + dt * (_un1 * h1_dx + _vn1 * h1_dy)
+                 + dt * (h_ddx + h_ddy))
+            # lift the known u* boundary values (Dirichlet g) into the RHS
+            g = ops.g
+            gx0 = jnp.full((Ny - 2,), g["g_plus_x"], dtype)   # row 0 = x=+1
+            gxN = jnp.full((Ny - 2,), g["g_minus_x"], dtype)  # row N = x=-1
+            gy0 = jnp.full((Nx - 2,), g["g_plus_y"], dtype)
+            gyN = jnp.full((Nx - 2,), g["g_minus_y"], dtype)
+            lift = (C["Dx_sqr_rows"][:, 0][:, None] * gx0[None, :]
+                    + C["Dx_sqr_rows"][:, -1][:, None] * gxN[None, :]
+                    + gy0[:, None] * C["Dy_sqr_rows"][:, 0][None, :]
+                    + gyN[:, None] * C["Dy_sqr_rows"][:, -1][None, :])
+            return F + dt * lift
+
+        u_F = F_of(un, un1, u_ops)
+        v_F = F_of(vn, vn1, v_ops)
+        u_soln = _helmholtz_solve(u_F, u_ops, dt)
+        v_soln = _helmholtz_solve(v_F, v_ops, dt)
+        ui = _assemble(Nx, Ny, u_soln, _boundary_rows(u_soln, u_ops), dtype)
+        vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
+        return ui, vi
+
+    predictor = predictor_ref if cfg.quirk_compat else predictor_corrected
+
+    def correction(ui, vi, p):
+        """Uzawa P_N - P_{N-2} pressure solve + projection (ref :339-383)."""
+        if cfg.quirk_compat:
+            # reference form: interior divergence + the S boundary-flux term
+            # exactly as written (ref :352-367)
+            gu, gv = u_ops.g, v_ops.g
+            u_tau = jnp.stack([jnp.full((Ny - 2,), gu["g_minus_x"], dtype),
+                               jnp.full((Ny - 2,), gu["g_plus_x"], dtype)])
+            v_tau = jnp.stack([jnp.full((Nx - 2,), gv["g_minus_y"], dtype),
+                               jnp.full((Nx - 2,), gv["g_plus_y"], dtype)]).T
+            S = -(C["Dx_bar"] @ u_tau + v_tau @ C["Dy_bar"].T)
+            H = -rho / dt * (S - C["Dx_int"] @ ui[1:-1, 1:-1]
+                             - vi[1:-1, 1:-1] @ C["Dy_int"].T)
+        else:
+            # corrected form: H = (rho/dt) * div(u*) on interior rows with
+            # the boundary columns (lid flux) included directly
+            H = rho / dt * (C["Dx_rows"] @ ui[:, 1:-1]
+                            + vi[1:-1, :] @ C["Dy_rows"].T)
+        H_hat = (C["p_P_inv"] @ H) @ C["p_Q_inv"].T
+        denom = C["p_lamx"][:, None] + C["p_lamy"][None, :]
+        if cfg.deflate_pressure_nullspace:
+            keep = jnp.abs(denom) > 1e-8 * jnp.max(jnp.abs(denom))
+            Q_hat = jnp.where(keep, H_hat / jnp.where(keep, denom, 1.0), 0.0)
+        else:
+            Q_hat = H_hat / denom
+        Q = C["p_P"] @ (Q_hat @ C["p_Q"].T)
+
+        if cfg.quirk_compat:
+            # the reference subtracts (Dx @ DPx) @ Q — a second-derivative
+            # product, not a gradient (ref :379-380). Replicated for parity;
+            # this is why its projection never annihilates the divergence.
+            u_next = ui.at[1:-1, 1:-1].add(-(C["DxDPx"] @ Q) * dt / rho)
+            v_next = vi.at[1:-1, 1:-1].add(-(Q @ C["DyDPy"].T) * dt / rho)
+        else:
+            # corrected projection: u <- u* - (dt/rho) * grad_{P_{N-2}} Q, so
+            # Dx (DPx Q) + (Q DPy^T) Dy^T equals the Uzawa LHS and the
+            # interior divergence of u^{n+1} vanishes by construction.
+            u_next = ui.at[1:-1, 1:-1].add(-(C["DPx"] @ Q) * dt / rho)
+            v_next = vi.at[1:-1, 1:-1].add(-(Q @ C["DPy"].T) * dt / rho)
+        p_next = p.at[1:-1, 1:-1].set(Q)
+        return u_next, v_next, p_next
+
+    def step(state: FlowState) -> FlowState:
+        ui, vi = predictor(state.u, state.v, state.u_prev, state.v_prev)
+        u_next, v_next, p_next = correction(ui, vi, state.p)
+        return FlowState(u=u_next, v=v_next, p=p_next,
+                         u_prev=state.u, v_prev=state.v)
+
+    return step
+
+
+def init_state(cfg, u_ic, v_ic, p_ic, u_bc, v_bc, dtype=jnp.float64) -> FlowState:
+    """Apply velocity BCs to ICs once (ref :535-545) and seed history."""
+    from ns_tpu.core.bc import apply_bcs
+    u = apply_bcs(jnp.asarray(u_ic, dtype=dtype), u_bc)
+    v = apply_bcs(jnp.asarray(v_ic, dtype=dtype), v_bc)
+    p = jnp.asarray(p_ic, dtype=dtype)
+    return FlowState(u=u, v=v, p=p).with_history()
+
+
+def simulate(cfg, state0: FlowState, step_fn):
+    def body(state, _):
+        state = step_fn(state)
+        return state, (state.u, state.v, state.p)
+
+    _, seqs = jax.lax.scan(body, state0, None, length=cfg.nt)
+    return seqs
+
+
+class NavierStokesSystem:
+    """Reference-API wrapper (ref chorin_spectral/simulate.py:10-52; note the
+    reference takes no pressure BCs — pressure needs none in P_N - P_{N-2})."""
+
+    def __init__(self, u_ic, v_ic, p_ic, u_bc, v_bc, nt=200, nit=50,
+                 nx=50, ny=50, dt=0.001, rho=1, nu=1, beta=1.25,
+                 dtype=jnp.float64, quirk_compat=True,
+                 deflate_pressure_nullspace=None):
+        if deflate_pressure_nullspace is None:
+            deflate_pressure_nullspace = not quirk_compat
+        self.cfg = ChorinSpectralConfig(
+            nt=nt, nit=nit, nx=nx, ny=ny, dt=dt, rho=rho, nu=nu, beta=beta,
+            quirk_compat=quirk_compat,
+            deflate_pressure_nullspace=deflate_pressure_nullspace)
+        self.u_bc, self.v_bc = list(u_bc), list(v_bc)
+        self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
+                                 self.u_bc, self.v_bc, dtype=dtype)
+        step = make_step(self.cfg, self.u_bc, self.v_bc, dtype=dtype)
+        self._step = jax.jit(step)
+        self._simulate = jax.jit(partial(simulate, self.cfg, step_fn=step))
+
+    def step(self, state: FlowState) -> FlowState:
+        return self._step(state)
+
+    def simulate(self):
+        return self._simulate(self.state0)

@@ -1,0 +1,315 @@
+"""Periodic Fourier pseudospectral Navier-Stokes — the TPU showcase solver.
+
+This family is NEW capability mandated by the north-star configs
+(BASELINE.json: "chorin_spectral: periodic decaying turbulence /
+Taylor-Green 256^2, FFT Poisson"; scale target 1024^2 at >1e9
+cell-updates/sec/chip). The reference has no periodic solver; this is the
+TPU-native completion of its Chorin-spectral family for the periodic case.
+
+Formulation: 2D incompressible NSE in vorticity-streamfunction form on
+[0, 2*pi)^2:
+
+    d(omega)/dt + u . grad(omega) = nu * Lap(omega)
+    Lap(psi) = -omega,  u = d(psi)/dy,  v = -d(psi)/dx
+
+The FFT *is* the Chorin projection here: velocities derived from psi are
+exactly divergence-free, and the "pressure solve" is the diagonal inverse
+Laplacian 1/k^2 — one elementwise multiply instead of the reference's SOR /
+Uzawa iteration (the FFT-inverse-Laplacian path named in the north star).
+
+Time integration: integrating-factor for the viscous term (exact:
+exp(-nu k^2 dt)) + Adams-Bashforth-2 for advection — unconditionally stable
+in diffusion, one nonlinear evaluation per step. The nonlinear term is
+computed pseudospectrally with 2/3-rule dealiasing.
+
+TPU design notes:
+  - everything is real-to-complex rfft2 work: ~6 transforms/step, all
+    MXU/VPU-friendly XLA ops; a full rollout jits to one program with the
+    step under lax.scan.
+  - state is the vorticity spectrum (rfft layout), so the scan carry is
+    minimal (nx * (ny/2+1) complex).
+  - float32 by default (TPU-native); float64 available for validation.
+  - leading batch axes broadcast: the same step runs ensembles under vmap /
+    shard_map (ns_tpu/parallel) without modification.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralPeriodicConfig:
+    nt: int = 200
+    nx: int = 256
+    ny: int = 256
+    dt: float = 0.001
+    nu: float = 1e-3
+    rho: float = 1.0  # kept for API symmetry with the other families
+    dealias: bool = True
+    dtype: str = "float32"  # 'float32' | 'float64'
+
+    @property
+    def real_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    @property
+    def complex_dtype(self):
+        return jnp.complex128 if self.dtype == "float64" else jnp.complex64
+
+
+def _wavenumbers_np(cfg: SpectralPeriodicConfig):
+    """kx (nx,1), ky (1, ny//2+1) integer wavenumbers for rfft2 layout,
+    host-side numpy (device puts happen once in make_ops — device->host
+    readbacks are avoided entirely; the axon transfer path does not support
+    them for all layouts)."""
+    kx = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)[:, None]
+    ky = np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)[None, :]
+    return kx, ky
+
+
+def _dealias_mask(cfg: SpectralPeriodicConfig):
+    """2/3-rule mask in the rfft2 layout."""
+    kx = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)
+    ky = np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)
+    mx = np.abs(kx) < cfg.nx / 3.0
+    my = np.abs(ky) < cfg.ny / 3.0
+    return mx[:, None] & my[None, :]
+
+
+def make_ops(cfg: SpectralPeriodicConfig):
+    """Precompute spectral constants: wavenumbers, 1/k^2, viscous factor,
+    dealias mask. All tiny device-resident arrays."""
+    kx, ky = _wavenumbers_np(cfg)
+    k2 = kx * kx + ky * ky
+    with np.errstate(divide="ignore"):
+        inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
+    visc = np.exp(-cfg.nu * k2 * cfg.dt)
+    mask = _dealias_mask(cfg) if cfg.dealias else np.ones(k2.shape, bool)
+    rdt = cfg.real_dtype
+    # only REAL constants cross host->device: the axon transfer layer does
+    # not support complex buffers (i*k multiplies are done in real/imag
+    # arithmetic inside compiled code — see _ik_mul)
+    return dict(
+        kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+        k2=jnp.asarray(k2, rdt), inv_k2=jnp.asarray(inv_k2, rdt),
+        visc=jnp.asarray(visc, rdt), mask=jnp.asarray(mask),
+    )
+
+
+def _ik_mul(k: Array, z: Array) -> Array:
+    """i * k * z for real k and complex z, with no complex constants:
+    i*(a+bi)*k = -k*b + i*k*a."""
+    return jax.lax.complex(-k * z.imag, k * z.real)
+
+
+def velocity_from_vorticity_hat(w_hat: Array, ops) -> Tuple[Array, Array]:
+    """u = d(psi)/dy, v = -d(psi)/dx with psi_hat = w_hat / k^2."""
+    psi_hat = w_hat * ops["inv_k2"]
+    u_hat = _ik_mul(ops["ky"], psi_hat)
+    v_hat = -_ik_mul(ops["kx"], psi_hat)
+    return u_hat, v_hat
+
+
+def nonlinear_term(w_hat: Array, ops, cfg) -> Array:
+    """N_hat = -FFT[u dw/dx + v dw/dy], dealiased (pseudospectral)."""
+    shape = (cfg.nx, cfg.ny)
+    w_hat = jnp.where(ops["mask"], w_hat, 0.0)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    wx_hat = _ik_mul(ops["kx"], w_hat)
+    wy_hat = _ik_mul(ops["ky"], w_hat)
+    u = jnp.fft.irfft2(u_hat, s=shape)
+    v = jnp.fft.irfft2(v_hat, s=shape)
+    wx = jnp.fft.irfft2(wx_hat, s=shape)
+    wy = jnp.fft.irfft2(wy_hat, s=shape)
+    adv = u * wx + v * wy
+    N_hat = -jnp.fft.rfft2(adv)
+    return jnp.where(ops["mask"], N_hat, 0.0)
+
+
+def make_step(cfg: SpectralPeriodicConfig):
+    """One IF-AB2 step on (w_hat, N_prev_hat).
+
+    w_hat^{n+1} = E * (w_hat^n + dt * (3/2 N^n - 1/2 E_flip N^{n-1}))
+    with E = exp(-nu k^2 dt); the N^{n-1} term carries one extra E factor so
+    both RHS samples live at the same exponential scaling (standard IF-AB2).
+    """
+    ops = make_ops(cfg)
+    E = ops["visc"]
+
+    def step(carry):
+        w_hat, N_prev = carry
+        N = nonlinear_term(w_hat, ops, cfg)
+        w_new = E * w_hat + cfg.dt * (1.5 * E * N - 0.5 * (E * E) * N_prev)
+        return (w_new, N), w_new
+
+    return step, ops
+
+
+def init_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
+    """Build the scan carry from a physical-space vorticity field; the AB2
+    history seeds with the first nonlinear evaluation (self-start).
+    Jitted as one program — eager complex dispatch is avoided throughout
+    this module (axon TPU reliability)."""
+    ops = make_ops(cfg)
+
+    @jax.jit
+    def build(w0):
+        w_hat = jnp.fft.rfft2(w0.astype(cfg.real_dtype))
+        return w_hat, nonlinear_term(w_hat, ops, cfg)
+
+    return build(jnp.asarray(w0, cfg.real_dtype))
+
+
+def simulate_hat(cfg: SpectralPeriodicConfig, carry0):
+    """Rollout returning the stacked vorticity spectra (nt, nx, ny//2+1)."""
+    step, _ = make_step(cfg)
+
+    def body(carry, _):
+        return step(carry)
+
+    _, w_hats = jax.lax.scan(body, carry0, None, length=cfg.nt)
+    return w_hats
+
+
+def rollout_final(cfg: SpectralPeriodicConfig, carry0):
+    """Rollout returning only the final carry (bench path — no O(nt) HBM)."""
+    step, _ = make_step(cfg)
+
+    def body(carry, _):
+        new_carry, _ = step(carry)
+        return new_carry, None
+
+    final, _ = jax.lax.scan(body, carry0, None, length=cfg.nt)
+    return final
+
+
+def fields_from_hat(cfg: SpectralPeriodicConfig, w_hat: Array):
+    """(u, v, omega) physical fields from a vorticity spectrum."""
+    ops = make_ops(cfg)
+    shape = (cfg.nx, cfg.ny)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    return (jnp.fft.irfft2(u_hat, s=shape),
+            jnp.fft.irfft2(v_hat, s=shape),
+            jnp.fft.irfft2(w_hat, s=shape))
+
+
+def pressure_from_hat(cfg: SpectralPeriodicConfig, w_hat: Array) -> Array:
+    """Recover pressure from the velocity field: Lap(p) = -rho * div(u.grad u)
+    — the periodic analogue of the reference's pressure-Poisson solve, done
+    with the diagonal FFT inverse Laplacian."""
+    ops = make_ops(cfg)
+    shape = (cfg.nx, cfg.ny)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    u = jnp.fft.irfft2(u_hat, s=shape)
+    v = jnp.fft.irfft2(v_hat, s=shape)
+    ux = jnp.fft.irfft2(_ik_mul(ops["kx"], u_hat), s=shape)
+    uy = jnp.fft.irfft2(_ik_mul(ops["ky"], u_hat), s=shape)
+    vx = jnp.fft.irfft2(_ik_mul(ops["kx"], v_hat), s=shape)
+    vy = jnp.fft.irfft2(_ik_mul(ops["ky"], v_hat), s=shape)
+    rhs = -cfg.rho * (ux * ux + 2.0 * uy * vx + vy * vy)
+    rhs_hat = jnp.fft.rfft2(rhs)
+    p_hat = -rhs_hat * ops["inv_k2"]
+    return jnp.fft.irfft2(p_hat, s=shape)
+
+
+# ---------------------------------------------------------------------------
+# Initial conditions
+# ---------------------------------------------------------------------------
+
+def taylor_green_vorticity(cfg: SpectralPeriodicConfig, k: int = 1) -> Array:
+    """Taylor-Green vortex: u = sin(kx)cos(ky), v = -cos(kx)sin(ky)
+    -> omega = 2k sin(kx) sin(ky). Analytic decay exp(-2 nu k^2 t)."""
+    x = np.arange(cfg.nx) * 2.0 * np.pi / cfg.nx
+    y = np.arange(cfg.ny) * 2.0 * np.pi / cfg.ny
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    return jnp.asarray(2.0 * k * np.sin(k * X) * np.sin(k * Y), cfg.real_dtype)
+
+
+def decaying_turbulence_vorticity(cfg: SpectralPeriodicConfig, seed: int = 0,
+                                  k_peak: float = 10.0) -> Array:
+    """Random isotropic vorticity with energy peaked near k_peak — the
+    standard 2D decaying-turbulence initial condition.
+
+    Built entirely host-side in NumPy (seeded, reproducible): IC generation
+    is setup, and keeping it off-device avoids eager complex dispatch, which
+    the axon TPU path handles unreliably."""
+    rng = np.random.default_rng(seed)
+    kx = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)
+    ky = np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)
+    k = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    amp = k**3 * np.exp(-0.5 * (k / k_peak) ** 2)
+    phase = rng.uniform(0.0, 2 * np.pi, size=amp.shape)
+    w_hat = amp * np.exp(1j * phase)
+    w = np.fft.irfft2(w_hat, s=(cfg.nx, cfg.ny))
+    w = w / np.abs(w).max()  # normalize to unit max vorticity
+    return jnp.asarray(w, cfg.real_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+
+def energy_spectrum(cfg: SpectralPeriodicConfig, w_hat: Array):
+    """Isotropic kinetic-energy spectrum E(k) — the fidelity observable the
+    north star gates on (BASELINE.json: vorticity spectra tracking)."""
+    ops = make_ops(cfg)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    # rfft double-counts interior ky modes once; weight accordingly
+    ny_half = cfg.ny // 2 + 1
+    weights = np.full(ny_half, 2.0)
+    weights[0] = 1.0
+    if cfg.ny % 2 == 0:
+        weights[-1] = 1.0
+    w = jnp.asarray(weights[None, :], cfg.real_dtype)
+    e_density = 0.5 * (jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2) * w
+    k_mag = jnp.sqrt(ops["kx"] ** 2 + ops["ky"] ** 2)
+    k_bins = jnp.arange(0, cfg.nx // 2 + 1)
+    k_idx = jnp.clip(jnp.round(k_mag).astype(jnp.int32), 0, cfg.nx // 2)
+    spec = jnp.zeros(cfg.nx // 2 + 1, cfg.real_dtype).at[k_idx.ravel()].add(
+        e_density.ravel().real)
+    return k_bins, spec / (cfg.nx * cfg.ny) ** 2
+
+
+def divergence_max(cfg: SpectralPeriodicConfig, w_hat: Array) -> Array:
+    """Max |div u| — identically ~0 by construction (streamfunction form);
+    reported as the rollout-fidelity gate."""
+    ops = make_ops(cfg)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    div_hat = _ik_mul(ops["kx"], u_hat) + _ik_mul(ops["ky"], v_hat)
+    return jnp.max(jnp.abs(jnp.fft.irfft2(div_hat, s=(cfg.nx, cfg.ny))))
+
+
+class NavierStokesSystem:
+    """API wrapper matching the other families: simulate() -> (u, v, p)
+    stacked (nt, nx, ny) rollouts."""
+
+    def __init__(self, w_ic: Array, nt=200, nx=256, ny=256, dt=0.001,
+                 nu=1e-3, rho=1.0, dealias=True, dtype="float32"):
+        self.cfg = SpectralPeriodicConfig(nt=nt, nx=nx, ny=ny, dt=dt, nu=nu,
+                                          rho=rho, dealias=dealias, dtype=dtype)
+        self.carry0 = init_from_vorticity(self.cfg, w_ic)
+        self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
+        self._final = jax.jit(partial(rollout_final, self.cfg))
+
+    def simulate(self):
+        w_hats = self._simulate_hat(self.carry0)
+        u, v, w = jax.vmap(partial(fields_from_hat, self.cfg))(w_hats)
+        p = jax.vmap(partial(pressure_from_hat, self.cfg))(w_hats)
+        return u, v, p
+
+    def simulate_vorticity(self):
+        w_hats = self._simulate_hat(self.carry0)
+        return jax.vmap(
+            lambda h: jnp.fft.irfft2(h, s=(self.cfg.nx, self.cfg.ny)))(w_hats)
+
+    def final_state(self):
+        return self._final(self.carry0)

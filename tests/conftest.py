@@ -3,20 +3,20 @@
 Multi-chip sharding is tested the standard JAX way — fake host-platform
 devices (SURVEY.md §4d). Golden parity tests against the float64 NumPy
 reference oracles enable x64.
+
+IMPORTANT: this harness's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon (TPU tunnel), so env vars set here are too late —
+the platform must be forced through jax.config, which also bypasses the
+axon remote-compile interposer (complex FFTs hang/fail through it).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+import os  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
