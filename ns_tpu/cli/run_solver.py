@@ -1,0 +1,128 @@
+"""Run a classical solver rollout and save the reference-format npz.
+
+Named presets reproduce the reference drivers' exact default physics
+(SURVEY.md §5 config system: "preserving these exact defaults as named
+presets"):
+
+  direct_fd        — direct_fd/simulate.py:151-185 (nt=200 nit=50 50x50
+                     cavity)
+  chorin_fd        — chorin_fd/simulate.py:278-315 (nt=200 nit=200 51x51,
+                     semi_implicit; --method explicit for the other mode)
+  chorin_spectral  — chorin_spectral/simulate.py:584-612 (51x51 Dirichlet
+                     cavity; add --corrected for the stable operator mode)
+  taylor_green     — periodic Fourier showcase (BASELINE.json config)
+  decaying_turbulence — periodic 2D turbulence at --nx resolution
+
+Examples:
+  python -m ns_tpu.cli.run_solver direct_fd --out data.npz
+  python -m ns_tpu.cli.run_solver chorin_fd --method semi_implicit
+  python -m ns_tpu.cli.run_solver taylor_green --nx 256 --nt 500
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from ns_tpu.core.bc import dirichlet, neumann
+from ns_tpu.io.npz import save_rollout
+from ns_tpu.utils import to_host
+
+
+def cavity_bcs(dx, dy):
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+            neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+    return u_bc, v_bc, p_bc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("family", choices=["direct_fd", "chorin_fd",
+                                      "chorin_spectral", "taylor_green",
+                                      "decaying_turbulence"])
+    p.add_argument("--nt", type=int, default=200)
+    p.add_argument("--nit", type=int, default=None)
+    p.add_argument("--nx", type=int, default=None)
+    p.add_argument("--dt", type=float, default=0.001)
+    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--nu", type=float, default=0.1)
+    p.add_argument("--beta", type=float, default=1.25)
+    p.add_argument("--method", default="semi_implicit",
+                   choices=["semi_implicit", "explicit"])
+    p.add_argument("--corrected", action="store_true",
+                   help="chorin_spectral: stable corrected-operator mode")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    t0 = time.perf_counter()
+    if args.family == "direct_fd":
+        from ns_tpu.solvers.direct_fd import NavierStokesSystem
+        nx = args.nx or 50
+        nit = args.nit or 50
+        dx = dy = 2.0 / (nx - 1)
+        u_bc, v_bc, p_bc = cavity_bcs(dx, dy)
+        z = np.zeros((nx, nx))
+        sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=args.nt,
+                                  nit=nit, nx=nx, ny=nx, dt=args.dt,
+                                  rho=args.rho, nu=args.nu, dtype=dtype)
+        u, v, pr = sys_.simulate()
+        default_out = "data.npz"
+    elif args.family == "chorin_fd":
+        from ns_tpu.solvers.chorin_fd import NavierStokesSystem
+        nx = args.nx or 51
+        nit = args.nit or 200
+        dx = dy = 2.0 / (nx - 1)
+        u_bc, v_bc, p_bc = cavity_bcs(dx, dy)
+        z = np.zeros((nx, nx))
+        sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=args.nt,
+                                  nit=nit, nx=nx, ny=nx, dt=args.dt,
+                                  rho=args.rho, nu=args.nu, beta=args.beta,
+                                  method=args.method, dtype=dtype)
+        u, v, pr = sys_.simulate()
+        default_out = f"data_{args.method}.npz"
+    elif args.family == "chorin_spectral":
+        from ns_tpu.solvers.chorin_spectral import NavierStokesSystem
+        nx = args.nx or 51
+        dx = dy = 2.0 / (nx - 1)
+        u_bc, v_bc, _ = cavity_bcs(dx, dy)
+        z = np.zeros((nx, nx))
+        sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, nt=args.nt,
+                                  nit=args.nit or 200, nx=nx, ny=nx,
+                                  dt=args.dt, rho=args.rho, nu=args.nu,
+                                  beta=args.beta, dtype=jnp.float64,
+                                  quirk_compat=not args.corrected)
+        u, v, pr = sys_.simulate()
+        default_out = "data.npz"
+    else:
+        from ns_tpu.solvers import spectral_periodic as sp
+        nx = args.nx or 256
+        cfg_kwargs = dict(nt=args.nt, nx=nx, ny=nx, dt=args.dt, nu=args.nu,
+                          rho=args.rho, dtype=args.dtype)
+        cfg = sp.SpectralPeriodicConfig(**cfg_kwargs)
+        if args.family == "taylor_green":
+            w0 = sp.taylor_green_vorticity(cfg)
+        else:
+            w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
+        sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
+        u, v, pr = sys_.simulate()
+        default_out = f"{args.family}.npz"
+
+    u, v, pr = to_host((u, v, pr))
+    elapsed = time.perf_counter() - t0
+    out = args.out or default_out
+    save_rollout(out, u, v, pr)
+    print(f"{args.family}: nt={args.nt} grid={u.shape[1]}x{u.shape[2]} "
+          f"in {elapsed:.2f}s ({args.nt / elapsed:.1f} steps/s) -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Train a surrogate model: one CLI covering the reference's four drivers.
+
+Argument surface mirrors the reference (spectral_ode.py:141-150: --npz-path
+--out-dir --n-iters --n-coeffs --gpu-device; out_dir gets the _{n_coeffs}
+suffix) plus --model to choose the family and --resume (new capability —
+the reference cannot resume). --gpu-device is accepted for drop-in
+compatibility and ignored (device selection is JAX's).
+
+Examples:
+  python -m ns_tpu.cli.train --model basis_ode --npz-path data_semi_implicit.npz
+  python -m ns_tpu.cli.train --model rnn --n-iters 1000
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from ns_tpu.train.trainer import MODELS, TrainConfig, Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="basis_ode", choices=MODELS)
+    p.add_argument("--npz-path", type=str, default="./data_semi_implicit.npz")
+    p.add_argument("--out-dir", type=str, default=None,
+                   help="default: ./checkpoints/<model>")
+    p.add_argument("--n-iters", type=int, default=1000)
+    p.add_argument("--n-coeffs", type=int, default=10)
+    p.add_argument("--n-frames", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--hidden-dim", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--gpu-device", type=int, default=0,
+                   help="accepted for reference-CLI compatibility; ignored")
+    args = p.parse_args(argv)
+
+    out_dir = args.out_dir or f"./checkpoints/{args.model}"
+    out_dir = f"{out_dir}_{args.n_coeffs}"  # ref spectral_ode.py:150
+
+    cfg = TrainConfig(model=args.model, npz_path=args.npz_path,
+                      out_dir=out_dir, n_iters=args.n_iters,
+                      n_coeffs=args.n_coeffs, lr=args.lr,
+                      hidden_dim=args.hidden_dim, n_frames=args.n_frames,
+                      seed=args.seed, resume=args.resume)
+    tr = Trainer(cfg)
+    tr.train()
+    extrap = tr.extrapolate()
+    out = os.path.join(out_dir, "extrapolation.npy")
+    np.save(out, extrap)
+    print(f"saved {out} shape={extrap.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""One trainer for all four surrogate families.
+
+The reference duplicates ~80% of its training boilerplate across four
+drivers (rnn.py:61-134, spectral_rnn.py:100-184, spectral_ode.py:140-224,
+spectral_ode2.py:128-204 — SURVEY.md §2 duplication note). This trainer
+factors that into one loop with the same training protocol:
+
+  - data: load the npz rollout, stack (u, v, p) to (nt, 1, 3, nx, ny),
+    train on the FIRST `n_frames` (default 100) frames (ref
+    spectral_ode.py:158-167)
+  - Adam lr=1e-3 (ref :171), loss = global L2 norm ||pred - obs||
+    (ref :182), diversity penalty logged but NOT in the loss (ref :184-186)
+  - checkpoint every `ckpt_every` (default 10) iterations (ref :195-202)
+  - final full-horizon extrapolation saved to extrapolation.npy
+    (ref :208-224)
+
+plus what the reference lacks: RESUME from checkpoint (SURVEY.md §5), a
+jitted train step fusing rollout + loss + grad + update into one XLA
+program, and optional NaN guards (jax_debug_nans is the debug-mode switch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ns_tpu.models.basis import BasisODE, BasisODE2, BasisGRU
+from ns_tpu.models.gru import FullFieldGRU
+from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from ns_tpu.train.metrics import AverageMeter, l2_loss
+
+MODELS = ("basis_ode", "basis_ode2", "basis_gru", "rnn")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """CLI-parameter parity with ref spectral_ode.py:141-150 (+ model
+    selection; `gpu_device` has no TPU meaning and is accepted/ignored
+    by the CLI)."""
+
+    model: str = "basis_ode"
+    npz_path: str = "./data_semi_implicit.npz"
+    out_dir: str = "./checkpoints/basis_ode"
+    n_iters: int = 1000
+    n_coeffs: int = 10
+    lr: float = 1e-3
+    hidden_dim: int = 512  # rnn baseline hidden size (ref rnn.py:89)
+    n_frames: int = 100
+    ckpt_every: int = 10
+    seed: int = 0
+    resume: Optional[str] = None  # path to checkpoint.npz
+
+    def __post_init__(self):
+        if self.model not in MODELS:
+            raise ValueError(f"model must be one of {MODELS}, got {self.model!r}")
+
+
+def load_obs(npz_path: str, n_frames: Optional[int]):
+    """npz rollout -> obs (nt, 1, 3, nx, ny) float32 (ref :158-166)."""
+    data = np.load(npz_path)
+    u, v, p = data["u"], data["v"], data["p"]
+    if n_frames is not None:
+        u, v, p = u[:n_frames], v[:n_frames], p[:n_frames]
+    obs = np.stack([u, v, p], axis=1).astype(np.float32)  # (nt, 3, nx, ny)
+    return jnp.asarray(obs[:, None])  # (nt, 1, 3, nx, ny)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        obs = load_obs(cfg.npz_path, cfg.n_frames)
+        self.obs = obs
+        self.nt, _, _, self.nx, self.ny = obs.shape
+        self.obs0 = obs[0]  # (1, 3, nx, ny)
+
+        if cfg.model == "basis_ode":
+            self.model = BasisODE(cfg.n_coeffs, self.nx, self.ny)
+        elif cfg.model == "basis_ode2":
+            self.model = BasisODE2(cfg.n_coeffs, self.nx, self.ny)
+        elif cfg.model == "basis_gru":
+            self.model = BasisGRU(cfg.n_coeffs, self.nx, self.ny)
+        else:
+            self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.params = self.model.init(key)
+        self.tx = optax.adam(cfg.lr)
+        self.opt_state = self.tx.init(self.params)
+        self.losses: list = []
+        self.penalties: list = []
+        self.start_iter = 1
+
+        if cfg.resume:
+            state = {"params": self.params, "opt_state": self.opt_state}
+            state = load_checkpoint(cfg.resume, state)
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            from ns_tpu.train.checkpoint import load_meta
+            meta = load_meta(cfg.resume)
+            self.losses = list(meta.get("losses", []))
+            self.penalties = list(meta.get("penalties", []))
+            self.start_iter = int(meta.get("iter", 0)) + 1
+
+        self._train_step = jax.jit(self._make_train_step())
+
+    # -- loss ---------------------------------------------------------------
+
+    def _forward(self, params, nt):
+        if self.cfg.model == "rnn":
+            # teacher-forced next-frame prediction (ref rnn.py:86-99)
+            obs_flat = self.obs.reshape(self.nt, -1)[None]  # (1, nt, D)
+            pred = self.model.apply(params, obs_flat[:, :-1])
+            return pred, obs_flat[:, 1:]
+        pred = self.model.apply(params, self.obs0, nt)
+        return pred, self.obs
+
+    def _make_train_step(self):
+        def loss_fn(params):
+            pred, target = self._forward(params, self.nt)
+            return l2_loss(pred, target)
+
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    # -- loop ---------------------------------------------------------------
+
+    def train(self, log_every: int = 50, progress: bool = True):
+        cfg = self.cfg
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        loss_meter = AverageMeter()
+        t0 = time.perf_counter()
+        for it in range(self.start_iter, cfg.n_iters + 1):
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state)
+            loss_val = float(loss)
+            loss_meter.update(loss_val)
+            self.losses.append(loss_val)
+            if hasattr(self.model, "diversity_penalty"):
+                # logged, not optimized (ref spectral_ode.py:184-186)
+                pen = float(1.0 / self.model.diversity_penalty(self.params))
+                self.penalties.append(pen)
+            if it % cfg.ckpt_every == 0:
+                self.save(it)
+            if progress and it % log_every == 0:
+                rate = it / (time.perf_counter() - t0)
+                print(f"[{it}/{cfg.n_iters}] loss {loss_meter.avg:.4f} "
+                      f"({rate:.1f} it/s)", flush=True)
+        return self.losses
+
+    def save(self, it: int, is_best: bool = False):
+        state = {"params": self.params, "opt_state": self.opt_state}
+        meta = {"iter": it, "losses": self.losses,
+                "penalties": self.penalties,
+                "config": dataclasses.asdict(self.cfg)}
+        return save_checkpoint(state, self.cfg.out_dir, is_best=is_best,
+                               meta=meta)
+
+    # -- eval ---------------------------------------------------------------
+
+    def extrapolate(self, npz_path: Optional[str] = None) -> np.ndarray:
+        """Full-horizon rollout -> (nt, 3, nx, ny), written to
+        extrapolation.npy by the CLI (ref spectral_ode.py:208-224,
+        rnn.py:116-134)."""
+        obs_full = load_obs(npz_path or self.cfg.npz_path, None)
+        nt_full = obs_full.shape[0]
+        if self.cfg.model == "rnn":
+            obs0 = obs_full[0].reshape(1, -1)
+            pred = self.model.extrapolate(self.params, obs0, nt_full)
+            out = np.asarray(pred[0]).reshape(nt_full, 3, self.nx, self.ny)
+        else:
+            pred = self.model.apply(self.params, obs_full[0], nt_full)
+            out = np.asarray(pred[:, 0])
+        return out
