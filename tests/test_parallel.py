@@ -1,0 +1,79 @@
+"""Distributed tests on the fake 8-device CPU mesh (SURVEY.md §4d).
+
+The sharded direct_fd rollout must match the single-device solver
+elementwise — same stencils, same BC order, halo exchange replacing the
+slice neighbors.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ns_tpu.core.bc import dirichlet, neumann
+from ns_tpu.core.state import FlowState
+from ns_tpu.parallel import exchange_halo_rows, make_mesh
+from ns_tpu.parallel import direct_fd_sharded
+from ns_tpu.solvers import direct_fd
+
+
+def cavity_bcs(dx, dy):
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+            neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+    return u_bc, v_bc, p_bc
+
+
+def test_eight_fake_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_halo_exchange_rows():
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    from jax.sharding import PartitionSpec as P
+
+    def f(a):
+        return exchange_halo_rows(a, "x")
+
+    g = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("x", None),
+                              out_specs=P("x", None)))
+    a = jnp.arange(16.0).reshape(8, 2)
+    out = np.asarray(g(a))  # (8+2*4, 2): each shard padded
+    # shard 1 holds global rows 2,3; its pad = [row1, row2, row3, row4]
+    np.testing.assert_array_equal(out[4:8], np.asarray(a)[1:5])
+    # first shard's lower halo is zeros (non-periodic chain end)
+    np.testing.assert_array_equal(out[0], 0.0)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_direct_fd_matches_single_device(n_shards):
+    nx = ny = 48
+    cfg = direct_fd.DirectFDConfig(nt=5, nit=20, nx=nx, ny=ny,
+                                   dt=0.001, rho=1.0, nu=0.1)
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    z = np.zeros((nx, ny))
+
+    ref_sys = direct_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, nt=5, nit=20, nx=nx, ny=ny,
+        dt=0.001, rho=1, nu=0.1, dtype=jnp.float64)
+    u_ref, v_ref, p_ref = ref_sys.simulate()
+
+    mesh = make_mesh({"x": n_shards}, devices=jax.devices()[:n_shards])
+    state0 = FlowState(u=jnp.zeros((nx, ny), jnp.float64),
+                       v=jnp.zeros((nx, ny), jnp.float64),
+                       p=jnp.zeros((nx, ny), jnp.float64))
+    u_s, v_s, p_s = direct_fd_sharded.simulate(
+        cfg, state0, u_bc, v_bc, p_bc, mesh)
+
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-13)
+
+
+def test_mesh_preset_and_validation():
+    mesh = make_mesh("host-8")
+    assert mesh.shape == {"ensemble": 4, "x": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"x": 3})
