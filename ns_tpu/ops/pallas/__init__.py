@@ -1,0 +1,5 @@
+from ns_tpu.ops.pallas.poisson_kernels import (
+    jacobi_fused_pallas,
+    sor_redblack_fused_pallas,
+    vmem_fits,
+)

@@ -1,0 +1,168 @@
+"""Pallas TPU kernels for the elliptic pressure solves.
+
+The hot loop of the FD families is the pressure iteration: direct_fd runs
+nt*nit full-grid Jacobi sweeps (reference direct_fd/simulate.py:68-88 —
+10k sweeps at the default config, SURVEY.md §3.1), chorin_fd runs SOR to a
+tolerance (chorin_fd/simulate.py:169-202). Under plain XLA each sweep
+round-trips the grid through HBM; these kernels keep the whole grid
+resident in VMEM and run ALL sweeps inside one kernel launch — one HBM read
+and one write for the entire solve (the in-VMEM ping-pong of SURVEY.md §7
+item 5).
+
+Both kernels are single-block (the grid must fit VMEM — `vmem_fits` guards;
+the reference workloads are 50^2/51^2, far under the ~16 MB budget). BCs
+arrive as a compile-time spec and are applied as in-kernel edge writes in
+list order, preserving the reference's sequential semantics.
+
+The jnp implementations in ns_tpu/ops/poisson.py remain the portable
+fallback; solvers select via their `use_pallas` flag and tests compare the
+two paths elementwise (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ns_tpu.core.bc import BC
+
+Array = jnp.ndarray
+
+
+def vmem_fits(nx: int, ny: int, n_buffers: int = 3,
+              bytes_per: int = 4, budget: int = 12 * 1024 * 1024) -> bool:
+    return nx * ny * n_buffers * bytes_per <= budget
+
+
+def _edge_masks(nx: int, ny: int):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
+    return ii, jj
+
+
+def _apply_bcs_in_kernel(p: Array, bcs: Sequence[BC], ii: Array,
+                         jj: Array) -> Array:
+    """Edge writes on a full-grid VMEM value, expressed as mask + roll
+    (Mosaic has no scatter lowering, so .at[...].set is unavailable);
+    same order semantics as ns_tpu.core.bc.apply_bcs. Neumann pulls the
+    inner neighbor row/col via pltpu.roll (which wraps, but the wrap cells
+    are masked off)."""
+    nx, ny = p.shape
+    for bc in bcs:
+        v = jnp.asarray(bc.value, p.dtype)
+        if bc.side == "left":
+            mask = ii == 0
+            val = v if bc.kind == "dirichlet" else pltpu.roll(p, nx - 1, 0) - bc.dx * v
+        elif bc.side == "right":
+            mask = ii == nx - 1
+            val = v if bc.kind == "dirichlet" else pltpu.roll(p, 1, 0) + bc.dx * v
+        elif bc.side == "bottom":
+            mask = jj == 0
+            val = v if bc.kind == "dirichlet" else pltpu.roll(p, ny - 1, 1) - bc.dy * v
+        else:
+            mask = jj == ny - 1
+            val = v if bc.kind == "dirichlet" else pltpu.roll(p, 1, 1) + bc.dy * v
+        p = jnp.where(mask, val, p)
+    return p
+
+
+def jacobi_fused_pallas(p: Array, b: Array, dx: float, dy: float,
+                        n_iter: int, p_bc: Sequence[BC],
+                        interpret: bool = False) -> Array:
+    """All `n_iter` Jacobi sweeps (with per-sweep BC re-application, the
+    direct_fd pattern) in ONE kernel launch, grid resident in VMEM."""
+    nx, ny = p.shape
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 * (dx2 + dy2)
+
+    def kernel(p_ref, b_ref, out_ref):
+        ii, jj = _edge_masks(nx, ny)
+        interior = (ii > 0) & (ii < nx - 1) & (jj > 0) & (jj < ny - 1)
+        b = b_ref[:, :]
+
+        def sweep(_, p):
+            up = pltpu.roll(p, nx - 1, 0)      # p[i+1, j]
+            down = pltpu.roll(p, 1, 0)         # p[i-1, j]
+            right = pltpu.roll(p, ny - 1, 1)   # p[i, j+1]
+            left = pltpu.roll(p, 1, 1)         # p[i, j-1]
+            p_new = ((right + left) * dy2 + (up + down) * dx2) / denom \
+                - dx2 * dy2 / denom * b
+            p = jnp.where(interior, p_new, p)
+            return _apply_bcs_in_kernel(p, p_bc, ii, jj)
+
+        out_ref[:, :] = jax.lax.fori_loop(0, n_iter, sweep, p_ref[:, :])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(p, b)
+
+
+def sor_redblack_fused_pallas(p: Array, rhs_c: Array, dx: float, dy: float,
+                              beta: float, tol: float, max_iter: int,
+                              p_boundary_fixed: bool = True,
+                              interpret: bool = False) -> Array:
+    """Red-black SOR to tolerance inside one kernel: while_loop over sweeps
+    with the convergence gate evaluated in VMEM (chorin_fd semantics:
+    err = max|p - p_prev_sweep| vs tol, iteration cap, boundary rows held
+    fixed during the solve — ref chorin_fd/simulate.py:183-200)."""
+    nx, ny = p.shape
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 * (dx2 + dy2)
+
+    def kernel(p_ref, c_ref, out_ref):
+        ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
+        interior = (ii > 0) & (ii < nx - 1) & (jj > 0) & (jj < ny - 1)
+        red = (((ii + jj) % 2) == 0) & interior
+        black = (((ii + jj) % 2) == 1) & interior
+        c = c_ref[:, :]
+        bta = jnp.asarray(beta, p_ref.dtype)
+
+        def gs(p):
+            # pltpu.roll requires non-negative shifts: -1 == size-1
+            up = pltpu.roll(p, nx - 1, 0)
+            down = pltpu.roll(p, 1, 0)
+            right = pltpu.roll(p, ny - 1, 1)
+            left = pltpu.roll(p, 1, 1)
+            return bta * (dy2 * (up + down) + dx2 * (right + left) - c) / denom \
+                + (1.0 - bta) * p
+
+        def sweep(p):
+            p = jnp.where(red, gs(p), p)
+            p = jnp.where(black, gs(p), p)
+            return p
+
+        def cond(carry):
+            _, err, it = carry
+            return (err > tol) & (it < max_iter)
+
+        def body(carry):
+            p, _, it = carry
+            p_new = sweep(p)
+            err = jnp.max(jnp.abs(p_new - p))
+            return p_new, err, it + 1
+
+        p0 = p_ref[:, :]
+        p_out, _, _ = jax.lax.while_loop(
+            cond, body,
+            (p0, jnp.asarray(1.0, p0.dtype), jnp.asarray(1, jnp.int32)))
+        out_ref[:, :] = p_out
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(p, rhs_c)

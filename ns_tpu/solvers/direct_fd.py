@@ -47,6 +47,11 @@ class DirectFDConfig:
     dt: float = 0.001
     rho: float = 1.0
     nu: float = 0.1
+    # Fused Pallas Jacobi kernel (all nit sweeps in one VMEM-resident
+    # launch). At the reference 50^2 workload XLA's own fusion is faster
+    # (0.82 ms vs 1.26 ms per solve on v5e), so this defaults off; it is
+    # the in-VMEM ping-pong path of SURVEY.md §7 item 5 for larger grids.
+    use_pallas: bool = False
 
     @property
     def dx(self) -> float:
@@ -80,6 +85,13 @@ def pressure_poisson(
     dx2, dy2 = cfg.dx * cfg.dx, cfg.dy * cfg.dy
     denom = 2.0 * (dx2 + dy2)
     b_int = b[1:-1, 1:-1]
+
+    if cfg.use_pallas:
+        from ns_tpu.ops.pallas import jacobi_fused_pallas, vmem_fits
+        if not vmem_fits(cfg.nx, cfg.ny):
+            raise ValueError("grid too large for the fused Pallas Jacobi; "
+                             "set use_pallas=False")
+        return jacobi_fused_pallas(p, b, cfg.dx, cfg.dy, cfg.nit, p_bc)
 
     def sweep(_, p):
         pn = p
@@ -151,9 +163,9 @@ class NavierStokesSystem:
 
     def __init__(self, u_ic, v_ic, p_ic, u_bc, v_bc, p_bc,
                  nt=200, nit=50, nx=50, ny=50, dt=0.001, rho=1, nu=0.1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas=False):
         self.cfg = DirectFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
-                                  rho=rho, nu=nu)
+                                  rho=rho, nu=nu, use_pallas=use_pallas)
         self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
         self.state0 = FlowState(
             u=jnp.asarray(u_ic, dtype=dtype),

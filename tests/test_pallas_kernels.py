@@ -1,0 +1,52 @@
+"""Pallas kernels vs the pure-XLA implementations (interpret mode on CPU —
+SURVEY.md §4e property tests: kernels tolerance-compared against the jnp
+reference paths)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.core.bc import dirichlet, neumann
+from ns_tpu.ops import poisson
+from ns_tpu.ops.pallas import (jacobi_fused_pallas, sor_redblack_fused_pallas,
+                               vmem_fits)
+from ns_tpu.core.bc import apply_bcs
+
+
+def p_bcs(dx, dy):
+    return [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+            neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+
+
+def test_jacobi_fused_matches_jnp():
+    nx = ny = 32
+    dx = dy = 2.0 / (nx - 1)
+    rng = np.random.default_rng(0)
+    p0 = jnp.asarray(rng.normal(size=(nx, ny)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(nx, ny)), jnp.float32)
+    bcs = p_bcs(dx, dy)
+
+    want = poisson.jacobi(p0, b, dx, dy, 25, bc_fn=lambda p: apply_bcs(p, bcs))
+    got = jacobi_fused_pallas(p0, b, dx, dy, 25, bcs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
+def test_sor_fused_matches_jnp():
+    nx = ny = 33
+    dx = dy = 2.0 / (nx - 1)
+    rng = np.random.default_rng(1)
+    p0 = jnp.asarray(rng.normal(size=(nx, ny)), jnp.float32)
+    c = jnp.asarray(0.1 * rng.normal(size=(nx, ny)), jnp.float32)
+
+    want = poisson.sor_redblack(p0, c, dx, dy, beta=1.25, tol=5e-6,
+                                max_iter=300)
+    got = sor_redblack_fused_pallas(p0, c, dx, dy, beta=1.25, tol=5e-6,
+                                    max_iter=300, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-4)
+
+
+def test_vmem_guard():
+    assert vmem_fits(51, 51)
+    assert vmem_fits(512, 512)
+    assert not vmem_fits(4096, 4096)
