@@ -1,0 +1,59 @@
+"""Ensemble (data-parallel) sharding of solver rollouts.
+
+The north-star scale-out config is "batch-64 ensembles @1024^2 sharded over
+a v4-32 mesh" (BASELINE.json). The spectral step is batch-polymorphic
+(FFTs act on the trailing two axes; spectral constants broadcast), so
+ensembles shard with a single NamedSharding constraint on the leading batch
+axis — GSPMD splits the batch across the 'ensemble' mesh axis with zero
+collectives in the hot loop (each trajectory is independent; ICI is only
+touched by diagnostics reductions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ns_tpu.solvers import spectral_periodic as sp
+
+Array = jnp.ndarray
+
+
+def ensemble_init(cfg: sp.SpectralPeriodicConfig, w0_batch: Array,
+                  mesh: Mesh, axis: str = "ensemble"):
+    """(B, nx, ny) physical vorticity batch -> sharded scan carry."""
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    w0_batch = jax.device_put(jnp.asarray(w0_batch, cfg.real_dtype), sharding)
+    ops = sp.make_ops(cfg)
+
+    @jax.jit
+    def build(w0):
+        w_hat = jnp.fft.rfft2(w0)
+        return w_hat, sp.nonlinear_term(w_hat, ops, cfg)
+
+    return build(w0_batch)
+
+
+def ensemble_rollout_final(cfg: sp.SpectralPeriodicConfig, carry):
+    """Batched nt-step rollout returning the final carry; the batch axis
+    stays sharded end-to-end."""
+    roll = jax.jit(partial(sp.rollout_final, cfg))
+    return roll(carry)
+
+
+def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_hat_batch: Array):
+    """Mean kinetic energy across the ensemble — one psum-style reduction
+    over the sharded batch (XLA inserts the collective)."""
+    ops = sp.make_ops(cfg)
+
+    @jax.jit
+    def energy(w_hat):
+        u_hat, v_hat = sp.velocity_from_vorticity_hat(w_hat, ops)
+        per = jnp.sum(jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2,
+                      axis=(-2, -1))
+        return jnp.mean(per) / (cfg.nx * cfg.ny) ** 2
+
+    return energy(w_hat_batch)

@@ -1,0 +1,86 @@
+"""Aux subsystem tests: guards, ensemble sharding, JSONL logging, timing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.parallel import make_mesh
+from ns_tpu.parallel.ensemble import (ensemble_energy, ensemble_init,
+                                      ensemble_rollout_final)
+from ns_tpu.solvers import spectral_periodic as sp
+from ns_tpu.utils.guard import guarded_rollout, state_is_bad
+from ns_tpu.utils.jsonl import JSONLLogger
+from ns_tpu.utils.profiling import timed
+
+
+def test_state_is_bad():
+    good = {"u": jnp.ones((3, 3))}
+    assert not bool(state_is_bad(good))
+    assert bool(state_is_bad({"u": jnp.array([jnp.nan])}))
+    assert bool(state_is_bad({"u": jnp.array([1e9])}))
+
+
+def test_guarded_rollout_freezes_on_divergence():
+    # doubling map from 1.0: after step index n the value is 2^(n+1);
+    # 128 > 100 first happens at step index 6
+    step = lambda s: 2.0 * s
+    final, states = guarded_rollout(step, jnp.asarray(1.0), nt=12,
+                                    max_abs=100.0)
+    assert bool(final.bad)
+    assert int(final.first_bad_step) == 6
+    # frozen at last good value (2^6 = 64)
+    assert float(final.state) == 64.0
+    # collected rollout holds the frozen value after the trip
+    assert float(states[-1]) == 64.0
+
+
+def test_guarded_rollout_clean_path():
+    step = lambda s: 0.5 * s
+    final, _ = guarded_rollout(step, jnp.asarray(1.0), nt=5)
+    assert not bool(final.bad)
+    assert int(final.first_bad_step) == -1
+    np.testing.assert_allclose(float(final.state), 0.5**5)
+
+
+def test_ensemble_sharded_rollout_matches_unsharded():
+    cfg = sp.SpectralPeriodicConfig(nt=10, nx=32, ny=32, dt=0.005, nu=1e-3,
+                                    dtype="float64")
+    B = 8
+    w0s = np.stack([np.asarray(sp.decaying_turbulence_vorticity(cfg, seed=i))
+                    for i in range(B)])
+    mesh = make_mesh({"ensemble": 8})
+    carry = ensemble_init(cfg, w0s, mesh)
+    w_hat, _ = ensemble_rollout_final(cfg, carry)
+    assert w_hat.shape[0] == B
+
+    # per-trajectory unsharded reference
+    c0 = sp.init_from_vorticity(cfg, w0s[3])
+    w_ref, _ = sp.rollout_final(cfg, c0)
+    np.testing.assert_allclose(np.asarray(w_hat[3]), np.asarray(w_ref),
+                               atol=1e-10)
+
+    e = ensemble_energy(cfg, w_hat)
+    assert np.isfinite(float(e)) and float(e) > 0
+
+
+def test_jsonl_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with JSONLLogger(path) as log:
+        log.log({"loss": 1.5}, step=1)
+        log.log({"loss": jnp.asarray(0.5)}, step=2)
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 2
+
+
+def test_timed_blocks():
+    f = jax.jit(lambda x: x * 2)
+    secs, out = timed(f, jnp.ones((8, 8)), iters=3, warmup=1)
+    assert secs > 0 and out.shape == (8, 8)
+
+
+def test_sanity_cli_runs():
+    from ns_tpu.cli.sanity import main
+    main(["--n", "33"])
