@@ -151,6 +151,59 @@ class BasisGRU:
         return diversity_penalty(params["basis"].reshape(self.K, -1))
 
 
+# ---------------------------------------------------------------------------
+# Conv basis (the reference's alternative BasisFunc parameterization,
+# spectral_ode.py:100-119 — kept in its file but unused by its drivers)
+# ---------------------------------------------------------------------------
+
+_CONV_WIDTHS = (3, 16, 32, 32, 16, 3)  # ref spectral_ode.py:106-116
+
+
+def conv_basis_init(key, widths=_CONV_WIDTHS):
+    """K-independent stack of 1x1 convs == per-pixel channel MLP."""
+    keys = jax.random.split(key, len(widths) - 1)
+    return [dense_init(k, widths[i], widths[i + 1])
+            for i, k in enumerate(keys)]
+
+
+def conv_basis_apply(params, grid: Array) -> Array:
+    """grid (mb, 3, nx, ny) -> (mb, 3, nx, ny); 1x1 convs act on the
+    channel axis (ReLU between layers, none after the last — ref :106-116)."""
+    x = jnp.moveaxis(grid, 1, -1)  # (mb, nx, ny, C)
+    for i, layer in enumerate(params):
+        x = dense(layer, x)
+        if i < len(params) - 1:
+            x = jax.nn.relu(x)
+    return jnp.moveaxis(x, -1, 1)
+
+
+class BasisODEConv:
+    """BasisODE with basis fields GENERATED from grid0 by K conv nets
+    (the reference's commented-out alternative, spectral_ode.py:55-56,
+    100-119) instead of free parameters."""
+
+    def __init__(self, K: int, nx: int, ny: int, method: str = "RK4"):
+        self.K, self.nx, self.ny, self.method = K, nx, ny, method
+
+    def init(self, key) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "init_coeffs": jax.random.normal(k1, (self.K * 3,)),
+            "field": mlp_field_init(k2, self.K * 3),
+            "conv": [conv_basis_init(k) for k in jax.random.split(k3, self.K)],
+        }
+
+    def apply(self, params, grid0: Array, nt: int) -> Array:
+        mb = grid0.shape[0]
+        func = lambda t, z: mlp_field_apply(params["field"], z)
+        z0 = jnp.tile(params["init_coeffs"], (mb, 1))
+        coeff = odeint_checkpoint(func, z0, nt, self.method)
+        coeff = coeff.reshape(nt, mb, self.K, 3)
+        # basis fields from the initial grid: (K, mb, 3, nx, ny)
+        fks = jnp.stack([conv_basis_apply(c, grid0) for c in params["conv"]])
+        return jnp.einsum("tmkc,kmcxy->tmcxy", coeff, fks)
+
+
 def diversity_penalty(W: Array) -> Array:
     """1 / sum_{i <= j} ||W_i - W_j||_2 (ref spectral_ode.py:90-97; the
     i == j terms contribute 0 exactly as in the reference's loop)."""
