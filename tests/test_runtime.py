@@ -1,0 +1,68 @@
+"""Deployment runtime + ensemble training tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.models.basis import BasisGRU
+from ns_tpu.parallel import make_mesh
+from ns_tpu.runtime import RolloutEngine, export_rollout, load_rollout_artifact
+from ns_tpu.solvers import spectral_periodic as sp
+from ns_tpu.train.ensemble import train_ensemble
+
+
+def small_cfg():
+    return sp.SpectralPeriodicConfig(nt=8, nx=32, ny=32, dt=0.005, nu=1e-3,
+                                     dtype="float64")
+
+
+def reference_final(cfg, w0):
+    c0 = sp.init_from_vorticity(cfg, w0)
+    w_hat, _ = sp.rollout_final(cfg, c0)
+    return jnp.fft.irfft2(w_hat, s=(cfg.nx, cfg.ny))
+
+
+def test_rollout_engine_matches_jit_path():
+    cfg = small_cfg()
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=1)
+    engine = RolloutEngine(cfg)
+    got = engine(w0)
+    want = reference_final(cfg, w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+    # serving calls are retrace-free executables with cost metadata
+    assert engine.cost_analysis is not None
+
+
+def test_export_roundtrip(tmp_path):
+    cfg = small_cfg()
+    w0 = sp.taylor_green_vorticity(cfg)
+    path = export_rollout(cfg, str(tmp_path / "rollout.shlo"))
+    runner = load_rollout_artifact(path)
+    got = runner(w0)
+    want = reference_final(cfg, w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_train_ensemble_reduces_all_losses():
+    rng = np.random.default_rng(0)
+    nt, nx, ny = 6, 8, 8
+    obs = jnp.asarray(rng.normal(size=(nt, 1, 3, nx, ny)) * 0.1, jnp.float32)
+    model = BasisGRU(2, nx, ny)
+    params, hist = train_ensemble(model, obs, nt, n_models=4, n_iters=25)
+    assert hist.shape == (25, 4)
+    assert np.all(np.asarray(hist[-1]) < np.asarray(hist[0]))
+    # models are genuinely different (independent seeds)
+    basis = np.asarray(params["basis"])
+    assert not np.allclose(basis[0], basis[1])
+
+
+def test_train_ensemble_sharded():
+    rng = np.random.default_rng(0)
+    nt, nx, ny = 4, 8, 8
+    obs = jnp.asarray(rng.normal(size=(nt, 1, 3, nx, ny)) * 0.1, jnp.float32)
+    model = BasisGRU(2, nx, ny)
+    mesh = make_mesh({"ensemble": 8})
+    params, hist = train_ensemble(model, obs, nt, n_models=8, n_iters=5,
+                                  mesh=mesh)
+    assert hist.shape == (5, 8)
+    assert np.isfinite(np.asarray(hist)).all()
