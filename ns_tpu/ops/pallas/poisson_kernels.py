@@ -34,8 +34,11 @@ from ns_tpu.core.bc import BC
 Array = jnp.ndarray
 
 
-def vmem_fits(nx: int, ny: int, n_buffers: int = 3,
-              bytes_per: int = 4, budget: int = 12 * 1024 * 1024) -> bool:
+def vmem_fits(nx: int, ny: int, n_buffers: int = 6,
+              bytes_per: int = 4, budget: int = 14 * 1024 * 1024) -> bool:
+    """Mosaic's scoped-vmem limit is 16 MB; the fused sweeps keep the grid
+    plus roll/select temporaries live (~6 grid-sized buffers measured —
+    1024^2 f32 needs 23.8 MB and is rejected; 512^2 fits)."""
     return nx * ny * n_buffers * bytes_per <= budget
 
 
