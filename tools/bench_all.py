@@ -1,0 +1,121 @@
+"""Comprehensive benchmark sweep -> RESULTS.md.
+
+Measures every solver family on the real TPU at the BASELINE.json configs
+(and the reference defaults), with warm timings (compile excluded). The
+driver's one-line bench stays in bench.py; this is the full table.
+
+Usage: python tools/bench_all.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def timeit(fn, n=3):
+    import jax
+    out = fn()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.ops import cheb
+    from ns_tpu.solvers import (chorin_fd, chorin_spectral, direct_fd,
+                                spectral_periodic as sp)
+
+    rows = []
+    dev = jax.devices()[0]
+
+    def cavity(nx):
+        dx = dy = 2.0 / (nx - 1)
+        u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+                dirichlet(0, "top"), dirichlet(0, "bottom")]
+        v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+        p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+                neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+        return u_bc, v_bc, p_bc
+
+    # --- spectral periodic ------------------------------------------------
+    for nx in (256, 512, 1024):
+        cfg = sp.SpectralPeriodicConfig(nt=200, nx=nx, ny=nx, dt=5e-4,
+                                        nu=1e-4, dtype="float32")
+        w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=nx / 30)
+        c0 = sp.init_from_vorticity(cfg, w0)
+        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
+        el = timeit(lambda: roll(c0))
+        rows.append((f"spectral_periodic {nx}^2 decaying turbulence, 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
+
+    # --- direct_fd ---------------------------------------------------------
+    for nx, nit, nu in ((50, 50, 0.1), (64, 50, 0.02)):
+        u_bc, v_bc, p_bc = cavity(nx)
+        z = np.zeros((nx, nx))
+        s = direct_fd.NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=200,
+                                         nit=nit, nx=nx, ny=nx, dt=5e-4,
+                                         rho=1, nu=nu)
+        el = timeit(lambda: s.simulate())
+        rows.append((f"direct_fd {nx}^2 cavity (nit={nit}), 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+
+    # --- chorin_fd ----------------------------------------------------------
+    for nx, nu, pallas in ((51, 0.1, False), (51, 0.1, True), (128, 0.005, False)):
+        u_bc, v_bc, p_bc = cavity(nx)
+        z = np.zeros((nx, nx))
+        s = chorin_fd.NavierStokesSystem(
+            z, z, z, u_bc, v_bc, p_bc, nt=200, nit=200, nx=nx, ny=nx,
+            dt=5e-4, rho=1, nu=nu, beta=1.25, method="semi_implicit",
+            use_pallas=pallas)
+        el = timeit(lambda: s.simulate())
+        tag = " (pallas SOR)" if pallas else ""
+        rows.append((f"chorin_fd {nx}^2 semi-implicit{tag}, 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+
+    # --- chorin_spectral (corrected, stable) --------------------------------
+    for nx in (128, 256):
+        bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+        x = cheb.gauss_lobatto(nx)
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        u0 = 2 * (1 - X**2) ** 2 * (1 - Y**2) * (-2 * Y)
+        v0 = -2 * (1 - X**2) * (-2 * X) * (1 - Y**2) ** 2
+        s = chorin_spectral.NavierStokesSystem(
+            u0, v0, np.zeros((nx, nx)), bc0, bc0, nt=200, nx=nx, ny=nx,
+            dt=2e-4, rho=1, nu=0.1, dtype=jnp.float32, quirk_compat=False)
+        el = timeit(lambda: s.simulate(), n=2)
+        rows.append((f"chorin_spectral(corrected) {nx}^2, 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+
+    out = ["# RESULTS — measured on " + str(dev), "",
+           "Warm timings (compile excluded), best of repeats. Reference CPU",
+           "oracle rates for comparison are in BASELINE.md (e.g. chorin_fd",
+           "semi-implicit: ~1 step/s on CPU).", "",
+           "| workload | steps/s | throughput |", "|---|---|---|"]
+    for r in rows:
+        out.append("| " + " | ".join(r) + " |")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "RESULTS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
