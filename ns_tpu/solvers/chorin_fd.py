@@ -202,31 +202,34 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
         un, vn, p = state.u, state.v, state.p
         un1, vn1 = state.u_prev, state.v_prev
 
-        if cfg.method == "explicit":
-            ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
-        else:
-            ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv, un, vn, un1, vn1)
+        with jax.named_scope("chorin_fd.predictor"):
+            if cfg.method == "explicit":
+                ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
+            else:
+                ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv,
+                                                  un, vn, un1, vn1)
+            ui = apply_bcs(ui, u_bc)
+            vi = apply_bcs(vi, v_bc)
 
-        ui = apply_bcs(ui, u_bc)
-        vi = apply_bcs(vi, v_bc)
+        with jax.named_scope("chorin_fd.pressure"):
+            rhs_c = _pressure_rhs(cfg, ui, vi)
+            if cfg.pressure_mode == "gauss_seidel":
+                p = sor_wavefront(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
+                                  cfg.sor_tol, cfg.nit)
+            elif cfg.use_pallas:
+                from ns_tpu.ops.pallas import sor_redblack_fused_pallas, vmem_fits
+                if not vmem_fits(cfg.nx, cfg.ny):
+                    raise ValueError("grid too large for the fused Pallas SOR; "
+                                     "set use_pallas=False")
+                p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
+                                              cfg.beta, cfg.sor_tol, cfg.nit)
+            else:
+                p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
+                                 cfg.sor_tol, cfg.nit)
+            p = apply_bcs(p, p_bc)
 
-        rhs_c = _pressure_rhs(cfg, ui, vi)
-        if cfg.pressure_mode == "gauss_seidel":
-            p = sor_wavefront(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
-                              cfg.sor_tol, cfg.nit)
-        elif cfg.use_pallas:
-            from ns_tpu.ops.pallas import sor_redblack_fused_pallas, vmem_fits
-            if not vmem_fits(cfg.nx, cfg.ny):
-                raise ValueError("grid too large for the fused Pallas SOR; "
-                                 "set use_pallas=False")
-            p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
-                                          cfg.sor_tol, cfg.nit)
-        else:
-            p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
-                             cfg.sor_tol, cfg.nit)
-        p = apply_bcs(p, p_bc)
-
-        u_next, v_next = _correction(cfg, ui, vi, p)
+        with jax.named_scope("chorin_fd.correction"):
+            u_next, v_next = _correction(cfg, ui, vi, p)
         return FlowState(u=u_next, v=v_next, p=p, u_prev=un, v_prev=vn)
 
     return step

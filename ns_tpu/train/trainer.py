@@ -139,24 +139,28 @@ class Trainer:
     def train(self, log_every: int = 50, progress: bool = True):
         cfg = self.cfg
         os.makedirs(cfg.out_dir, exist_ok=True)
+        from ns_tpu.utils.jsonl import JSONLLogger
         loss_meter = AverageMeter()
         t0 = time.perf_counter()
-        for it in range(self.start_iter, cfg.n_iters + 1):
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state)
-            loss_val = float(loss)
-            loss_meter.update(loss_val)
-            self.losses.append(loss_val)
-            if hasattr(self.model, "diversity_penalty"):
-                # logged, not optimized (ref spectral_ode.py:184-186)
-                pen = float(1.0 / self.model.diversity_penalty(self.params))
-                self.penalties.append(pen)
-            if it % cfg.ckpt_every == 0:
-                self.save(it)
-            if progress and it % log_every == 0:
-                rate = it / (time.perf_counter() - t0)
-                print(f"[{it}/{cfg.n_iters}] loss {loss_meter.avg:.4f} "
-                      f"({rate:.1f} it/s)", flush=True)
+        with JSONLLogger(os.path.join(cfg.out_dir, "metrics.jsonl")) as jlog:
+            for it in range(self.start_iter, cfg.n_iters + 1):
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state)
+                loss_val = float(loss)
+                loss_meter.update(loss_val)
+                self.losses.append(loss_val)
+                if hasattr(self.model, "diversity_penalty"):
+                    # logged, not optimized (ref spectral_ode.py:184-186)
+                    pen = float(1.0 / self.model.diversity_penalty(self.params))
+                    self.penalties.append(pen)
+                if it % cfg.ckpt_every == 0:
+                    self.save(it)
+                    jlog.log({"loss": loss_val, "loss_avg": loss_meter.avg},
+                             iter=it)
+                if progress and it % log_every == 0:
+                    rate = it / (time.perf_counter() - t0)
+                    print(f"[{it}/{cfg.n_iters}] loss {loss_meter.avg:.4f} "
+                          f"({rate:.1f} it/s)", flush=True)
         return self.losses
 
     def save(self, it: int, is_best: bool = False):

@@ -73,3 +73,28 @@ def guarded_rollout(step_fn: Callable, state0, nt: int,
 def enable_nan_checks(enable: bool = True):
     """Debug-mode NaN tripwire (SURVEY.md §5 race-detection analogue)."""
     jax.config.update("jax_debug_nans", enable)
+
+
+def shadow_check(fn: Callable, *args, rtol: float = 1e-4,
+                 atol: float = 1e-5):
+    """Numerics validation by dtype shadow run (SURVEY.md §5: "float64-vs-
+    float32 shadow runs"): run fn on the args as-is (f32 path) and again
+    with every float leaf upcast to f64; return
+    (f32_result, f64_result, dict of per-leaf max abs deviations).
+    Requires jax_enable_x64 for the shadow to be a true f64 run.
+    """
+    def upcast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(jnp.float64)
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x.astype(jnp.complex128)
+        return x
+
+    lo = fn(*args)
+    hi = fn(*jax.tree_util.tree_map(upcast, args))
+    devs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float64)
+                                           - jnp.asarray(b, jnp.float64)))),
+        lo, hi)
+    return lo, hi, devs
