@@ -21,8 +21,12 @@ NORTH_STAR = 1.0e9  # cell-updates/sec/chip @ 1024^2 spectral
 
 
 def bench_spectral(nx=1024, nt=200, warmup_nt=10):
+    # matmul-DFT transform (MXU path), bf16x3 precision: measured 1.61
+    # Gcups at 1024^2 vs 1.30 for the XLA-FFT path, with 3e-5 relative
+    # fidelity and exact divergence-free-ness (see RESULTS.md)
     cfg = sp.SpectralPeriodicConfig(nt=nt, nx=nx, ny=nx, dt=5e-4, nu=1e-4,
-                                    dtype="float32")
+                                    dtype="float32", transform="matmul",
+                                    matmul_precision="high")
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
     carry0 = sp.init_from_vorticity(cfg, w0)
 

@@ -52,15 +52,19 @@ def main():
 
     # --- spectral periodic ------------------------------------------------
     for nx in (256, 512, 1024):
-        cfg = sp.SpectralPeriodicConfig(nt=200, nx=nx, ny=nx, dt=5e-4,
-                                        nu=1e-4, dtype="float32")
-        w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=nx / 30)
-        c0 = sp.init_from_vorticity(cfg, w0)
-        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
-        el = timeit(lambda: roll(c0))
-        rows.append((f"spectral_periodic {nx}^2 decaying turbulence, 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
+        for transform, prec in (("fft", "high"), ("matmul", "high"),
+                                ("matmul", "default")):
+            cfg = sp.SpectralPeriodicConfig(
+                nt=200, nx=nx, ny=nx, dt=5e-4, nu=1e-4, dtype="float32",
+                transform=transform, matmul_precision=prec)
+            w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=nx / 30)
+            c0 = sp.init_from_vorticity(cfg, w0)
+            roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
+            el = timeit(lambda: roll(c0))
+            tag = transform if transform == "fft" else f"matmul/{prec}"
+            rows.append((f"spectral_periodic {nx}^2 ({tag}), 200 steps",
+                         f"{200/el:.0f} steps/s",
+                         f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
 
     # --- direct_fd ---------------------------------------------------------
     for nx, nit, nu in ((50, 50, 0.1), (64, 50, 0.02)):
