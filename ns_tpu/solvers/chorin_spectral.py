@@ -63,6 +63,10 @@ class ChorinSpectralConfig:
     nu: float = 1.0
     beta: float = 1.25  # kept for signature parity; unused
     quirk_compat: bool = True  # replicate D @ D.T second derivative
+    # matmul precision for the per-step operator applications. TPU f32
+    # matmuls default to bf16 inputs; 'highest' keeps true f32 — important
+    # for the eigen-basis solves' conditioning. Ignored in f64 (tests).
+    matmul_precision: str = "highest"
     # Deflate the near-null constant-pressure mode of the Uzawa operator
     # (pressure is defined up to a constant; the reference divides by the
     # ~0 eigenvalue sum, ref :372-373, which inflates Q to ~1e16 and costs
@@ -389,7 +393,14 @@ class NavierStokesSystem:
         self.u_bc, self.v_bc = list(u_bc), list(v_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, dtype=dtype)
-        step = make_step(self.cfg, self.u_bc, self.v_bc, dtype=dtype)
+        raw_step = make_step(self.cfg, self.u_bc, self.v_bc, dtype=dtype)
+        prec = self.cfg.matmul_precision
+
+        # the precision context must be live while the function BODY traces
+        def step(state):
+            with jax.default_matmul_precision(prec):
+                return raw_step(state)
+
         self._step = jax.jit(step)
         self._simulate = jax.jit(partial(simulate, self.cfg, step_fn=step))
 

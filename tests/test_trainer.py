@@ -24,7 +24,7 @@ def small_npz(tmp_path_factory):
     return str(path)
 
 
-@pytest.mark.parametrize("model", ["basis_ode", "basis_gru", "rnn"])
+@pytest.mark.parametrize("model", ["basis_ode", "basis_ode2", "basis_gru", "rnn"])
 def test_training_reduces_loss(model, small_npz, tmp_path):
     cfg = TrainConfig(model=model, npz_path=small_npz,
                       out_dir=str(tmp_path / model), n_iters=30,
