@@ -6,9 +6,10 @@ import numpy as np
 from ns_tpu.solvers import spectral_periodic as sp
 
 
-def test_matmul_transforms_match_fft_f64():
+def test_matmul_transforms_match_fft_f64_full():
+    """Without dealiasing the matmul transforms are the exact rfft2 pair."""
     cfg = sp.SpectralPeriodicConfig(nx=32, ny=48, dtype="float64",
-                                    transform="matmul",
+                                    transform="matmul", dealias=False,
                                     matmul_precision="highest")
     fwd, inv = sp.make_transforms(cfg)
     rng = np.random.default_rng(0)
@@ -19,12 +20,36 @@ def test_matmul_transforms_match_fft_f64():
     np.testing.assert_allclose(np.asarray(inv(z)), np.asarray(w), atol=1e-10)
 
 
+def test_matmul_transforms_match_masked_fft_f64():
+    """With dealiasing the truncated transforms equal mask * rfft2."""
+    cfg = sp.SpectralPeriodicConfig(nx=32, ny=48, dtype="float64",
+                                    transform="matmul",
+                                    matmul_precision="highest")
+    fwd, inv = sp.make_transforms(cfg)
+    ops = sp.make_ops(cfg)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(32, 48)))
+    want = jnp.where(ops["mask"], jnp.fft.rfft2(w), 0.0)
+    np.testing.assert_allclose(np.asarray(fwd(w)), np.asarray(want),
+                               atol=1e-10)
+    # inverse of a masked spectrum round-trips the band-limited field
+    w_bl = jnp.fft.irfft2(want, s=(32, 48))
+    np.testing.assert_allclose(np.asarray(inv(want)), np.asarray(w_bl),
+                               atol=1e-10)
+
+
 def test_matmul_rollout_matches_fft_rollout_f64():
+    """Rollouts agree when the IC is band-limited (the truncated transforms
+    drop above-cutoff IC modes at init by design; the FFT path carries them
+    passively)."""
     common = dict(nt=10, nx=32, ny=32, dt=0.005, nu=1e-3, dtype="float64")
     cfg_f = sp.SpectralPeriodicConfig(transform="fft", **common)
     cfg_m = sp.SpectralPeriodicConfig(transform="matmul",
                                       matmul_precision="highest", **common)
-    w0 = sp.decaying_turbulence_vorticity(cfg_f, seed=0)
+    w_raw = sp.decaying_turbulence_vorticity(cfg_f, seed=0)
+    ops = sp.make_ops(cfg_f)
+    w0 = jnp.fft.irfft2(jnp.where(ops["mask"], jnp.fft.rfft2(w_raw), 0.0),
+                        s=(32, 32))
     wf = sp.rollout_final(cfg_f, sp.init_from_vorticity(cfg_f, w0))[0]
     wm = sp.rollout_final(cfg_m, sp.init_from_vorticity(cfg_m, w0))[0]
     np.testing.assert_allclose(np.asarray(wm), np.asarray(wf), atol=1e-9)
