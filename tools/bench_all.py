@@ -66,6 +66,40 @@ def main():
                          f"{200/el:.0f} steps/s",
                          f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
 
+    # --- ensemble: batch-64 trajectories at 1024^2 (north-star scale-out
+    # config, here saturating ONE chip; on a v4-32 mesh the batch axis
+    # shards 8-way with zero hot-loop collectives) -----------------------
+    cfg = sp.SpectralPeriodicConfig(nt=20, nx=1024, ny=1024, dt=5e-4,
+                                    nu=1e-4, dtype="float32",
+                                    transform="matmul")
+    B = 64
+    w0 = jnp.stack([sp.decaying_turbulence_vorticity(cfg, seed=i, k_peak=30.0)
+                    for i in range(B)])
+    ops = make_ops_batched = sp.make_ops(cfg)
+    tr = sp.make_transforms(cfg)
+
+    @jax.jit
+    def init_b(w0):
+        h = jax.vmap(tr[0])(w0)
+        N = jax.vmap(lambda x: sp.nonlinear_term(x, ops, cfg, tr))(h)
+        return h, N
+
+    carry = init_b(w0)
+    step, _ = sp.make_step(cfg)
+    vstep = jax.vmap(lambda c: step(c)[0])  # matmul transforms need vmap
+
+    @jax.jit
+    def roll_b(c):
+        def body(c, _):
+            return vstep(c), None
+        c, _ = jax.lax.scan(body, c, None, length=cfg.nt)
+        return c
+
+    el = timeit(lambda: roll_b(carry), n=2)
+    rows.append((f"spectral_periodic ensemble B=64 @1024^2 (matmul), 20 steps",
+                 f"{cfg.nt/el:.1f} ensemble-steps/s",
+                 f"{B*cfg.nt*cfg.nx*cfg.ny/el/1e9:.2f}e9 cell-updates/s"))
+
     # --- direct_fd ---------------------------------------------------------
     for nx, nit, nu in ((50, 50, 0.1), (64, 50, 0.02)):
         u_bc, v_bc, p_bc = cavity(nx)
