@@ -34,6 +34,17 @@ def exchange_halo_rows(a: Array, axis_name: str) -> Array:
     return jnp.concatenate([from_below, a, from_above], axis=0)
 
 
+def exchange_halo_cols(a: Array, axis_name: str) -> Array:
+    """(bx, by) local block -> (bx, by+2) padded with neighbor edge columns
+    (the axis-1 analogue of exchange_halo_rows)."""
+    n = jax.lax.axis_size(axis_name)
+    from_left = jax.lax.ppermute(
+        a[:, -1:], axis_name, [(i, i + 1) for i in range(n - 1)])
+    from_right = jax.lax.ppermute(
+        a[:, :1], axis_name, [(i, i - 1) for i in range(1, n)])
+    return jnp.concatenate([from_left, a, from_right], axis=1)
+
+
 def global_row_index(bx: int, axis_name: str) -> Array:
     """(bx, 1) global row indices of this shard's rows."""
     i = jax.lax.axis_index(axis_name)

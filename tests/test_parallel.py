@@ -72,6 +72,31 @@ def test_sharded_direct_fd_matches_single_device(n_shards):
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-13)
 
 
+@pytest.mark.parametrize("shape", [{"x": 2, "y": 2}, {"x": 2, "y": 4}])
+def test_2d_sharded_direct_fd_matches_single_device(shape):
+    nx = ny = 48
+    cfg = direct_fd.DirectFDConfig(nt=4, nit=15, nx=nx, ny=ny,
+                                   dt=0.001, rho=1.0, nu=0.1)
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    z = np.zeros((nx, ny))
+    ref_sys = direct_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, nt=4, nit=15, nx=nx, ny=ny,
+        dt=0.001, rho=1, nu=0.1, dtype=jnp.float64)
+    u_ref, v_ref, p_ref = ref_sys.simulate()
+
+    n_dev = shape["x"] * shape["y"]
+    mesh = make_mesh(shape, devices=jax.devices()[:n_dev])
+    state0 = FlowState(u=jnp.zeros((nx, ny), jnp.float64),
+                       v=jnp.zeros((nx, ny), jnp.float64),
+                       p=jnp.zeros((nx, ny), jnp.float64))
+    u_s, v_s, p_s = direct_fd_sharded.simulate(
+        cfg, state0, u_bc, v_bc, p_bc, mesh, axis="x", axis_y="y")
+
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-13)
+
+
 def test_mesh_preset_and_validation():
     mesh = make_mesh("host-8")
     assert mesh.shape == {"ensemble": 4, "x": 2}
