@@ -30,13 +30,8 @@ def bench_spectral(nx=1024, nt=200, warmup_nt=10):
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
     carry0 = sp.init_from_vorticity(cfg, w0)
 
-    warm_cfg = sp.SpectralPeriodicConfig(nt=warmup_nt, nx=nx, ny=nx, dt=5e-4,
-                                         nu=1e-4, dtype="float32")
-    roll_warm = jax.jit(lambda c: sp.rollout_final(warm_cfg, c))
     roll = jax.jit(lambda c: sp.rollout_final(cfg, c))
-
-    jax.block_until_ready(roll_warm(carry0))  # compile small variant
-    jax.block_until_ready(roll(carry0))       # compile + first run
+    jax.block_until_ready(roll(carry0))  # compile + first run
     t0 = time.perf_counter()
     out = roll(carry0)
     jax.block_until_ready(out)

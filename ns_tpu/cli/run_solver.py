@@ -98,7 +98,7 @@ def main(argv=None):
         sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, nt=args.nt,
                                   nit=args.nit or 200, nx=nx, ny=nx,
                                   dt=args.dt, rho=args.rho, nu=args.nu,
-                                  beta=args.beta, dtype=jnp.float64,
+                                  beta=args.beta, dtype=dtype,
                                   quirk_compat=not args.corrected)
         u, v, pr = sys_.simulate()
         default_out = "data.npz"

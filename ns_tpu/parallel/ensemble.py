@@ -28,11 +28,12 @@ def ensemble_init(cfg: sp.SpectralPeriodicConfig, w0_batch: Array,
     sharding = NamedSharding(mesh, P(axis, None, None))
     w0_batch = jax.device_put(jnp.asarray(w0_batch, cfg.real_dtype), sharding)
     ops = sp.make_ops(cfg)
+    transforms = sp.make_transforms(cfg)  # batch-polymorphic (fft or matmul)
 
     @jax.jit
     def build(w0):
-        w_hat = jnp.fft.rfft2(w0)
-        return w_hat, sp.nonlinear_term(w_hat, ops, cfg)
+        w_hat = transforms[0](w0)
+        return w_hat, sp.nonlinear_term(w_hat, ops, cfg, transforms)
 
     return build(w0_batch)
 
@@ -49,11 +50,22 @@ def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_hat_batch: Array):
     over the sharded batch (XLA inserts the collective)."""
     ops = sp.make_ops(cfg)
 
+    import numpy as np
+
+    # rfft half-spectrum: interior ky modes represent a conjugate pair and
+    # count twice (same weighting as sp.energy_spectrum)
+    ny_half = cfg.ny // 2 + 1
+    weights = np.full(ny_half, 2.0)
+    weights[0] = 1.0
+    if cfg.ny % 2 == 0:
+        weights[-1] = 1.0
+    w = jnp.asarray(weights[None, :], cfg.real_dtype)
+
     @jax.jit
     def energy(w_hat):
         u_hat, v_hat = sp.velocity_from_vorticity_hat(w_hat, ops)
-        per = jnp.sum(jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2,
+        per = jnp.sum((jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2) * w,
                       axis=(-2, -1))
-        return jnp.mean(per) / (cfg.nx * cfg.ny) ** 2
+        return 0.5 * jnp.mean(per) / (cfg.nx * cfg.ny) ** 2
 
     return energy(w_hat_batch)

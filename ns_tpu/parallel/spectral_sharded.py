@@ -51,10 +51,14 @@ def _host_constants(cfg: SpectralPeriodicConfig, n_shards: int):
     with np.errstate(divide="ignore"):
         inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
     visc = np.exp(-cfg.nu * k2 * cfg.dt)
-    mask_x = np.abs(kx[:, 0]) < cfg.nx / 3.0
     mask_y = np.zeros(nyp, bool)
-    myh = np.abs(np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)) < cfg.ny / 3.0
-    mask_y[:nyh] = myh if cfg.dealias else True
+    if cfg.dealias:
+        mask_x = np.abs(kx[:, 0]) < cfg.nx / 3.0
+        mask_y[:nyh] = np.abs(
+            np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)) < cfg.ny / 3.0
+    else:
+        mask_x = np.ones(cfg.nx, bool)
+        mask_y[:nyh] = True
     mask = mask_x[:, None] & mask_y[None, :]
     rdt = cfg.real_dtype
     return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),

@@ -82,10 +82,6 @@ def pressure_poisson(
     cfg: DirectFDConfig, p: Array, b: Array, p_bc: Sequence[BC]
 ) -> Array:
     """`nit` Jacobi sweeps with per-sweep BC re-application (ref :68-88)."""
-    dx2, dy2 = cfg.dx * cfg.dx, cfg.dy * cfg.dy
-    denom = 2.0 * (dx2 + dy2)
-    b_int = b[1:-1, 1:-1]
-
     if cfg.use_pallas:
         from ns_tpu.ops.pallas import jacobi_fused_pallas, vmem_fits
         if not vmem_fits(cfg.nx, cfg.ny):
@@ -93,17 +89,9 @@ def pressure_poisson(
                              "set use_pallas=False")
         return jacobi_fused_pallas(p, b, cfg.dx, cfg.dy, cfg.nit, p_bc)
 
-    def sweep(_, p):
-        pn = p
-        interior = (
-            ((pn[1:-1, 2:] + pn[1:-1, :-2]) * dy2
-             + (pn[2:, 1:-1] + pn[:-2, 1:-1]) * dx2) / denom
-            - dx2 * dy2 / denom * b_int
-        )
-        p = pn.at[1:-1, 1:-1].set(interior)
-        return apply_bcs(p, p_bc)
-
-    return jax.lax.fori_loop(0, cfg.nit, sweep, p)
+    from ns_tpu.ops.poisson import jacobi
+    return jacobi(p, b, cfg.dx, cfg.dy, cfg.nit,
+                  bc_fn=lambda q: apply_bcs(q, p_bc))
 
 
 def make_step(cfg: DirectFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],

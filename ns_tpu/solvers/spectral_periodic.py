@@ -210,16 +210,19 @@ def make_transforms(cfg: SpectralPeriodicConfig):
     Rx = len(rows)
 
     def fwd(w):
-        t = mm(w.astype(cfg.complex_dtype), jax.lax.complex(*Fy_t).T)  # (nx, kyc)
-        zt = mm(jax.lax.complex(*Fx_t), t)                             # (Rx, kyc)
-        z = jnp.zeros((nx, nyh), cfg.complex_dtype)
-        z = z.at[:kxc, :kyc].set(zt[:kxc])
-        return z.at[nx - n_neg:, :kyc].set(zt[kxc:])
+        # batch-polymorphic: leading axes of w broadcast through the
+        # matmuls and the ellipsis updates
+        t = mm(w.astype(cfg.complex_dtype), jax.lax.complex(*Fy_t).T)
+        zt = mm(jax.lax.complex(*Fx_t), t)            # (..., Rx, kyc)
+        z = jnp.zeros(w.shape[:-2] + (nx, nyh), cfg.complex_dtype)
+        z = z.at[..., :kxc, :kyc].set(zt[..., :kxc, :])
+        return z.at[..., nx - n_neg:, :kyc].set(zt[..., kxc:, :])
 
     def inv(z):
-        zt = jnp.concatenate([z[:kxc, :kyc], z[nx - n_neg:, :kyc]], axis=0)
-        a = mm(jax.lax.complex(*Fxi_t), zt)       # (nx, kyc)
-        return mm(a, jax.lax.complex(*B_t)).real  # (nx, ny)
+        zt = jnp.concatenate([z[..., :kxc, :kyc], z[..., nx - n_neg:, :kyc]],
+                             axis=-2)
+        a = mm(jax.lax.complex(*Fxi_t), zt)           # (..., nx, kyc)
+        return mm(a, jax.lax.complex(*B_t)).real      # (..., nx, ny)
 
     return fwd, inv
 

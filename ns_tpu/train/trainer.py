@@ -108,7 +108,6 @@ class Trainer:
             self.penalties = list(meta.get("penalties", []))
             self.start_iter = int(meta.get("iter", 0)) + 1
 
-        self._train_step = jax.jit(self._make_train_step())
         self._chunk_cache: dict = {}
 
     # -- loss ---------------------------------------------------------------

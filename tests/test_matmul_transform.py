@@ -55,6 +55,43 @@ def test_matmul_rollout_matches_fft_rollout_f64():
     np.testing.assert_allclose(np.asarray(wm), np.asarray(wf), atol=1e-9)
 
 
+def test_matmul_transforms_batch_polymorphic():
+    """Leading batch axes broadcast through the truncated matmul transforms
+    (the documented contract of the module)."""
+    cfg = sp.SpectralPeriodicConfig(nx=16, ny=16, dtype="float64",
+                                    transform="matmul",
+                                    matmul_precision="highest")
+    fwd, inv = sp.make_transforms(cfg)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 16, 16)))
+    z = fwd(w)
+    assert z.shape == (3, 16, 9)
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(z[b]), np.asarray(fwd(w[b])),
+                                   atol=1e-12)
+    back = inv(z)
+    assert back.shape == (3, 16, 16)
+    np.testing.assert_allclose(np.asarray(back[1]), np.asarray(inv(z[1])),
+                               atol=1e-12)
+
+
+def test_ensemble_with_matmul_transform():
+    from ns_tpu.parallel import make_mesh
+    from ns_tpu.parallel.ensemble import ensemble_init, ensemble_rollout_final
+    import jax
+
+    cfg = sp.SpectralPeriodicConfig(nt=5, nx=16, ny=16, dt=0.005, nu=1e-3,
+                                    dtype="float64", transform="matmul",
+                                    matmul_precision="highest")
+    w0s = np.stack([np.asarray(sp.taylor_green_vorticity(cfg, k=1))
+                    for _ in range(4)])
+    mesh = make_mesh({"ensemble": 4}, devices=jax.devices()[:4])
+    carry = ensemble_init(cfg, w0s, mesh)
+    w_hat, _ = ensemble_rollout_final(cfg, carry)
+    assert w_hat.shape[0] == 4
+    assert np.isfinite(np.abs(np.asarray(w_hat))).all()
+
+
 def test_bad_transform_name():
     import pytest
     cfg = sp.SpectralPeriodicConfig(transform="dct")

@@ -75,23 +75,22 @@ def main():
     B = 64
     w0 = jnp.stack([sp.decaying_turbulence_vorticity(cfg, seed=i, k_peak=30.0)
                     for i in range(B)])
-    ops = make_ops_batched = sp.make_ops(cfg)
+    ops = sp.make_ops(cfg)
     tr = sp.make_transforms(cfg)
 
     @jax.jit
     def init_b(w0):
-        h = jax.vmap(tr[0])(w0)
-        N = jax.vmap(lambda x: sp.nonlinear_term(x, ops, cfg, tr))(h)
-        return h, N
+        h = tr[0](w0)
+        return h, sp.nonlinear_term(h, ops, cfg, tr)
 
     carry = init_b(w0)
-    step, _ = sp.make_step(cfg)
-    vstep = jax.vmap(lambda c: step(c)[0])  # matmul transforms need vmap
+    step, _ = sp.make_step(cfg)  # batch-polymorphic
 
     @jax.jit
     def roll_b(c):
         def body(c, _):
-            return vstep(c), None
+            nc, _ = step(c)
+            return nc, None
         c, _ = jax.lax.scan(body, c, None, length=cfg.nt)
         return c
 
