@@ -64,8 +64,11 @@ class ChorinFDConfig:
     sor_tol: float = 5e-6  # ref :183
     quirk_compat: bool = True  # replicate the explicit-path axis quirk
     # 'redblack': fast data-parallel SOR (same fixed point, default);
-    # 'gauss_seidel': exact reference iterate order via wavefront sweeps.
+    # 'gauss_seidel': exact reference iterate order via wavefront sweeps;
+    # 'multigrid': V-cycle solver for the same system (2^k+1 grids) —
+    # O(1) cycles instead of O(N) sweeps, the scalable choice at large N.
     pressure_mode: str = "redblack"
+    mg_cycles: int = 6
     # Fused Pallas SOR kernel (whole solve in VMEM, one launch). Measured
     # 2.3x faster than the XLA red-black path at 51^2 on TPU v5e
     # (0.80 ms vs 1.86 ms per pressure solve). redblack mode only.
@@ -216,6 +219,12 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
             if cfg.pressure_mode == "gauss_seidel":
                 p = sor_wavefront(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
                                   cfg.sor_tol, cfg.nit)
+            elif cfg.pressure_mode == "multigrid":
+                from ns_tpu.ops.multigrid import poisson_multigrid
+                # the SOR fixed point is laplace(p) = rhs_c / (dx^2 dy^2)
+                f = rhs_c / (cfg.dx**2 * cfg.dy**2)
+                p = poisson_multigrid(p, f, cfg.dx, cfg.dy,
+                                      n_cycles=cfg.mg_cycles)
             elif cfg.use_pallas:
                 from ns_tpu.ops.pallas import sor_redblack_fused_pallas, vmem_fits
                 if not vmem_fits(cfg.nx, cfg.ny):
@@ -264,12 +273,12 @@ class NavierStokesSystem:
                  nt=200, nit=50, nx=50, ny=50, dt=0.001,
                  rho=1, nu=1, beta=1.25, method="semi_implicit",
                  dtype=jnp.float32, quirk_compat=True,
-                 pressure_mode="redblack", use_pallas=False):
+                 pressure_mode="redblack", use_pallas=False, mg_cycles=6):
         self.cfg = ChorinFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
                                   rho=rho, nu=nu, beta=beta, method=method,
                                   quirk_compat=quirk_compat,
                                   pressure_mode=pressure_mode,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, mg_cycles=mg_cycles)
         self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, self.p_bc, dtype=dtype)

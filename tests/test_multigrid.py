@@ -1,0 +1,47 @@
+"""Multigrid Poisson solver tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ns_tpu.ops.multigrid import poisson_multigrid
+
+
+def manufactured(nx, ny):
+    """p = sin(pi x) sin(pi y) on [0,1]^2, f = -2 pi^2 p, p=0 boundary."""
+    x = np.linspace(0, 1, nx)
+    y = np.linspace(0, 1, ny)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    p_exact = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    f = -2 * np.pi**2 * p_exact
+    return p_exact, f, x[1] - x[0], y[1] - y[0]
+
+
+@pytest.mark.parametrize("n", [65, 129])
+def test_multigrid_manufactured_solution(n):
+    p_exact, f, dx, dy = manufactured(n, n)
+    p = poisson_multigrid(jnp.zeros((n, n), jnp.float64), jnp.asarray(f),
+                          dx, dy, n_cycles=10)
+    # discretization error O(h^2): ~2.4e-4 at 65, ~6e-5 at 129
+    err = np.abs(np.asarray(p) - p_exact).max()
+    assert err < 4.0 / (n - 1) ** 2, err
+
+
+def test_multigrid_vs_direct_residual():
+    n = 65
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(n, n))
+    f[0, :] = f[-1, :] = f[:, 0] = f[:, -1] = 0.0
+    dx = dy = 1.0 / (n - 1)
+    p = np.asarray(poisson_multigrid(jnp.zeros((n, n), jnp.float64),
+                                     jnp.asarray(f), dx, dy, n_cycles=12))
+    lap = ((p[2:, 1:-1] - 2 * p[1:-1, 1:-1] + p[:-2, 1:-1]) / dx**2
+           + (p[1:-1, 2:] - 2 * p[1:-1, 1:-1] + p[1:-1, :-2]) / dy**2)
+    resid = np.abs(lap - f[1:-1, 1:-1]).max()
+    assert resid < 1e-6 * np.abs(f).max(), resid
+
+
+def test_multigrid_rejects_bad_sizes():
+    with pytest.raises(ValueError):
+        poisson_multigrid(jnp.zeros((50, 50)), jnp.zeros((50, 50)), 0.1, 0.1)
