@@ -32,11 +32,12 @@ import numpy as np
 import optax
 
 from ns_tpu.models.basis import BasisODE, BasisODE2, BasisGRU
+from ns_tpu.models.fno import FNO2D
 from ns_tpu.models.gru import FullFieldGRU
 from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
-MODELS = ("basis_ode", "basis_ode2", "basis_gru", "rnn")
+MODELS = ("basis_ode", "basis_ode2", "basis_gru", "rnn", "fno")
 
 
 @dataclasses.dataclass
@@ -86,6 +87,8 @@ class Trainer:
             self.model = BasisODE2(cfg.n_coeffs, self.nx, self.ny)
         elif cfg.model == "basis_gru":
             self.model = BasisGRU(cfg.n_coeffs, self.nx, self.ny)
+        elif cfg.model == "fno":
+            self.model = FNO2D(self.nx, self.ny)
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 
@@ -118,6 +121,11 @@ class Trainer:
             obs_flat = self.obs.reshape(self.nt, -1)[None]  # (1, nt, D)
             pred = self.model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
+        if self.cfg.model == "fno":
+            # teacher-forced next-step operator on field frames
+            frames = self.obs[:, 0]                    # (nt, 3, nx, ny)
+            pred = self.model.apply(params, frames[:-1])
+            return pred, frames[1:]
         pred = self.model.apply(params, self.obs0, nt)
         return pred, self.obs
 
@@ -209,6 +217,9 @@ class Trainer:
         rnn.py:116-134)."""
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
+        if self.cfg.model == "fno":
+            pred = self.model.rollout(self.params, obs_full[0, 0], nt_full)
+            return np.asarray(pred)
         if self.cfg.model == "rnn":
             obs0 = obs_full[0].reshape(1, -1)
             pred = self.model.extrapolate(self.params, obs0, nt_full)

@@ -1,0 +1,48 @@
+"""FNO surrogate tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import os
+
+from ns_tpu.models.fno import FNO2D
+from ns_tpu.train import TrainConfig, Trainer
+from tests.conftest import GOLDEN_DIR
+
+
+def test_fno_shapes_and_batch_polymorphism():
+    model = FNO2D(16, 16, width=8, modes=4, depth=2)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16, 16)),
+                    jnp.float32)
+    y = model.apply(params, x)
+    assert y.shape == (3, 16, 16)
+    xb = jnp.stack([x, x + 1.0])
+    yb = model.apply(params, xb)
+    assert yb.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(np.asarray(yb[0]), np.asarray(y), atol=1e-6)
+
+
+def test_fno_rollout():
+    model = FNO2D(12, 12, width=8, modes=4, depth=2)
+    params = model.init(jax.random.PRNGKey(1))
+    x0 = jnp.zeros((3, 12, 12))
+    xs = model.rollout(params, x0, 5)
+    assert xs.shape == (5, 3, 12, 12)
+    assert np.isfinite(np.asarray(xs)).all()
+
+
+def test_fno_trains_on_rollout(tmp_path):
+    g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
+    path = tmp_path / "d.npz"
+    np.savez(path, u=g["u"][:, ::4, ::4], v=g["v"][:, ::4, ::4],
+             p=g["p"][:, ::4, ::4])
+    cfg = TrainConfig(model="fno", npz_path=str(path),
+                      out_dir=str(tmp_path / "fno"), n_iters=30,
+                      n_frames=10, ckpt_every=15)
+    tr = Trainer(cfg)
+    losses = tr.train(progress=False)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    out = tr.extrapolate()
+    assert out.shape == (12, 3, 13, 13)
