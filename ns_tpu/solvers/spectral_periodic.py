@@ -65,6 +65,12 @@ class SpectralPeriodicConfig:
     # ~3e-5 rel — the recommended speed/fidelity point), 'highest' (f32).
     # Divergence-free-ness is exact in all modes (streamfunction form).
     matmul_precision: str = "high"
+    # Carry the dealias-truncated spectrum compactly through the rollout
+    # (matmul+dealias only): drops the per-transform pad/scatter and
+    # shrinks every elementwise op ~4.5x. The scan carry is then
+    # (Rx, kyc) instead of (nx, ny//2+1); expand_compact() restores the
+    # rfft2 layout for diagnostics.
+    compact_spectrum: bool = False
 
     @property
     def real_dtype(self):
@@ -225,6 +231,125 @@ def make_transforms(cfg: SpectralPeriodicConfig):
         return mm(a, jax.lax.complex(*B_t)).real      # (..., nx, ny)
 
     return fwd, inv
+
+
+def _compact_meta(cfg: SpectralPeriodicConfig):
+    """(rows, kxc, n_neg, kyc) of the dealias-truncated compact layout."""
+    kxs = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)
+    keep_x = np.abs(kxs) < cfg.nx / 3.0
+    kxc = int(keep_x[:cfg.nx // 2].sum())
+    n_neg = int(keep_x.sum()) - kxc
+    kyc = int((np.abs(np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny))
+               < cfg.ny / 3.0).sum())
+    rows = np.concatenate([np.arange(kxc), np.arange(cfg.nx - n_neg, cfg.nx)])
+    return rows, kxc, n_neg, kyc
+
+
+def make_compact_ops(cfg: SpectralPeriodicConfig):
+    """Spectral constants on the compact truncated layout (Rx, kyc); the
+    rectangular truncation IS the dealias mask, so no masks remain."""
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    kx = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)[rows][:, None]
+    ky = np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)[:kyc][None, :]
+    k2 = kx * kx + ky * ky
+    with np.errstate(divide="ignore"):
+        inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
+    visc = np.exp(-cfg.nu * k2 * cfg.dt)
+    rdt = cfg.real_dtype
+    return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+                inv_k2=jnp.asarray(inv_k2, rdt), visc=jnp.asarray(visc, rdt))
+
+
+def make_compact_transforms(cfg: SpectralPeriodicConfig):
+    """(fwd, inv) between physical (nx, ny) and the compact spectrum
+    (Rx, kyc) — pure matmuls, no pad/scatter."""
+    M = _dft_constants(cfg)
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    prec = cfg.matmul_precision
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    f32 = np.float32 if cfg.dtype == "float32" else np.float64
+    split = lambda Mt: (jnp.asarray(Mt.real.astype(f32)),
+                        jnp.asarray(Mt.imag.astype(f32)))
+    Fx = M["Fx"][0] + 1j * M["Fx"][1]
+    Fx_inv = M["Fx_inv"][0] + 1j * M["Fx_inv"][1]
+    Fy = M["Fy"][0] + 1j * M["Fy"][1]
+    B = M["B"][0] + 1j * M["B"][1]
+    Fx_t = split(Fx[rows, :])
+    Fxi_t = split(Fx_inv[:, rows])
+    Fy_t = split(Fy[:kyc, :])
+    B_t = split(B[:kyc, :])
+
+    def fwd(w):
+        t = mm(w.astype(cfg.complex_dtype), jax.lax.complex(*Fy_t).T)
+        return mm(jax.lax.complex(*Fx_t), t)        # (..., Rx, kyc)
+
+    def inv(z):
+        a = mm(jax.lax.complex(*Fxi_t), z)          # (..., nx, kyc)
+        return mm(a, jax.lax.complex(*B_t)).real    # (..., nx, ny)
+
+    return fwd, inv
+
+
+def expand_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
+    """Compact (…, Rx, kyc) spectrum -> full rfft2 layout (…, nx, ny//2+1)."""
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    nyh = cfg.ny // 2 + 1
+    out = jnp.zeros(z.shape[:-2] + (cfg.nx, nyh), z.dtype)
+    out = out.at[..., :kxc, :kyc].set(z[..., :kxc, :])
+    return out.at[..., cfg.nx - n_neg:, :kyc].set(z[..., kxc:, :])
+
+
+def make_step_compact(cfg: SpectralPeriodicConfig):
+    """IF-AB2 step on the compact spectrum carry (matmul+dealias only)."""
+    if cfg.transform != "matmul" or not cfg.dealias:
+        raise ValueError("compact_spectrum needs transform='matmul' and dealias")
+    ops = make_compact_ops(cfg)
+    fwd, inv = make_compact_transforms(cfg)
+    E = ops["visc"]
+
+    def nonlinear(w_hat):
+        psi = w_hat * ops["inv_k2"]
+        u = inv(_ik_mul(ops["ky"], psi))
+        v = inv(-_ik_mul(ops["kx"], psi))
+        wx = inv(_ik_mul(ops["kx"], w_hat))
+        wy = inv(_ik_mul(ops["ky"], w_hat))
+        return -fwd(u * wx + v * wy)
+
+    def step(carry):
+        w_hat, N_prev = carry
+        N = nonlinear(w_hat)
+        w_new = E * w_hat + cfg.dt * (1.5 * E * N - 0.5 * (E * E) * N_prev)
+        return (w_new, N), w_new
+
+    return step, ops
+
+
+def init_from_vorticity_compact(cfg: SpectralPeriodicConfig, w0: Array):
+    fwd, inv = make_compact_transforms(cfg)
+    ops = make_compact_ops(cfg)
+
+    @jax.jit
+    def build(w0):
+        w_hat = fwd(w0.astype(cfg.real_dtype))
+        psi = w_hat * ops["inv_k2"]
+        u = inv(_ik_mul(ops["ky"], psi))
+        v = inv(-_ik_mul(ops["kx"], psi))
+        wx = inv(_ik_mul(ops["kx"], w_hat))
+        wy = inv(_ik_mul(ops["ky"], w_hat))
+        return w_hat, -fwd(u * wx + v * wy)
+
+    return build(jnp.asarray(w0, cfg.real_dtype))
+
+
+def rollout_final_compact(cfg: SpectralPeriodicConfig, carry0):
+    step, _ = make_step_compact(cfg)
+
+    def body(carry, _):
+        new_carry, _ = step(carry)
+        return new_carry, None
+
+    final, _ = jax.lax.scan(body, carry0, None, length=cfg.nt)
+    return final
 
 
 def velocity_from_vorticity_hat(w_hat: Array, ops) -> Tuple[Array, Array]:

@@ -92,6 +92,26 @@ def test_ensemble_with_matmul_transform():
     assert np.isfinite(np.abs(np.asarray(w_hat))).all()
 
 
+def test_compact_spectrum_rollout_matches_padded():
+    """The compact-carry path is the padded truncated path exactly."""
+    common = dict(nt=10, nx=64, ny=64, dt=5e-3, nu=1e-3, dtype="float64",
+                  transform="matmul", matmul_precision="highest")
+    cfg_c = sp.SpectralPeriodicConfig(compact_spectrum=True, **common)
+    cfg_p = sp.SpectralPeriodicConfig(**common)
+    w0 = sp.decaying_turbulence_vorticity(cfg_c, seed=0)
+    zc, _ = sp.rollout_final_compact(cfg_c, sp.init_from_vorticity_compact(cfg_c, w0))
+    z_full = sp.expand_compact(cfg_c, zc)
+    zp, _ = sp.rollout_final(cfg_p, sp.init_from_vorticity(cfg_p, w0))
+    np.testing.assert_allclose(np.asarray(z_full), np.asarray(zp),
+                               atol=1e-10)
+
+
+def test_compact_requires_matmul_dealias():
+    import pytest
+    with pytest.raises(ValueError):
+        sp.make_step_compact(sp.SpectralPeriodicConfig(transform="fft"))
+
+
 def test_bad_transform_name():
     import pytest
     cfg = sp.SpectralPeriodicConfig(transform="dct")
