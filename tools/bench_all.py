@@ -66,6 +66,19 @@ def main():
                          f"{200/el:.0f} steps/s",
                          f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
 
+    # --- compact-spectrum carry (the bench.py flagship path) --------------
+    for prec in ("high", "default"):
+        cfg = sp.SpectralPeriodicConfig(
+            nt=200, nx=1024, ny=1024, dt=5e-4, nu=1e-4, dtype="float32",
+            transform="matmul", matmul_precision=prec, compact_spectrum=True)
+        w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
+        c0 = sp.init_from_vorticity_compact(cfg, w0)
+        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final_compact(cfg, c))
+        el = timeit(lambda: roll(c0))
+        rows.append((f"spectral_periodic 1024^2 (compact matmul/{prec}), 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*1024*1024/el/1e9:.2f}e9 cell-updates/s"))
+
     # --- ensemble: batch-64 trajectories at 1024^2 (north-star scale-out
     # config, here saturating ONE chip; on a v4-32 mesh the batch axis
     # shards 8-way with zero hot-loop collectives) -----------------------
