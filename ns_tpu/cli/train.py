@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--hidden-dim", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-every", type=int, default=10,
+                   help="checkpoint interval; also the per-dispatch train "
+                        "chunk size (larger = faster on high-latency links)")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--gpu-device", type=int, default=0,
                    help="accepted for reference-CLI compatibility; ignored")
@@ -43,7 +46,8 @@ def main(argv=None):
                       out_dir=out_dir, n_iters=args.n_iters,
                       n_coeffs=args.n_coeffs, lr=args.lr,
                       hidden_dim=args.hidden_dim, n_frames=args.n_frames,
-                      seed=args.seed, resume=args.resume)
+                      seed=args.seed, ckpt_every=args.ckpt_every,
+                      resume=args.resume)
     tr = Trainer(cfg)
     tr.train()
     extrap = tr.extrapolate()

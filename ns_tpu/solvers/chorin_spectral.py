@@ -28,9 +28,10 @@ numerically unstable at its own default config — fields grow ~1e5x per step
 from a zero+lid start and overflow by step ~6. Parity is therefore asserted
 on the first 3 steps in float64. The corrected operator mode
 (`quirk_compat=False`, proper D @ D second derivative) is provided for
-actual use. The reference supports Dirichlet BCs only (raises
-NotImplementedError for Neumann at ref :218-227); here Neumann enters
-through the Robin beta coefficients the derivation already carries.
+actual use. Like the reference (NotImplementedError at ref :218-227), only
+Dirichlet BCs are supported: the Robin beta machinery is plumbed through
+the boundary-constant helpers, but a Neumann variant was measured unstable
+with the current boundary lifting and is rejected explicitly.
 """
 
 from __future__ import annotations
@@ -88,8 +89,11 @@ def _process_bcs(bc_list: Sequence[BC]):
 
     Dirichlet -> alpha=1, g=value on that side. The side naming quirk is
     preserved: top -> minus_y, bottom -> plus_y (ref :210-215), matching the
-    descending Gauss-Lobatto coordinate. Neumann -> beta=1, g=value (an
-    extension — the reference raises NotImplementedError, ref :218-221).
+    descending Gauss-Lobatto coordinate. Neumann raises NotImplementedError
+    exactly like the reference (ref :218-221): the Robin beta machinery is
+    plumbed through `_boundary_constants`, but the corrected-mode boundary
+    lifting assumes fixed edge VALUES, and a Neumann variant was measured
+    unstable — rejected rather than shipped silently wrong.
     """
     c = {f"{w}_{s}": 0.0 for w in ("alpha", "beta", "g")
          for s in ("minus_x", "plus_x", "minus_y", "plus_y")}
@@ -97,10 +101,13 @@ def _process_bcs(bc_list: Sequence[BC]):
                 "top": "minus_y", "bottom": "plus_y"}
     seen = set()
     for bc in bc_list:
+        if bc.kind != "dirichlet":
+            raise NotImplementedError(
+                "chorin_spectral supports Dirichlet BCs only (the reference "
+                "likewise raises, chorin_spectral/simulate.py:218-221)")
         s = side_map[bc.side]
         seen.add(s)
-        kind = "alpha" if bc.kind == "dirichlet" else "beta"
-        c[f"{kind}_{s}"] = 1.0
+        c[f"alpha_{s}"] = 1.0
         c[f"g_{s}"] = float(bc.value)
     missing = set(side_map.values()) - seen
     if missing:

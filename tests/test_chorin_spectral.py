@@ -157,3 +157,11 @@ def test_missing_side_raises():
     u_bc, v_bc = cavity_u_v_bcs()
     with pytest.raises(ValueError):
         chorin_spectral._process_bcs(u_bc[:3])
+
+
+def test_neumann_raises_like_reference():
+    from ns_tpu.core.bc import neumann
+    u_bc, _ = cavity_u_v_bcs()
+    bcs = [neumann(0, "left", 0.1, 0.1)] + u_bc[1:]
+    with pytest.raises(NotImplementedError):
+        chorin_spectral._process_bcs(bcs)
