@@ -20,7 +20,7 @@ from ns_tpu.solvers import spectral_periodic as sp
 NORTH_STAR = 1.0e9  # cell-updates/sec/chip @ 1024^2 spectral
 
 
-def bench_spectral(nx=1024, nt=200, warmup_nt=10):
+def bench_spectral(nx=1024, nt=200):
     # compact dealias-truncated matmul-DFT (MXU path), bf16x3 precision:
     # 2.46 Gcups at 1024^2 vs 1.30 for the XLA-FFT path, 3e-5 relative
     # fidelity, exact divergence-free-ness (see RESULTS.md)

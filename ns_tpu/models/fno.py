@@ -23,10 +23,15 @@ Array = jnp.ndarray
 
 
 def _spectral_init(key, c_in, c_out, mx, my, scale):
-    kr, ki = jax.random.split(key)
+    # independent weights for the positive- and negative-kx blocks (the
+    # standard FNO weights1/weights2 — sharing them would tie unrelated
+    # wavenumber pairs and halve spectral-mixing capacity)
+    ks = jax.random.split(key, 4)
     shape = (c_in, c_out, mx, my)
-    return {"re": scale * jax.random.normal(kr, shape),
-            "im": scale * jax.random.normal(ki, shape)}
+    return {"lo_re": scale * jax.random.normal(ks[0], shape),
+            "lo_im": scale * jax.random.normal(ks[1], shape),
+            "hi_re": scale * jax.random.normal(ks[2], shape),
+            "hi_im": scale * jax.random.normal(ks[3], shape)}
 
 
 def _spectral_conv(wts, x: Array, mx: int, my: int) -> Array:
@@ -34,15 +39,16 @@ def _spectral_conv(wts, x: Array, mx: int, my: int) -> Array:
     channel mixing; all other modes are zeroed (spectral truncation)."""
     nx, ny = x.shape[-2], x.shape[-1]
     xh = jnp.fft.rfft2(x)                       # (..., C, nx, nyh)
-    W = jax.lax.complex(wts["re"], wts["im"]).astype(xh.dtype)
-    c_out = W.shape[1]
+    W_lo = jax.lax.complex(wts["lo_re"], wts["lo_im"]).astype(xh.dtype)
+    W_hi = jax.lax.complex(wts["hi_re"], wts["hi_im"]).astype(xh.dtype)
+    c_out = W_lo.shape[1]
 
     def mix(block, Wb):
         # block (..., C, mx, my) x Wb (C, C_out, mx, my) -> (..., C_out, mx, my)
         return jnp.einsum("...ixy,ioxy->...oxy", block, Wb)
 
-    lo = mix(xh[..., :, :mx, :my], W)
-    hi = mix(xh[..., :, nx - mx:, :my], W)
+    lo = mix(xh[..., :, :mx, :my], W_lo)
+    hi = mix(xh[..., :, nx - mx:, :my], W_hi)
     out = jnp.zeros(x.shape[:-3] + (c_out, nx, ny // 2 + 1), xh.dtype)
     out = out.at[..., :, :mx, :my].set(lo)
     out = out.at[..., :, nx - mx:, :my].set(hi)

@@ -16,10 +16,10 @@ jits into one XLA program.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
+
+from ns_tpu.ops.poisson import _checkerboard
 
 Array = jnp.ndarray
 
@@ -28,17 +28,10 @@ def _is_pow2_plus1(n: int) -> bool:
     return n >= 3 and ((n - 1) & (n - 2)) == 0
 
 
-def _checker(nx: int, ny: int):
-    ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
-    interior = (ii > 0) & (ii < nx - 1) & (jj > 0) & (jj < ny - 1)
-    return ((ii + jj) % 2 == 0) & interior, ((ii + jj) % 2 == 1) & interior
-
-
 def _smooth(p: Array, f: Array, hx2: float, hy2: float, n_sweeps: int) -> Array:
     """Red-black Gauss-Seidel sweeps for laplace(p) = f."""
     nx, ny = p.shape
-    red, black = _checker(nx, ny)
+    red, black = _checkerboard(nx, ny)
     denom = 2.0 / hx2 + 2.0 / hy2
 
     def gs(p):
@@ -55,18 +48,15 @@ def _smooth(p: Array, f: Array, hx2: float, hy2: float, n_sweeps: int) -> Array:
 
 
 def _residual(p: Array, f: Array, hx2: float, hy2: float) -> Array:
+    from ns_tpu.ops.poisson import laplace_full
     nx, ny = p.shape
-    lap = ((jnp.roll(p, -1, 0) - 2 * p + jnp.roll(p, 1, 0)) / hx2
-           + (jnp.roll(p, -1, 1) - 2 * p + jnp.roll(p, 1, 1)) / hy2)
-    r = f - lap
-    red, black = _checker(nx, ny)
+    r = f - laplace_full(p, hx2, hy2)
+    red, black = _checkerboard(nx, ny)
     return jnp.where(red | black, r, 0.0)  # zero on the boundary ring
 
 
 def _restrict(r: Array) -> Array:
     """Full-weighting restriction to the (n+1)//2 vertex grid."""
-    nx, ny = r.shape
-    cx, cy = (nx + 1) // 2, (ny + 1) // 2
     # 3x3 stencil [1 2 1; 2 4 2; 1 2 1]/16 applied at even fine vertices
     w = (4.0 * r
          + 2.0 * (jnp.roll(r, 1, 0) + jnp.roll(r, -1, 0)
@@ -105,7 +95,7 @@ def _vcycle(p: Array, f: Array, hx: float, hy: float,
     e_c = _vcycle(e_c, r_c, 2 * hx, 2 * hy, pre, post, min_n)
     # correction is zero on the boundary (error of a fixed-boundary problem)
     e = _prolong(e_c, nx, ny)
-    red, black = _checker(nx, ny)
+    red, black = _checkerboard(nx, ny)
     p = p + jnp.where(red | black, e, 0.0)
     return _smooth(p, f, hx2, hy2, post)
 

@@ -50,16 +50,7 @@ def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_hat_batch: Array):
     over the sharded batch (XLA inserts the collective)."""
     ops = sp.make_ops(cfg)
 
-    import numpy as np
-
-    # rfft half-spectrum: interior ky modes represent a conjugate pair and
-    # count twice (same weighting as sp.energy_spectrum)
-    ny_half = cfg.ny // 2 + 1
-    weights = np.full(ny_half, 2.0)
-    weights[0] = 1.0
-    if cfg.ny % 2 == 0:
-        weights[-1] = 1.0
-    w = jnp.asarray(weights[None, :], cfg.real_dtype)
+    w = jnp.asarray(sp.hermitian_weights(cfg.ny), cfg.real_dtype)
 
     @jax.jit
     def energy(w_hat):

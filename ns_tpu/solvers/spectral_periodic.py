@@ -189,46 +189,19 @@ def make_transforms(cfg: SpectralPeriodicConfig):
 
     # Dealiased truncation: the 2/3 mask zeroes every |k| >= N/3 mode, so
     # the DFT matmuls only need the kept rows/cols (~1.8x fewer flops).
-    # Kept kx rows form two contiguous blocks: [0, kxc) and [nx-kxc+1, nx)
-    # (positive and negative thirds); kept ky cols are [0, kyc).
-    # NOTE: in truncated mode fwd() returns mask * rfft2(w) — initial
-    # vorticity content above the 2/3 cutoff is band-limited away at init
-    # (physically consistent for a dealiased run; the FFT path instead
-    # carries those modes passively under pure viscous decay).
-    kxs = np.fft.fftfreq(nx, d=1.0 / nx)
-    keep_x = np.abs(kxs) < nx / 3.0
-    kxc = int(keep_x[:nx // 2].sum())          # positive block size
-    n_neg = int(keep_x.sum()) - kxc            # negative block size
-    kyc = int((np.abs(np.fft.rfftfreq(ny, d=1.0 / ny)) < ny / 3.0).sum())
-
-    rows = np.concatenate([np.arange(kxc), np.arange(nx - n_neg, nx)])
-    f32 = np.float32 if cfg.dtype == "float32" else np.float64
-    Fx = M["Fx"][0] + 1j * M["Fx"][1]
-    Fx_inv = M["Fx_inv"][0] + 1j * M["Fx_inv"][1]
-    Fy = M["Fy"][0] + 1j * M["Fy"][1]
-    B = M["B"][0] + 1j * M["B"][1]
-    split = lambda Mt: (jnp.asarray(Mt.real.astype(f32)),
-                        jnp.asarray(Mt.imag.astype(f32)))
-    Fx_t = split(Fx[rows, :])          # (Rx, nx)
-    Fxi_t = split(Fx_inv[:, rows])     # (nx, Rx)
-    Fy_t = split(Fy[:kyc, :])          # (kyc, ny)
-    B_t = split(B[:kyc, :])            # (kyc, ny)
-    Rx = len(rows)
+    # The padded-layout transforms are expressed in terms of the compact
+    # ones (single source of truth for the truncation):
+    # NOTE: fwd() returns mask * rfft2(w) — initial vorticity content above
+    # the 2/3 cutoff is band-limited away at init (physically consistent
+    # for a dealiased run; the FFT path carries those modes passively
+    # under pure viscous decay).
+    cfwd, cinv = make_compact_transforms(cfg)
 
     def fwd(w):
-        # batch-polymorphic: leading axes of w broadcast through the
-        # matmuls and the ellipsis updates
-        t = mm(w.astype(cfg.complex_dtype), jax.lax.complex(*Fy_t).T)
-        zt = mm(jax.lax.complex(*Fx_t), t)            # (..., Rx, kyc)
-        z = jnp.zeros(w.shape[:-2] + (nx, nyh), cfg.complex_dtype)
-        z = z.at[..., :kxc, :kyc].set(zt[..., :kxc, :])
-        return z.at[..., nx - n_neg:, :kyc].set(zt[..., kxc:, :])
+        return expand_compact(cfg, cfwd(w))
 
     def inv(z):
-        zt = jnp.concatenate([z[..., :kxc, :kyc], z[..., nx - n_neg:, :kyc]],
-                             axis=-2)
-        a = mm(jax.lax.complex(*Fxi_t), zt)           # (..., nx, kyc)
-        return mm(a, jax.lax.complex(*B_t)).real      # (..., nx, ny)
+        return cinv(gather_compact(cfg, z))
 
     return fwd, inv
 
@@ -297,6 +270,14 @@ def expand_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
     out = jnp.zeros(z.shape[:-2] + (cfg.nx, nyh), z.dtype)
     out = out.at[..., :kxc, :kyc].set(z[..., :kxc, :])
     return out.at[..., cfg.nx - n_neg:, :kyc].set(z[..., kxc:, :])
+
+
+def gather_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
+    """Full rfft2 layout -> compact (…, Rx, kyc) (inverse of expand_compact
+    on the kept modes; off-truncation content is dropped)."""
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    return jnp.concatenate(
+        [z[..., :kxc, :kyc], z[..., cfg.nx - n_neg:, :kyc]], axis=-2)
 
 
 def make_step_compact(cfg: SpectralPeriodicConfig):
@@ -383,6 +364,9 @@ def make_step(cfg: SpectralPeriodicConfig):
     with E = exp(-nu k^2 dt); the N^{n-1} term carries one extra E factor so
     both RHS samples live at the same exponential scaling (standard IF-AB2).
     """
+    if cfg.compact_spectrum:
+        return make_step_compact(cfg)
+
     ops = make_ops(cfg)
     transforms = make_transforms(cfg)
     E = ops["visc"]
@@ -400,7 +384,10 @@ def init_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
     """Build the scan carry from a physical-space vorticity field; the AB2
     history seeds with the first nonlinear evaluation (self-start).
     Jitted as one program — eager complex dispatch is avoided throughout
-    this module (axon TPU reliability)."""
+    this module (axon TPU reliability). With cfg.compact_spectrum the
+    carry is the compact truncated spectrum (see expand_compact)."""
+    if cfg.compact_spectrum:
+        return init_from_vorticity_compact(cfg, w0)
     ops = make_ops(cfg)
     transforms = make_transforms(cfg)
     fwd, _ = transforms
@@ -502,18 +489,22 @@ def decaying_turbulence_vorticity(cfg: SpectralPeriodicConfig, seed: int = 0,
 # Diagnostics
 # ---------------------------------------------------------------------------
 
+def hermitian_weights(ny: int) -> np.ndarray:
+    """Conjugate-pair weights of the rfft half-spectrum: interior ky modes
+    represent two full-spectrum modes and count twice."""
+    weights = np.full(ny // 2 + 1, 2.0)
+    weights[0] = 1.0
+    if ny % 2 == 0:
+        weights[-1] = 1.0
+    return weights[None, :]
+
+
 def energy_spectrum(cfg: SpectralPeriodicConfig, w_hat: Array):
     """Isotropic kinetic-energy spectrum E(k) — the fidelity observable the
     north star gates on (BASELINE.json: vorticity spectra tracking)."""
     ops = make_ops(cfg)
     u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
-    # rfft double-counts interior ky modes once; weight accordingly
-    ny_half = cfg.ny // 2 + 1
-    weights = np.full(ny_half, 2.0)
-    weights[0] = 1.0
-    if cfg.ny % 2 == 0:
-        weights[-1] = 1.0
-    w = jnp.asarray(weights[None, :], cfg.real_dtype)
+    w = jnp.asarray(hermitian_weights(cfg.ny), cfg.real_dtype)
     e_density = 0.5 * (jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2) * w
     k_mag = jnp.sqrt(ops["kx"] ** 2 + ops["ky"] ** 2)
     k_bins = jnp.arange(0, cfg.nx // 2 + 1)
@@ -546,12 +537,16 @@ class NavierStokesSystem:
 
     def simulate(self):
         w_hats = self._simulate_hat(self.carry0)
+        if self.cfg.compact_spectrum:
+            w_hats = jax.jit(partial(expand_compact, self.cfg))(w_hats)
         u, v, w = jax.vmap(partial(fields_from_hat, self.cfg))(w_hats)
         p = jax.vmap(partial(pressure_from_hat, self.cfg))(w_hats)
         return u, v, p
 
     def simulate_vorticity(self):
         w_hats = self._simulate_hat(self.carry0)
+        if self.cfg.compact_spectrum:
+            w_hats = jax.jit(partial(expand_compact, self.cfg))(w_hats)
         return jax.vmap(
             lambda h: jnp.fft.irfft2(h, s=(self.cfg.nx, self.cfg.ny)))(w_hats)
 
