@@ -144,6 +144,9 @@ class _FieldOps:
             self.kx["b0"] * Dx_sqr[1:-1, 0] + self.kx["bN"] * Dx_sqr[1:-1, -1])
         My = Dy_sqr[1:-1, 1:-1] + (1.0 / self.ky["e"]) * (
             self.ky["b0"] * Dy_sqr[1:-1, 0] + self.ky["bN"] * Dy_sqr[1:-1, -1])
+        # host copies kept for operator-equality detection (all-Dirichlet
+        # BCs give u and v identical operators -> batched Helmholtz solve)
+        self._Mx_np, self._My_np = Mx, My
         lamx, P = cheb.eig_real(Mx, "helmholtz-x")
         lamy, Q = cheb.eig_real(My, "helmholtz-y")
         self.lamx = jnp.asarray(lamx, dtype)
@@ -242,6 +245,19 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
     dt, rho = cfg.dt, cfg.rho
     Nx, Ny = cfg.nx, cfg.ny
 
+    # All-Dirichlet BCs give u and v identical BC-modified operators, so
+    # both Helmholtz systems solve in ONE batched eigen transform (the
+    # (n,n) @ (2,n,n) matmuls broadcast) — ~2x fewer MXU dispatches.
+    same_ops = (np.array_equal(u_ops._Mx_np, v_ops._Mx_np)
+                and np.array_equal(u_ops._My_np, v_ops._My_np))
+
+    def _solve_uv(u_F, v_F):
+        if same_ops:
+            soln = _helmholtz_solve(jnp.stack([u_F, v_F]), u_ops, dt)
+            return soln[0], soln[1]
+        return (_helmholtz_solve(u_F, u_ops, dt),
+                _helmholtz_solve(v_F, v_ops, dt))
+
     def predictor_ref(un, vn, un1, vn1):
         """AB advection + CN diffusion RHS, Helmholtz solve — exact reference
         algorithm (ref :232-337): all derivative products use interior-only
@@ -262,8 +278,7 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
 
         u_F = F_of(_un, _un1)
         v_F = F_of(_vn, _vn1)
-        u_soln = _helmholtz_solve(u_F, u_ops, dt)
-        v_soln = _helmholtz_solve(v_F, v_ops, dt)
+        u_soln, v_soln = _solve_uv(u_F, v_F)
         ui = _assemble(Nx, Ny, u_soln, _boundary_rows(u_soln, u_ops), dtype)
         vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
         return ui, vi
@@ -306,8 +321,7 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
 
         u_F = F_of(un, un1, u_ops)
         v_F = F_of(vn, vn1, v_ops)
-        u_soln = _helmholtz_solve(u_F, u_ops, dt)
-        v_soln = _helmholtz_solve(v_F, v_ops, dt)
+        u_soln, v_soln = _solve_uv(u_F, v_F)
         ui = _assemble(Nx, Ny, u_soln, _boundary_rows(u_soln, u_ops), dtype)
         vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
         return ui, vi
