@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--ckpt-every", type=int, default=10,
                    help="checkpoint interval; also the per-dispatch train "
                         "chunk size (larger = faster on high-latency links)")
+    p.add_argument("--fno-rollout-steps", type=int, default=1,
+                   help="fno only: k-step rollout training (pushforward)")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--gpu-device", type=int, default=0,
                    help="accepted for reference-CLI compatibility; ignored")
@@ -47,6 +49,7 @@ def main(argv=None):
                       n_coeffs=args.n_coeffs, lr=args.lr,
                       hidden_dim=args.hidden_dim, n_frames=args.n_frames,
                       seed=args.seed, ckpt_every=args.ckpt_every,
+                      fno_rollout_steps=args.fno_rollout_steps,
                       resume=args.resume)
     tr = Trainer(cfg)
     tr.train()

@@ -57,6 +57,10 @@ class TrainConfig:
     ckpt_every: int = 10
     seed: int = 0
     resume: Optional[str] = None  # path to checkpoint.npz
+    # fno only: train on k-step autoregressive rollouts instead of single
+    # next-step prediction (the pushforward trick) — reduces the
+    # teacher-forcing/extrapolation mismatch at k x the training cost
+    fno_rollout_steps: int = 1
 
     def __post_init__(self):
         if self.model not in MODELS:
@@ -122,10 +126,21 @@ class Trainer:
             pred = self.model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
         if self.cfg.model == "fno":
-            # teacher-forced next-step operator on field frames
             frames = self.obs[:, 0]                    # (nt, 3, nx, ny)
-            pred = self.model.apply(params, frames[:-1])
-            return pred, frames[1:]
+            k = self.cfg.fno_rollout_steps
+            if k <= 1:
+                # teacher-forced next-step operator on field frames
+                pred = self.model.apply(params, frames[:-1])
+                return pred, frames[1:]
+            # k-step autoregressive training: predict frames j..j+k from
+            # frame j, batched over all window starts
+            x = frames[:-k]
+            preds, targets = [], []
+            for j in range(1, k + 1):
+                x = self.model.apply(params, x)
+                preds.append(x)
+                targets.append(frames[j:self.nt - k + j])
+            return jnp.stack(preds), jnp.stack(targets)
         pred = self.model.apply(params, self.obs0, nt)
         return pred, self.obs
 

@@ -32,6 +32,20 @@ def test_fno_rollout():
     assert np.isfinite(np.asarray(xs)).all()
 
 
+def test_fno_rollout_training_objective(tmp_path):
+    g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
+    path = tmp_path / "d.npz"
+    np.savez(path, u=g["u"][:, ::4, ::4], v=g["v"][:, ::4, ::4],
+             p=g["p"][:, ::4, ::4])
+    cfg = TrainConfig(model="fno", npz_path=str(path),
+                      out_dir=str(tmp_path / "fno_k3"), n_iters=15,
+                      n_frames=10, ckpt_every=15, fno_rollout_steps=3)
+    tr = Trainer(cfg)
+    losses = tr.train(progress=False)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_fno_trains_on_rollout(tmp_path):
     g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
     path = tmp_path / "d.npz"
