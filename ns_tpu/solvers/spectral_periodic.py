@@ -528,9 +528,14 @@ class NavierStokesSystem:
     stacked (nt, nx, ny) rollouts."""
 
     def __init__(self, w_ic: Array, nt=200, nx=256, ny=256, dt=0.001,
-                 nu=1e-3, rho=1.0, dealias=True, dtype="float32"):
-        self.cfg = SpectralPeriodicConfig(nt=nt, nx=nx, ny=ny, dt=dt, nu=nu,
-                                          rho=rho, dealias=dealias, dtype=dtype)
+                 nu=1e-3, rho=1.0, dealias=True, dtype="float32",
+                 transform="fft", matmul_precision="high",
+                 compact_spectrum=False):
+        self.cfg = SpectralPeriodicConfig(
+            nt=nt, nx=nx, ny=ny, dt=dt, nu=nu, rho=rho, dealias=dealias,
+            dtype=dtype, transform=transform,
+            matmul_precision=matmul_precision,
+            compact_spectrum=compact_spectrum)
         self.carry0 = init_from_vorticity(self.cfg, w_ic)
         self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
         self._final = jax.jit(partial(rollout_final, self.cfg))

@@ -106,6 +106,31 @@ def test_compact_spectrum_rollout_matches_padded():
                                atol=1e-10)
 
 
+def test_compact_flag_dispatches_through_public_api():
+    """cfg.compact_spectrum must actually switch the carry layout through
+    make_step/init_from_vorticity and the System wrapper (it was once a
+    decorative flag — regression guard)."""
+    cfg = sp.SpectralPeriodicConfig(nt=4, nx=32, ny=32, dt=0.005, nu=1e-3,
+                                    dtype="float64", transform="matmul",
+                                    matmul_precision="highest",
+                                    compact_spectrum=True)
+    w0 = sp.taylor_green_vorticity(cfg)
+    carry = sp.init_from_vorticity(cfg, w0)
+    rows, kxc, n_neg, kyc = sp._compact_meta(cfg)
+    assert carry[0].shape == (kxc + n_neg, kyc)  # compact, not (nx, nyh)
+    final = sp.rollout_final(cfg, carry)
+    assert final[0].shape == (kxc + n_neg, kyc)
+
+    sys_c = sp.NavierStokesSystem(w0, nt=4, nx=32, ny=32, dt=0.005,
+                                  nu=1e-3, dtype="float64",
+                                  transform="matmul",
+                                  matmul_precision="highest",
+                                  compact_spectrum=True)
+    u, v, p = sys_c.simulate()
+    assert u.shape == (4, 32, 32)
+    assert np.isfinite(np.asarray(u)).all()
+
+
 def test_compact_requires_matmul_dealias():
     import pytest
     with pytest.raises(ValueError):
