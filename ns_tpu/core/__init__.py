@@ -1,3 +1,2 @@
 from ns_tpu.core.bc import BC, dirichlet, neumann, apply_bcs
-from ns_tpu.core.grid import Grid
 from ns_tpu.core.state import FlowState

@@ -33,8 +33,17 @@ def spatial_coarsen(X, Y, u_seq, v_seq, p_seq, agg_x: int = 4,
     new_u, new_v, new_p = block_mean(u_seq), block_mean(v_seq), block_mean(p_seq)
 
     if quirk_compat and agg_x != agg_y:
-        # replicate the reference's j-range bug: only the first ny // agg_x
-        # columns are written (the rest stay zero), utils.py:50-58
+        # replicate the reference's j-range bug: the j-loop bound reuses
+        # agg_x (utils.py:50-58). For agg_x > agg_y only the first
+        # ny // agg_x columns are written (the rest stay zero); for
+        # agg_x < agg_y the reference itself IndexErrors (j*agg_y walks past
+        # ny), so there is no reference behavior to replicate — refuse
+        # rather than silently return corrected output.
+        if agg_x < agg_y:
+            raise IndexError(
+                "quirk_compat spatial_coarsen with agg_x < agg_y: the "
+                "reference raises IndexError here (utils.py:51 j-range bug); "
+                "use quirk_compat=False for the corrected block mean")
         j_cap = ny // agg_x
         for arr in (new_u, new_v, new_p):
             if j_cap < out_y:

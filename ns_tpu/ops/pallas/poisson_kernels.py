@@ -38,7 +38,9 @@ def vmem_fits(nx: int, ny: int, n_buffers: int = 6,
               bytes_per: int = 4, budget: int = 14 * 1024 * 1024) -> bool:
     """Mosaic's scoped-vmem limit is 16 MB; the fused sweeps keep the grid
     plus roll/select temporaries live (~6 grid-sized buffers measured —
-    1024^2 f32 needs 23.8 MB and is rejected; 512^2 fits)."""
+    1024^2 f32 needs 23.8 MB and is rejected; 512^2 fits). Pass
+    `bytes_per=jnp.dtype(dtype).itemsize` — an f64 grid needs twice the
+    f32 budget."""
     return nx * ny * n_buffers * bytes_per <= budget
 
 

@@ -65,8 +65,9 @@ class ChorinFDConfig:
     quirk_compat: bool = True  # replicate the explicit-path axis quirk
     # 'redblack': fast data-parallel SOR (same fixed point, default);
     # 'gauss_seidel': exact reference iterate order via wavefront sweeps;
-    # 'multigrid': V-cycle solver for the same system (2^k+1 grids) —
-    # O(1) cycles instead of O(N) sweeps, the scalable choice at large N.
+    # 'multigrid': V-cycle solver for the same system — O(1) cycles
+    # instead of O(N) sweeps, the scalable choice at large N;
+    # 'cg': conjugate gradient on the same Dirichlet-frame system.
     pressure_mode: str = "redblack"
     mg_cycles: int = 6
     # Fused Pallas SOR kernel (whole solve in VMEM, one launch). Measured
@@ -77,6 +78,19 @@ class ChorinFDConfig:
     def __post_init__(self):
         if self.method not in ("semi_implicit", "explicit"):
             raise ValueError(f"method must be semi_implicit|explicit, got {self.method!r}")
+        if self.pressure_mode not in ("redblack", "gauss_seidel",
+                                      "multigrid", "cg"):
+            raise ValueError("pressure_mode must be redblack|gauss_seidel|"
+                             f"multigrid|cg, got {self.pressure_mode!r}")
+        if (self.method == "semi_implicit" and self.quirk_compat
+                and self.nx != self.ny):
+            raise ValueError(
+                "semi_implicit with quirk_compat=True replicates the "
+                "reference's square-grid ADI y-sweep (np.linalg.solve(B, S) "
+                "applies the (ny-2)-sized y operator along the x axis, "
+                "chorin_fd/simulate.py:157-165) and needs nx == ny; got "
+                f"{self.nx}x{self.ny}. Set quirk_compat=False for the "
+                "corrected rectangular sweep.")
 
     @property
     def dx(self) -> float:
@@ -170,7 +184,12 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
         # -- y-sweep (ref :157-159): B hi = S
         S = (2.0 / nu * dy**2 * (ht + hn[1:-1, 1:-1])
              - dt * (hn[1:-1, 2:] - 2 * hn[1:-1, 1:-1] + hn[1:-1, :-2]))
-        return B_inv @ S
+        if cfg.quirk_compat:
+            # reference quirk: np.linalg.solve(B, S) applies the y operator
+            # along the x axis (only meaningful for nx == ny; ref :157-165)
+            return B_inv @ S
+        # corrected: solve B hi^T = S^T, i.e. the y operator acts along y
+        return S @ B_inv.T
 
     uHn, uHn1 = advect(un, vn, un), advect(un1, vn1, un1)
     vHn, vHn1 = advect(un, vn, vn), advect(un1, vn1, vn1)
@@ -225,9 +244,15 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                 f = rhs_c / (cfg.dx**2 * cfg.dy**2)
                 p = poisson_multigrid(p, f, cfg.dx, cfg.dy,
                                       n_cycles=cfg.mg_cycles)
+            elif cfg.pressure_mode == "cg":
+                from ns_tpu.ops.poisson import cg_poisson
+                f = rhs_c / (cfg.dx**2 * cfg.dy**2)
+                p = cg_poisson(p, f, cfg.dx, cfg.dy,
+                               tol=cfg.sor_tol, max_iter=cfg.nit)
             elif cfg.use_pallas:
                 from ns_tpu.ops.pallas import sor_redblack_fused_pallas, vmem_fits
-                if not vmem_fits(cfg.nx, cfg.ny):
+                if not vmem_fits(cfg.nx, cfg.ny,
+                                 bytes_per=jnp.dtype(dtype).itemsize):
                     raise ValueError("grid too large for the fused Pallas SOR; "
                                      "set use_pallas=False")
                 p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,

@@ -20,6 +20,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -77,12 +78,18 @@ def fit_initial_vorticity(cfg, target_w, nt: int, n_iters: int = 50,
         w_fin = jnp.fft.irfft2(carry[0], s=(cfg.nx, cfg.ny))
         return jnp.mean((w_fin - target) ** 2)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    @jax.jit
+    def descend(w0):
+        # all n_iters GD steps fused into ONE dispatch (scan over the
+        # value_and_grad step) with a single bulk loss readback at the end —
+        # a per-iter float(loss) costs a full tunnel round trip each
+        def body(w0, _):
+            loss, g = jax.value_and_grad(loss_fn)(w0)
+            return w0 - lr * g, loss
+
+        return jax.lax.scan(body, w0, None, length=n_iters)
+
     w0 = (jnp.zeros((cfg.nx, cfg.ny), cfg.real_dtype)
           if w_init is None else jnp.asarray(w_init, cfg.real_dtype))
-    losses = []
-    for _ in range(n_iters):
-        loss, g = grad_fn(w0)
-        w0 = w0 - lr * g
-        losses.append(float(loss))
-    return w0, losses
+    w0, losses = descend(w0)
+    return w0, [float(x) for x in np.asarray(losses)]

@@ -84,7 +84,7 @@ def pressure_poisson(
     """`nit` Jacobi sweeps with per-sweep BC re-application (ref :68-88)."""
     if cfg.use_pallas:
         from ns_tpu.ops.pallas import jacobi_fused_pallas, vmem_fits
-        if not vmem_fits(cfg.nx, cfg.ny):
+        if not vmem_fits(cfg.nx, cfg.ny, bytes_per=jnp.dtype(p.dtype).itemsize):
             raise ValueError("grid too large for the fused Pallas Jacobi; "
                              "set use_pallas=False")
         return jacobi_fused_pallas(p, b, cfg.dx, cfg.dy, cfg.nit, p_bc)

@@ -539,11 +539,14 @@ class NavierStokesSystem:
         self.carry0 = init_from_vorticity(self.cfg, w_ic)
         self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
         self._final = jax.jit(partial(rollout_final, self.cfg))
+        # jitted once here: a fresh jit(partial(...)) per call would key the
+        # jit cache on the new partial object and recompile every invocation
+        self._expand = jax.jit(partial(expand_compact, self.cfg))
 
     def simulate(self):
         w_hats = self._simulate_hat(self.carry0)
         if self.cfg.compact_spectrum:
-            w_hats = jax.jit(partial(expand_compact, self.cfg))(w_hats)
+            w_hats = self._expand(w_hats)
         u, v, w = jax.vmap(partial(fields_from_hat, self.cfg))(w_hats)
         p = jax.vmap(partial(pressure_from_hat, self.cfg))(w_hats)
         return u, v, p
@@ -551,7 +554,7 @@ class NavierStokesSystem:
     def simulate_vorticity(self):
         w_hats = self._simulate_hat(self.carry0)
         if self.cfg.compact_spectrum:
-            w_hats = jax.jit(partial(expand_compact, self.cfg))(w_hats)
+            w_hats = self._expand(w_hats)
         return jax.vmap(
             lambda h: jnp.fft.irfft2(h, s=(self.cfg.nx, self.cfg.ny)))(w_hats)
 

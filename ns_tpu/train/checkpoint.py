@@ -56,6 +56,14 @@ def load_checkpoint(path: str, like: Any) -> Any:
     `like` (a template pytree with the same treedef — e.g. a freshly
     initialized train state)."""
     data = np.load(path)
+    if "__treedef__" in data:
+        saved = bytes(data["__treedef__"]).decode()
+        here = str(jax.tree_util.tree_structure(like))
+        if saved != here:
+            raise ValueError(
+                f"checkpoint {path} tree structure does not match the "
+                f"template:\n  saved:    {saved}\n  template: {here}\n"
+                "(wrong model/optimizer config for this checkpoint?)")
     arrays = _flatten_with_paths(like)
     restored = {}
     for key in arrays:

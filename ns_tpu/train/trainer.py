@@ -31,13 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ns_tpu.models.basis import BasisODE, BasisODE2, BasisGRU
+from ns_tpu.models.basis import BasisODE, BasisODE2, BasisGRU, BasisODEConv
 from ns_tpu.models.fno import FNO2D
 from ns_tpu.models.gru import FullFieldGRU
 from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
-MODELS = ("basis_ode", "basis_ode2", "basis_gru", "rnn", "fno")
+MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
+          "rnn", "fno")
 
 
 @dataclasses.dataclass
@@ -91,7 +92,14 @@ class Trainer:
             self.model = BasisODE2(cfg.n_coeffs, self.nx, self.ny)
         elif cfg.model == "basis_gru":
             self.model = BasisGRU(cfg.n_coeffs, self.nx, self.ny)
+        elif cfg.model == "basis_ode_conv":
+            self.model = BasisODEConv(cfg.n_coeffs, self.nx, self.ny)
         elif cfg.model == "fno":
+            if not 1 <= cfg.fno_rollout_steps < self.nt:
+                raise ValueError(
+                    f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
+                    f"got {cfg.fno_rollout_steps} (a k >= n_frames leaves no "
+                    "training windows and the loss is identically 0)")
             self.model = FNO2D(self.nx, self.ny)
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
@@ -202,9 +210,11 @@ class Trainer:
                 self.losses.extend(vals)
                 it += n
                 if hasattr(self.model, "diversity_penalty"):
-                    # logged, not optimized (ref spectral_ode.py:184-186);
-                    # sampled once per chunk to avoid per-iter host syncs
-                    pen = float(1.0 / self.model.diversity_penalty(self.params))
+                    # logged, not optimized; the logged quantity is the
+                    # penalty itself, 1/sum||W_i - W_j||, matching the
+                    # reference (spectral_ode.py:184-186); sampled once per
+                    # chunk to avoid per-iter host syncs
+                    pen = float(self.model.diversity_penalty(self.params))
                     self.penalties.extend([pen] * n)
                 if it % cfg.ckpt_every == 0 or it == cfg.n_iters:
                     self.save(it)
