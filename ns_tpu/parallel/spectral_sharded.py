@@ -134,3 +134,205 @@ def make_sharded_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
                             in_specs=P(axis, None), out_specs=P(axis, None))
     rollout = jax.jit(sharded)
     return rollout, NamedSharding(mesh, P(axis, None))
+
+
+# ---------------------------------------------------------------------------
+# Distributed compact matmul-DFT path
+# ---------------------------------------------------------------------------
+#
+# The record single-chip path (solvers/spectral_periodic.py compact_spectrum:
+# dealias-truncated DFT as MXU matmuls) sharded over a mesh axis. Layouts:
+#
+#   physical  (nx, ny)   row-sharded    -> (bx, ny) per shard
+#   spectral  (Rx, kyc)  column-sharded -> (Rx, cp) per shard (ky chunks,
+#                                          kyc zero-padded to n*cp)
+#
+# forward:  local (bx,ny) @ Fy_t^T -> (bx,kyc) -> pad -> all_to_all
+#           -> (nx,cp) -> Fx_t @ . -> (Rx,cp)
+# inverse:  Fxi_t @ (Rx,cp) -> (nx,cp) -> all_to_all -> (bx,kycp)
+#           -> drop pad -> @ B_t -> (bx,ny)
+#
+# so each transform is two local MXU matmuls + ONE all_to_all (ICI), same
+# skeleton as the FFT path above but with the truncated DFT matrices. The
+# four inverse transforms of the nonlinear term ride one BATCHED inverse
+# (stacked (4, Rx, cp)): bigger matmuls, one collective for all four.
+
+
+def _compact_dft_split(cfg: SpectralPeriodicConfig):
+    """Truncated DFT matrices as (real, imag) device pairs (complex buffers
+    never cross host->device on the axon tunnel)."""
+    from ns_tpu.solvers.spectral_periodic import _compact_meta, _dft_constants
+    M = _dft_constants(cfg)
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    f = np.float32 if cfg.dtype == "float32" else np.float64
+    split = lambda Mt: (jnp.asarray(Mt.real.astype(f)),
+                        jnp.asarray(Mt.imag.astype(f)))
+    Fx = M["Fx"][0] + 1j * M["Fx"][1]
+    Fx_inv = M["Fx_inv"][0] + 1j * M["Fx_inv"][1]
+    Fy = M["Fy"][0] + 1j * M["Fy"][1]
+    B = M["B"][0] + 1j * M["B"][1]
+    return dict(Fx_t=split(Fx[rows, :]), Fxi_t=split(Fx_inv[:, rows]),
+                Fy_t=split(Fy[:kyc, :]), B_t=split(B[:kyc, :]),
+                rows=rows, kyc=kyc)
+
+
+def _compact_pad_constants(cfg: SpectralPeriodicConfig, n_shards: int):
+    """Spectral constants on the (Rx, kycp) ky-padded compact layout; pad
+    columns carry exact zeros in inv_k2/visc so padded modes stay zero
+    through the whole rollout."""
+    from ns_tpu.solvers.spectral_periodic import _compact_meta
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    kycp = ((kyc + n_shards - 1) // n_shards) * n_shards
+    kx = np.fft.fftfreq(cfg.nx, d=1.0 / cfg.nx)[rows][:, None]
+    ky = np.zeros((1, kycp))
+    ky[0, :kyc] = np.fft.rfftfreq(cfg.ny, d=1.0 / cfg.ny)[:kyc]
+    k2 = kx * kx + ky * ky
+    with np.errstate(divide="ignore"):
+        inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
+    visc = np.exp(-cfg.nu * k2 * cfg.dt)
+    pad = np.arange(kycp)[None, :] >= kyc
+    inv_k2 = np.where(pad, 0.0, inv_k2)
+    visc = np.where(pad, 0.0, visc)
+    rdt = cfg.real_dtype
+    return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+                inv_k2=jnp.asarray(inv_k2, rdt),
+                visc=jnp.asarray(visc, rdt), kyc=kyc, kycp=kycp)
+
+
+def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
+                         axis: str = "x"):
+    """Sharded compact-DFT machinery: returns a dict of pieces used by the
+    rollout/simulate entry points below (and by tests).
+
+    Requires cfg.transform='matmul' and cfg.dealias (the compact layout IS
+    the 2/3-rule truncation — solvers/spectral_periodic.py:209-233)."""
+    if cfg.transform != "matmul" or not cfg.dealias:
+        raise ValueError("sharded compact path needs transform='matmul' "
+                         "and dealias=True")
+    n = mesh.shape[axis]
+    if cfg.nx % n:
+        raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
+    D = _compact_dft_split(cfg)
+    C = _compact_pad_constants(cfg, n)
+    kyc, kycp = C["kyc"], C["kycp"]
+    cp = kycp // n
+    bx = cfg.nx // n
+    prec = cfg.matmul_precision
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    cplx = lambda pair: jax.lax.complex(pair[0], pair[1])
+
+    def chunk(full: Array) -> Array:
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(full, i * cp, cp, axis=1)
+
+    def fwd(w_local: Array) -> Array:
+        """(..., bx, ny) real -> (..., Rx, cp) column-sharded spectrum."""
+        t = mm(w_local.astype(cfg.complex_dtype), cplx(D["Fy_t"]).T)
+        t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, kycp - kyc)])
+        t = jax.lax.all_to_all(t, axis, split_axis=t.ndim - 1,
+                               concat_axis=t.ndim - 2, tiled=True)
+        return mm(cplx(D["Fx_t"]), t)
+
+    def inv(z: Array) -> Array:
+        """(..., Rx, cp) -> (..., bx, ny) real; batched over leading dims
+        (the 4 nonlinear-term transforms stack here)."""
+        a = mm(cplx(D["Fxi_t"]), z)                    # (..., nx, cp)
+        a = jax.lax.all_to_all(a, axis, split_axis=a.ndim - 2,
+                               concat_axis=a.ndim - 1, tiled=True)
+        return mm(a[..., :kyc], cplx(D["B_t"])).real   # (..., bx, ny)
+
+    def nonlinear(w_hat, kx, ky_c, inv_k2_c):
+        psi = w_hat * inv_k2_c
+        # one batched inverse for u, v, w_x, w_y: (4, Rx, cp)
+        stack = jnp.stack([_ik_mul(ky_c, psi), -_ik_mul(kx, psi),
+                           _ik_mul(kx, w_hat), _ik_mul(ky_c, w_hat)])
+        u, v, wx, wy = inv(stack)
+        return -fwd(u * wx + v * wy)
+
+    def step(carry, kx, ky_c, inv_k2_c, visc_c):
+        w_hat, N_prev = carry
+        N = nonlinear(w_hat, kx, ky_c, inv_k2_c)
+        w_new = visc_c * w_hat + cfg.dt * (1.5 * visc_c * N
+                                           - 0.5 * visc_c * visc_c * N_prev)
+        return (w_new, N), w_new
+
+    return dict(C=C, D=D, fwd=fwd, inv=inv, nonlinear=nonlinear, step=step,
+                chunk=chunk, cp=cp, bx=bx, mm=mm, cplx=cplx)
+
+
+def make_sharded_compact_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
+                                 axis: str = "x"):
+    """(rollout, physical_sharding): rollout maps row-sharded physical
+    vorticity (nx, ny) -> final row-sharded vorticity after cfg.nt compact
+    IF-AB2 steps — the distributed form of rollout_final_compact."""
+    K = make_sharded_compact(cfg, mesh, axis)
+    C = K["C"]
+
+    def block(w0_local):
+        kx = C["kx"]
+        ky_c, inv_k2_c, visc_c = (K["chunk"](C["ky"]),
+                                  K["chunk"](C["inv_k2"]),
+                                  K["chunk"](C["visc"]))
+        w_hat0 = K["fwd"](w0_local.astype(cfg.real_dtype))
+        N0 = K["nonlinear"](w_hat0, kx, ky_c, inv_k2_c)
+
+        def body(carry, _):
+            carry, _ = K["step"](carry, kx, ky_c, inv_k2_c, visc_c)
+            return carry, None
+
+        (w_hat, _), _ = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
+        return K["inv"](w_hat)
+
+    sharded = jax.shard_map(block, mesh=mesh,
+                            in_specs=P(axis, None), out_specs=P(axis, None))
+    return jax.jit(sharded), NamedSharding(mesh, P(axis, None))
+
+
+def make_sharded_compact_simulate(cfg: SpectralPeriodicConfig, mesh: Mesh,
+                                  axis: str = "x", fields: str = "w"):
+    """(simulate, physical_sharding): simulate maps row-sharded physical
+    vorticity to STACKED rollouts — fields='w' returns (nt, nx, ny)
+    vorticity; fields='uvp' returns the (u, v, p) triple of (nt, nx, ny)
+    arrays (the reference simulate() contract, with pressure recovered via
+    the spectral Poisson solve, solvers/spectral_periodic.py:436-452).
+    Outputs stay row-sharded over the mesh."""
+    if fields not in ("w", "uvp"):
+        raise ValueError("fields must be 'w'|'uvp'")
+    K = make_sharded_compact(cfg, mesh, axis)
+    C = K["C"]
+    rho = cfg.rho
+
+    def block(w0_local):
+        kx = C["kx"]
+        ky_c, inv_k2_c, visc_c = (K["chunk"](C["ky"]),
+                                  K["chunk"](C["inv_k2"]),
+                                  K["chunk"](C["visc"]))
+        w_hat0 = K["fwd"](w0_local.astype(cfg.real_dtype))
+        N0 = K["nonlinear"](w_hat0, kx, ky_c, inv_k2_c)
+
+        def out(w_hat):
+            if fields == "w":
+                return K["inv"](w_hat)
+            psi = w_hat * inv_k2_c
+            u_hat = _ik_mul(ky_c, psi)
+            v_hat = -_ik_mul(kx, psi)
+            u, v, ux, uy, vx, vy = K["inv"](jnp.stack([
+                u_hat, v_hat,
+                _ik_mul(kx, u_hat), _ik_mul(ky_c, u_hat),
+                _ik_mul(kx, v_hat), _ik_mul(ky_c, v_hat)]))
+            rhs = -rho * (ux * ux + 2.0 * uy * vx + vy * vy)
+            p = K["inv"](-K["fwd"](rhs) * inv_k2_c)
+            return u, v, p
+
+        def body(carry, _):
+            carry, w_new = K["step"](carry, kx, ky_c, inv_k2_c, visc_c)
+            return carry, out(w_new)
+
+        _, seqs = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
+        return seqs
+
+    out_spec = (P(None, axis, None) if fields == "w"
+                else (P(None, axis, None),) * 3)
+    sharded = jax.shard_map(block, mesh=mesh,
+                            in_specs=P(axis, None), out_specs=out_spec)
+    return jax.jit(sharded), NamedSharding(mesh, P(axis, None))
