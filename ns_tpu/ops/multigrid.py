@@ -8,18 +8,25 @@ Solves
     laplace(p) = f   on the interior, boundary values of p held fixed
 
 (the Dirichlet-frame problem of the chorin_fd correction) on vertex-centered
-grids of size 2^k + 1 per axis. Everything is shape-static jnp: smoothing is
-red-black Gauss-Seidel, restriction is full-weighting, prolongation is
-bilinear — each level's operators build at trace time, so a whole V-cycle
-jits into one XLA program.
+grids. Grids of size 2^k + 1 per axis coarsen exactly; ANY other size is
+embedded in the next 2^k + 1 grid with a masked interior — the original
+domain's boundary/exterior cells are held fixed at every level (the level-l
+mask is the injection mask[::2, ::2] of the fine one), so the padded
+region only ever carries zero residual. This makes the solver usable at
+the reference's own 51^2 default config (chorin_fd/simulate.py:278-287),
+not just at 2^k+1 demo sizes.
+
+Everything is shape-static jnp: smoothing is red-black Gauss-Seidel,
+restriction is full-weighting, prolongation is bilinear — each level's
+operators build at trace time, so a whole V-cycle jits into one XLA
+program.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from ns_tpu.ops.poisson import _checkerboard
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -28,10 +35,26 @@ def _is_pow2_plus1(n: int) -> bool:
     return n >= 3 and ((n - 1) & (n - 2)) == 0
 
 
-def _smooth(p: Array, f: Array, hx2: float, hy2: float, n_sweeps: int) -> Array:
-    """Red-black Gauss-Seidel sweeps for laplace(p) = f."""
-    nx, ny = p.shape
-    red, black = _checkerboard(nx, ny)
+def _next_pow2_plus1(n: int) -> int:
+    k = 1
+    while (1 << k) + 1 < n:
+        k += 1
+    return (1 << k) + 1
+
+
+def _parity_masks(mask: Array):
+    nx, ny = mask.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny), 1)
+    red = ((ii + jj) % 2 == 0) & mask
+    black = ((ii + jj) % 2 == 1) & mask
+    return red, black
+
+
+def _smooth(p: Array, f: Array, hx2: float, hy2: float, mask: Array,
+            n_sweeps: int) -> Array:
+    """Red-black Gauss-Seidel sweeps for laplace(p) = f on `mask` cells."""
+    red, black = _parity_masks(mask)
     denom = 2.0 / hx2 + 2.0 / hy2
 
     def gs(p):
@@ -47,12 +70,11 @@ def _smooth(p: Array, f: Array, hx2: float, hy2: float, n_sweeps: int) -> Array:
     return jax.lax.fori_loop(0, n_sweeps, sweep, p)
 
 
-def _residual(p: Array, f: Array, hx2: float, hy2: float) -> Array:
+def _residual(p: Array, f: Array, hx2: float, hy2: float,
+              mask: Array) -> Array:
     from ns_tpu.ops.poisson import laplace_full
-    nx, ny = p.shape
     r = f - laplace_full(p, hx2, hy2)
-    red, black = _checkerboard(nx, ny)
-    return jnp.where(red | black, r, 0.0)  # zero on the boundary ring
+    return jnp.where(mask, r, 0.0)  # zero outside the solved region
 
 
 def _restrict(r: Array) -> Array:
@@ -82,22 +104,89 @@ def _prolong(e: Array, nx: int, ny: int) -> Array:
     return out
 
 
-def _vcycle(p: Array, f: Array, hx: float, hy: float,
+def _vcycle(p: Array, f: Array, hx: float, hy: float, mask: Array,
             pre: int, post: int, min_n: int) -> Array:
     nx, ny = p.shape
     hx2, hy2 = hx * hx, hy * hy
     if min(nx, ny) <= min_n:
-        return _smooth(p, f, hx2, hy2, 50)  # coarsest: smooth to death
-    p = _smooth(p, f, hx2, hy2, pre)
-    r = _residual(p, f, hx2, hy2)
+        return _smooth(p, f, hx2, hy2, mask, 50)  # coarsest: smooth to death
+    p = _smooth(p, f, hx2, hy2, mask, pre)
+    r = _residual(p, f, hx2, hy2, mask)
     r_c = _restrict(r)
+    # coarse-level solved region by injection: a coarse vertex is free iff
+    # its coinciding fine vertex is (fixed cells stay Dirichlet on every
+    # level, so the padded/exterior region never acquires correction)
+    mask_c = mask[::2, ::2]
+    r_c = jnp.where(mask_c, r_c, 0.0)
     e_c = jnp.zeros_like(r_c)
-    e_c = _vcycle(e_c, r_c, 2 * hx, 2 * hy, pre, post, min_n)
-    # correction is zero on the boundary (error of a fixed-boundary problem)
+    e_c = _vcycle(e_c, r_c, 2 * hx, 2 * hy, mask_c, pre, post, min_n)
+    # correction is zero on fixed cells (error of a fixed-boundary problem)
     e = _prolong(e_c, nx, ny)
-    red, black = _checkerboard(nx, ny)
-    p = p + jnp.where(red | black, e, 0.0)
-    return _smooth(p, f, hx2, hy2, post)
+    p = p + jnp.where(mask, e, 0.0)
+    return _smooth(p, f, hx2, hy2, mask, post)
+
+
+def _embed(p0: Array, f: Array):
+    """(p_pad, f_pad, mask, exact): embed an arbitrary grid in the next
+    2^k+1 grid; mask marks the ORIGINAL interior (the solved cells)."""
+    nx, ny = p0.shape
+    exact = _is_pow2_plus1(nx) and _is_pow2_plus1(ny)
+    if exact:
+        NX, NY = nx, ny
+        p_pad, f_pad = p0, f
+    else:
+        NX, NY = _next_pow2_plus1(nx), _next_pow2_plus1(ny)
+        p_pad = jnp.zeros((NX, NY), p0.dtype).at[:nx, :ny].set(p0)
+        f_pad = jnp.zeros((NX, NY), f.dtype).at[:nx, :ny].set(f)
+    ii = np.arange(NX)[:, None]
+    jj = np.arange(NY)[None, :]
+    mask = jnp.asarray((ii > 0) & (ii < nx - 1) & (jj > 0) & (jj < ny - 1))
+    return p_pad, f_pad, mask, exact
+
+
+def poisson_mgcg(p0: Array, f: Array, dx: float, dy: float,
+                 n_iters: int = 10, pre: int = 2, post: int = 2,
+                 min_n: int = 3) -> Array:
+    """Multigrid-preconditioned conjugate gradient for laplace(p) = f with
+    the boundary of p0 held fixed, on ANY grid size.
+
+    The masked V-cycle alone degrades to ~0.9x/cycle when the true boundary
+    falls between coarse nodes (even sizes); wrapping it as the CG
+    preconditioner restores fast convergence on every size (measured: 51^2
+    reaches 2e-7 relative residual in 8 iterations, 50^2 in ~10). Cost per
+    iteration = one V(pre, post) cycle + one operator apply.
+    """
+    from ns_tpu.ops.poisson import laplace_full
+    nx, ny = p0.shape
+    p_pad, f_pad, mask, exact = _embed(p0, f)
+    dx2, dy2 = dx * dx, dy * dy
+
+    def A(x):  # SPD form: A = -laplace on the masked subspace
+        return jnp.where(mask, -laplace_full(x, dx2, dy2), 0.0)
+
+    def Minv(r):
+        z = _vcycle(jnp.zeros_like(r), jnp.where(mask, r, 0.0),
+                    dx, dy, mask, pre, post, min_n)
+        return -jnp.where(mask, z, 0.0)
+
+    b = jnp.where(mask, -f_pad, 0.0)
+    r0 = b - A(p_pad)
+    z0 = Minv(r0)
+
+    def body(_, carry):
+        p, r, z, d, rz = carry
+        Ad = A(d)
+        alpha = rz / jnp.vdot(d, Ad)
+        p = p + alpha * jnp.where(mask, d, 0.0)
+        r = r - alpha * Ad
+        z = Minv(r)
+        rz_new = jnp.vdot(r, z)
+        d = z + (rz_new / rz) * d
+        return p, r, z, d, rz_new
+
+    p_out, *_ = jax.lax.fori_loop(
+        0, n_iters, body, (p_pad, r0, z0, z0, jnp.vdot(r0, z0)))
+    return p_out if exact else p_out[:nx, :ny]
 
 
 def poisson_multigrid(p0: Array, f: Array, dx: float, dy: float,
@@ -105,16 +194,18 @@ def poisson_multigrid(p0: Array, f: Array, dx: float, dy: float,
                       min_n: int = 3) -> Array:
     """Solve laplace(p) = f with the boundary of p0 held fixed.
 
-    Requires nx, ny = 2^k + 1 (vertex-centered coarsening). n_cycles
-    V(pre, post) cycles; each cycle reduces the error by ~0.1x, so 8 cycles
-    reach ~f32 floor.
+    2^k+1 sizes coarsen natively (stationary V-cycles, ~0.1x error per
+    cycle). Any other size is solved by `poisson_mgcg` with n_cycles CG
+    iterations — the stationary masked cycle contracts as slowly as
+    ~0.9x/cycle when the true boundary misaligns with a coarse level, while
+    MGCG stays fast on every size.
     """
-    nx, ny = p0.shape
-    if not (_is_pow2_plus1(nx) and _is_pow2_plus1(ny)):
-        raise ValueError(
-            f"multigrid needs 2^k+1 grid sizes, got {nx}x{ny}")
+    _, _, mask, exact = _embed(p0, f)
+    if not exact:
+        return poisson_mgcg(p0, f, dx, dy, n_iters=n_cycles,
+                            pre=pre, post=post, min_n=min_n)
 
     def cycle(_, p):
-        return _vcycle(p, f, dx, dy, pre, post, min_n)
+        return _vcycle(p, f, dx, dy, mask, pre, post, min_n)
 
     return jax.lax.fori_loop(0, n_cycles, cycle, p0)

@@ -36,14 +36,23 @@ def test_multigrid_pressure_matches_sor():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=2e-2)
 
 
-def test_multigrid_mode_rejects_bad_grid():
-    import pytest
+def test_multigrid_pressure_at_reference_51sq():
+    """pressure_mode='multigrid' now runs the reference's own 51^2 default
+    config (chorin_fd/simulate.py:278-287) via the masked padded grid and
+    matches the SOR solution."""
     nx = ny = 51
     dx = dy = 2.0 / (nx - 1)
     u_bc, v_bc, p_bc = cavity_bcs(dx, dy)
     z = np.zeros((nx, ny))
-    s = chorin_fd.NavierStokesSystem(
-        z, z, z, u_bc, v_bc, p_bc, nt=2, nx=nx, ny=ny,
-        pressure_mode="multigrid")
-    with pytest.raises(ValueError):
-        s.simulate()
+    kwargs = dict(nt=8, nit=2000, nx=nx, ny=ny, dt=1e-3, rho=1, nu=0.1,
+                  beta=1.25, method="semi_implicit", dtype=jnp.float64)
+    s_sor = chorin_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, pressure_mode="redblack", **kwargs)
+    s_mg = chorin_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, pressure_mode="multigrid",
+        mg_cycles=12, **kwargs)
+    u1, v1, p1 = s_sor.simulate()
+    u2, v2, p2 = s_mg.simulate()
+    assert np.isfinite(np.asarray(u2)).all()
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=2e-2)

@@ -42,6 +42,42 @@ def test_multigrid_vs_direct_residual():
     assert resid < 1e-6 * np.abs(f).max(), resid
 
 
-def test_multigrid_rejects_bad_sizes():
-    with pytest.raises(ValueError):
-        poisson_multigrid(jnp.zeros((50, 50)), jnp.zeros((50, 50)), 0.1, 0.1)
+@pytest.mark.parametrize("shape", [(51, 51), (50, 50), (51, 40)])
+def test_multigrid_masked_arbitrary_sizes(shape):
+    """Non-2^k+1 grids run on the padded grid with a masked interior and
+    reach the same discrete solution (incl. the reference's own 51^2)."""
+    nx, ny = shape
+    p_exact, f, dx, dy = manufactured(nx, ny)
+    p = poisson_multigrid(jnp.zeros((nx, ny), jnp.float64), jnp.asarray(f),
+                          dx, dy, n_cycles=14)
+    pn = np.asarray(p)
+    # boundary untouched
+    assert np.abs(pn[0, :]).max() == 0.0 and np.abs(pn[:, -1]).max() == 0.0
+    # interior residual at the f scale
+    lap = ((pn[2:, 1:-1] - 2 * pn[1:-1, 1:-1] + pn[:-2, 1:-1]) / dx**2
+           + (pn[1:-1, 2:] - 2 * pn[1:-1, 1:-1] + pn[1:-1, :-2]) / dy**2)
+    resid = np.abs(lap - f[1:-1, 1:-1]).max()
+    assert resid < 1e-6 * np.abs(f).max(), resid
+    err = np.abs(pn - p_exact).max()
+    assert err < 6.0 / (min(nx, ny) - 1) ** 2, err
+
+
+def test_multigrid_masked_convergence_rate():
+    """Each masked V-cycle contracts the error (the padding does not stall
+    convergence)."""
+    n = 51
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(n, n))
+    f[0, :] = f[-1, :] = f[:, 0] = f[:, -1] = 0.0
+    dx = dy = 1.0 / (n - 1)
+    resids = []
+    for cycles in (2, 4, 6):
+        p = np.asarray(poisson_multigrid(jnp.zeros((n, n), jnp.float64),
+                                         jnp.asarray(f), dx, dy,
+                                         n_cycles=cycles))
+        lap = ((p[2:, 1:-1] - 2 * p[1:-1, 1:-1] + p[:-2, 1:-1]) / dx**2
+               + (p[1:-1, 2:] - 2 * p[1:-1, 1:-1] + p[1:-1, :-2]) / dy**2)
+        resids.append(np.abs(lap - f[1:-1, 1:-1]).max())
+    # >= ~3x contraction per 2 cycles
+    assert resids[1] < resids[0] / 3
+    assert resids[2] < resids[1] / 3
