@@ -21,12 +21,15 @@ NORTH_STAR = 1.0e9  # cell-updates/sec/chip @ 1024^2 spectral
 
 
 def bench_spectral(nx=1024, nt=200):
-    # compact dealias-truncated matmul-DFT (MXU path), bf16x3 precision:
-    # 2.46 Gcups at 1024^2 vs 1.30 for the XLA-FFT path, 3e-5 relative
-    # fidelity, exact divergence-free-ness (see RESULTS.md)
+    # compact dealias-truncated matmul-DFT (MXU path) at bf16 'default'
+    # matmul precision: ~4.0 Gcups at 1024^2 (vs 2.4 at bf16x3 'high',
+    # 1.3 for the XLA-FFT path). Documented fidelity: 'default' ~5e-3
+    # relative on the vorticity field, 'high' ~3e-5 (RESULTS.md fidelity
+    # table); divergence-free-ness is exact in all modes (streamfunction
+    # form), so the speed/precision trade never violates incompressibility.
     cfg = sp.SpectralPeriodicConfig(nt=nt, nx=nx, ny=nx, dt=5e-4, nu=1e-4,
                                     dtype="float32", transform="matmul",
-                                    matmul_precision="high",
+                                    matmul_precision="default",
                                     compact_spectrum=True)
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
     carry0 = sp.init_from_vorticity_compact(cfg, w0)

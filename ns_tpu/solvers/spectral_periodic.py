@@ -71,6 +71,18 @@ class SpectralPeriodicConfig:
     # (Rx, kyc) instead of (nx, ny//2+1); expand_compact() restores the
     # rfft2 layout for diagnostics.
     compact_spectrum: bool = False
+    # Real-GEMM engine (compact_spectrum only): spectra carried as stacked
+    # (2, Rx, kyc) real/imag arrays and every transform expressed as ONE
+    # real block-matrix GEMM. An XLA complex matmul lowers to 4 real
+    # matmuls; the forward transform's input is real (imag = 0), so the
+    # complex formulation wastes half of stage 1 and the real-part-only
+    # inverse wastes half of its stage 2 — the block form does
+    # fwd: (nx,ny)@(ny,2kyc) then (2Rx,2nx)@(2nx,kyc)
+    # inv: (2nx,2Rx)@(2Rx,kyc) then (nx,2kyc)@(2kyc,ny)
+    # = 2/3 the MACs of the complex path, as larger single GEMMs, with no
+    # complex dtype anywhere in the hot loop. Numerically identical modulo
+    # summation order (validated elementwise in f64 in tests).
+    real_gemm: bool = False
 
     @property
     def real_dtype(self):
@@ -263,6 +275,120 @@ def make_compact_transforms(cfg: SpectralPeriodicConfig):
     return fwd, inv
 
 
+# ---------------------------------------------------------------------------
+# Real-GEMM engine: the compact path with every complex matmul re-expressed
+# as one real block-matrix GEMM (see SpectralPeriodicConfig.real_gemm)
+# ---------------------------------------------------------------------------
+
+def _real_gemm_matrices(cfg: SpectralPeriodicConfig):
+    """Block matrices of the stacked real/imag formulation (host numpy):
+
+      fwd:  t2 = w @ FyT_cat             (nx, 2kyc)   [t_re | t_im]
+            z2 = FX2 @ [t_re; t_im]      (2Rx, kyc)   [z_re; z_im]
+      inv:  a2 = FXI2 @ [z_re; z_im]     (2nx, kyc)   [a_re; a_im]
+            w  = [a_re | a_im] @ Bcat    (nx, ny)     Re(a @ B)
+    """
+    M = _dft_constants(cfg)
+    rows, kxc, n_neg, kyc = _compact_meta(cfg)
+    Fx = (M["Fx"][0] + 1j * M["Fx"][1])[rows, :]
+    Fx_inv = (M["Fx_inv"][0] + 1j * M["Fx_inv"][1])[:, rows]
+    Fy = (M["Fy"][0] + 1j * M["Fy"][1])[:kyc, :]
+    B = (M["B"][0] + 1j * M["B"][1])[:kyc, :]
+    f = np.float32 if cfg.dtype == "float32" else np.float64
+    FyT_cat = np.concatenate([Fy.real.T, Fy.imag.T], axis=1)       # (ny,2kyc)
+    FX2 = np.block([[Fx.real, -Fx.imag],
+                    [Fx.imag, Fx.real]])                           # (2Rx,2nx)
+    FXI2 = np.block([[Fx_inv.real, -Fx_inv.imag],
+                     [Fx_inv.imag, Fx_inv.real]])                  # (2nx,2Rx)
+    Bcat = np.concatenate([B.real, -B.imag], axis=0)               # (2kyc,ny)
+    to_dev = lambda a: jnp.asarray(a.astype(f))
+    return (to_dev(FyT_cat), to_dev(FX2), to_dev(FXI2), to_dev(Bcat),
+            len(rows), kyc)
+
+
+def make_real_gemm_transforms(cfg: SpectralPeriodicConfig):
+    """(fwd, inv) between physical (..., nx, ny) real fields and stacked
+    (..., 2, Rx, kyc) real/imag compact spectra — four real GEMMs per
+    round trip, batched over leading dims."""
+    FyT_cat, FX2, FXI2, Bcat, Rx, kyc = _real_gemm_matrices(cfg)
+    prec = cfg.matmul_precision
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    nx = cfg.nx
+
+    def fwd(w):
+        t2 = mm(w.astype(FyT_cat.dtype), FyT_cat)      # (..., nx, 2kyc)
+        tstack = jnp.concatenate(
+            [t2[..., :, :kyc], t2[..., :, kyc:]], axis=-2)  # (..., 2nx, kyc)
+        z2 = mm(FX2, tstack)                           # (..., 2Rx, kyc)
+        return z2.reshape(z2.shape[:-2] + (2, Rx, kyc))
+
+    def inv(z2):
+        z = z2.reshape(z2.shape[:-3] + (2 * Rx, kyc))
+        a2 = mm(FXI2, z)                               # (..., 2nx, kyc)
+        acat = jnp.concatenate(
+            [a2[..., :nx, :], a2[..., nx:, :]], axis=-1)    # (..., nx, 2kyc)
+        return mm(acat, Bcat)                          # (..., nx, ny)
+
+    return fwd, inv
+
+
+def _ik_mul2(k: Array, z2: Array) -> Array:
+    """i * k * z on the stacked (..., 2, Rx, kyc) layout:
+    (re, im) -> (-k*im, k*re). Pure real arithmetic."""
+    return jnp.stack([-k * z2[..., 1, :, :], k * z2[..., 0, :, :]], axis=-3)
+
+
+def compact_real_to_complex(z2: Array) -> Array:
+    """Stacked (..., 2, Rx, kyc) real pair -> compact complex spectrum."""
+    return jax.lax.complex(z2[..., 0, :, :], z2[..., 1, :, :])
+
+
+def make_step_compact_real(cfg: SpectralPeriodicConfig):
+    """IF-AB2 step on the stacked real compact carry (real_gemm engine).
+    Same scheme as make_step_compact; the four inverse transforms of the
+    nonlinear term ride one batched GEMM pair."""
+    if not (cfg.transform == "matmul" and cfg.dealias
+            and cfg.compact_spectrum):
+        raise ValueError("real_gemm needs transform='matmul', dealias=True "
+                         "and compact_spectrum=True")
+    ops = make_compact_ops(cfg)
+    fwd, inv = make_real_gemm_transforms(cfg)
+    E = ops["visc"]
+    kx, ky, inv_k2 = ops["kx"], ops["ky"], ops["inv_k2"]
+
+    def nonlinear(w2):
+        psi = w2 * inv_k2
+        stack = jnp.stack([_ik_mul2(ky, psi), _ik_mul2(-kx, psi),
+                           _ik_mul2(kx, w2), _ik_mul2(ky, w2)])
+        u, v, wx, wy = inv(stack)                      # one batched GEMM pair
+        return -fwd(u * wx + v * wy)
+
+    def step(carry):
+        w2, N_prev = carry
+        N = nonlinear(w2)
+        w_new = E * w2 + cfg.dt * (1.5 * E * N - 0.5 * (E * E) * N_prev)
+        return (w_new, N), w_new
+
+    return step, ops
+
+
+def init_from_vorticity_real(cfg: SpectralPeriodicConfig, w0: Array):
+    fwd, inv = make_real_gemm_transforms(cfg)
+    ops = make_compact_ops(cfg)
+    kx, ky, inv_k2 = ops["kx"], ops["ky"], ops["inv_k2"]
+
+    @jax.jit
+    def build(w0):
+        w2 = fwd(w0.astype(cfg.real_dtype))
+        psi = w2 * inv_k2
+        stack = jnp.stack([_ik_mul2(ky, psi), _ik_mul2(-kx, psi),
+                           _ik_mul2(kx, w2), _ik_mul2(ky, w2)])
+        u, v, wx, wy = inv(stack)
+        return w2, -fwd(u * wx + v * wy)
+
+    return build(jnp.asarray(w0, cfg.real_dtype))
+
+
 def expand_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
     """Compact (…, Rx, kyc) spectrum -> full rfft2 layout (…, nx, ny//2+1)."""
     rows, kxc, n_neg, kyc = _compact_meta(cfg)
@@ -364,6 +490,8 @@ def make_step(cfg: SpectralPeriodicConfig):
     with E = exp(-nu k^2 dt); the N^{n-1} term carries one extra E factor so
     both RHS samples live at the same exponential scaling (standard IF-AB2).
     """
+    if cfg.real_gemm:
+        return make_step_compact_real(cfg)
     if cfg.compact_spectrum:
         return make_step_compact(cfg)
 
@@ -386,6 +514,8 @@ def init_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
     Jitted as one program — eager complex dispatch is avoided throughout
     this module (axon TPU reliability). With cfg.compact_spectrum the
     carry is the compact truncated spectrum (see expand_compact)."""
+    if cfg.real_gemm:
+        return init_from_vorticity_real(cfg, w0)
     if cfg.compact_spectrum:
         return init_from_vorticity_compact(cfg, w0)
     ops = make_ops(cfg)
@@ -530,18 +660,27 @@ class NavierStokesSystem:
     def __init__(self, w_ic: Array, nt=200, nx=256, ny=256, dt=0.001,
                  nu=1e-3, rho=1.0, dealias=True, dtype="float32",
                  transform="fft", matmul_precision="high",
-                 compact_spectrum=False):
+                 compact_spectrum=False, real_gemm=False):
         self.cfg = SpectralPeriodicConfig(
             nt=nt, nx=nx, ny=ny, dt=dt, nu=nu, rho=rho, dealias=dealias,
             dtype=dtype, transform=transform,
             matmul_precision=matmul_precision,
-            compact_spectrum=compact_spectrum)
+            compact_spectrum=compact_spectrum or real_gemm,
+            real_gemm=real_gemm)
         self.carry0 = init_from_vorticity(self.cfg, w_ic)
         self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
         self._final = jax.jit(partial(rollout_final, self.cfg))
         # jitted once here: a fresh jit(partial(...)) per call would key the
         # jit cache on the new partial object and recompile every invocation
-        self._expand = jax.jit(partial(expand_compact, self.cfg))
+        cfg = self.cfg
+
+        @jax.jit
+        def expand(z):
+            if cfg.real_gemm:
+                z = compact_real_to_complex(z)
+            return expand_compact(cfg, z)
+
+        self._expand = expand
 
     def simulate(self):
         w_hats = self._simulate_hat(self.carry0)

@@ -1,5 +1,6 @@
 """DFT-by-matmul transform mode vs the FFT mode (exact in float64)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,3 +143,74 @@ def test_bad_transform_name():
     cfg = sp.SpectralPeriodicConfig(transform="dct")
     with pytest.raises(ValueError):
         sp.make_transforms(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Real-GEMM engine (cfg.real_gemm): stacked real/imag block matmuls
+# ---------------------------------------------------------------------------
+
+def _rg_cfg(**kw):
+    base = dict(nt=6, nx=32, ny=32, dt=0.005, nu=1e-3, dtype="float64",
+                transform="matmul", matmul_precision="highest",
+                compact_spectrum=True, real_gemm=True, dealias=True)
+    base.update(kw)
+    return sp.SpectralPeriodicConfig(**base)
+
+
+def test_real_gemm_transforms_match_complex():
+    """fwd/inv of the real-GEMM engine equal the complex compact
+    transforms elementwise (f64)."""
+    cfg = _rg_cfg()
+    w = np.asarray(sp.decaying_turbulence_vorticity(cfg, seed=5))
+    cfwd, cinv = sp.make_compact_transforms(cfg)
+    rfwd, rinv = sp.make_real_gemm_transforms(cfg)
+    zc = np.asarray(jax.jit(cfwd)(jnp.asarray(w)))
+    z2 = np.asarray(jax.jit(rfwd)(jnp.asarray(w)))
+    np.testing.assert_allclose(z2[0], zc.real, atol=1e-12)
+    np.testing.assert_allclose(z2[1], zc.imag, atol=1e-12)
+    wc = np.asarray(jax.jit(cinv)(jnp.asarray(zc)))
+    wr = np.asarray(jax.jit(rinv)(jnp.asarray(z2)))
+    np.testing.assert_allclose(wr, wc, atol=1e-12)
+
+
+def test_real_gemm_rollout_matches_complex_compact():
+    """Full nt-step rollouts agree elementwise between the complex compact
+    carry and the real-GEMM carry (f64)."""
+    cfgc = _rg_cfg(real_gemm=False)
+    cfgr = _rg_cfg()
+    w0 = sp.decaying_turbulence_vorticity(cfgc, seed=6)
+
+    cc = sp.init_from_vorticity(cfgc, w0)
+    w_hat_c, _ = jax.jit(lambda c: sp.rollout_final(cfgc, c))(cc)
+
+    cr = sp.init_from_vorticity(cfgr, w0)
+    w2_r, _ = jax.jit(lambda c: sp.rollout_final(cfgr, c))(cr)
+    np.testing.assert_allclose(np.asarray(w2_r[0]), np.asarray(w_hat_c.real),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w2_r[1]), np.asarray(w_hat_c.imag),
+                               atol=1e-12)
+
+
+def test_real_gemm_system_wrapper():
+    """NavierStokesSystem(real_gemm=True) produces the same (u,v,p) as the
+    complex compact wrapper."""
+    cfg = _rg_cfg(nt=4)
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=7)
+    kw = dict(nt=4, nx=32, ny=32, dt=0.005, nu=1e-3, dtype="float64",
+              transform="matmul", matmul_precision="highest")
+    s_c = sp.NavierStokesSystem(w0, compact_spectrum=True, **kw)
+    s_r = sp.NavierStokesSystem(w0, real_gemm=True, **kw)
+    for a, b in zip(s_c.simulate(), s_r.simulate()):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12)
+
+
+def test_real_gemm_taylor_green_decay():
+    cfg = _rg_cfg(nt=10)
+    w0 = sp.taylor_green_vorticity(cfg)
+    carry = sp.init_from_vorticity(cfg, w0)
+    w2, _ = jax.jit(lambda c: sp.rollout_final(cfg, c))(carry)
+    _, rinv = sp.make_real_gemm_transforms(cfg)
+    w = np.asarray(jax.jit(rinv)(w2))
+    t = cfg.nt * cfg.dt
+    np.testing.assert_allclose(w, np.asarray(w0) * np.exp(-2 * cfg.nu * t),
+                               atol=1e-10)
