@@ -37,6 +37,14 @@ def main(argv=None):
     p.add_argument("--fno-rollout-steps", type=int, default=1,
                    help="fno only: k-step rollout training (pushforward)")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--n-models", type=int, default=1,
+                   help=">1 trains an ensemble of independently-seeded "
+                        "models in one vmapped step, sharded over the "
+                        "'ensemble' mesh axis when --mesh allows")
+    p.add_argument("--mesh", type=str, default="auto",
+                   help="ensemble mesh: 'auto' (largest usable device "
+                        "count), 'none' (single device), only with "
+                        "--n-models > 1")
     p.add_argument("--gpu-device", type=int, default=0,
                    help="accepted for reference-CLI compatibility; ignored")
     args = p.parse_args(argv)
@@ -51,7 +59,12 @@ def main(argv=None):
                       seed=args.seed, ckpt_every=args.ckpt_every,
                       fno_rollout_steps=args.fno_rollout_steps,
                       resume=args.resume)
-    tr = Trainer(cfg)
+    if args.n_models > 1:
+        from ns_tpu.train.ensemble import EnsembleTrainer
+        mesh = "auto" if args.mesh == "auto" else None
+        tr = EnsembleTrainer(cfg, args.n_models, mesh=mesh)
+    else:
+        tr = Trainer(cfg)
     tr.train()
     extrap = tr.extrapolate()
     out = os.path.join(out_dir, "extrapolation.npy")

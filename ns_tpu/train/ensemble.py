@@ -71,3 +71,145 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
         params, opt_state, losses = step(params, opt_state)
         history.append(losses)
     return params, jnp.stack(history)
+
+
+# ---------------------------------------------------------------------------
+# Product surface: ensemble trainer (CLI-reachable via train.py --n-models)
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv")
+
+
+def ensemble_mesh(n_models: int) -> Optional[Mesh]:
+    """Largest usable 'ensemble' mesh: k devices with k | n_models (None if
+    only one device is usable)."""
+    import jax as _jax
+    from ns_tpu.parallel.mesh import make_mesh
+    k = min(n_models, len(_jax.devices()))
+    while k > 1 and n_models % k:
+        k -= 1
+    if k <= 1:
+        return None
+    return make_mesh({"ensemble": k}, devices=_jax.devices()[:k])
+
+
+class EnsembleTrainer:
+    """Train N independently-seeded surrogates of one family in lockstep:
+    the model axis is vmapped through the jitted train step and (optionally)
+    sharded data-parallel over an 'ensemble' mesh axis. Mirrors
+    ns_tpu.train.trainer.Trainer's protocol (chunked dispatch, checkpoint
+    every ckpt_every with resume, loss history) for the basis families —
+    the reference's diversity-ensemble context (spectral_ode.py:90-97)
+    generalized from 1 seed to N.
+    """
+
+    def __init__(self, cfg, n_models: int, mesh: Optional[Mesh] = "auto"):
+        from ns_tpu.models.basis import (BasisGRU, BasisODE, BasisODE2,
+                                         BasisODEConv)
+        from ns_tpu.train.trainer import load_obs
+        if cfg.model not in ENSEMBLE_MODELS:
+            raise ValueError(f"ensemble training supports {ENSEMBLE_MODELS}, "
+                             f"got {cfg.model!r}")
+        if n_models < 2:
+            raise ValueError("n_models must be >= 2 for ensemble training")
+        self.cfg, self.n_models = cfg, n_models
+        obs = load_obs(cfg.npz_path, cfg.n_frames)
+        self.obs = obs
+        self.nt, _, _, self.nx, self.ny = obs.shape
+        cls = {"basis_ode": BasisODE, "basis_ode2": BasisODE2,
+               "basis_gru": BasisGRU, "basis_ode_conv": BasisODEConv}[cfg.model]
+        self.model = cls(cfg.n_coeffs, self.nx, self.ny)
+        self.mesh = ensemble_mesh(n_models) if mesh == "auto" else mesh
+        self.tx = optax.adam(cfg.lr)
+        self.params = init_ensemble(self.model, n_models, cfg.seed)
+        self.opt_state = jax.vmap(self.tx.init)(self.params)
+        self.losses: list = []   # one list of per-model loss vectors
+        self.start_iter = 1
+        if cfg.resume:
+            from ns_tpu.train.checkpoint import load_checkpoint, load_meta
+            state = {"params": self.params, "opt_state": self.opt_state}
+            state = load_checkpoint(cfg.resume, state)
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            meta = load_meta(cfg.resume)
+            self.losses = [list(map(float, row))
+                           for row in meta.get("losses", [])]
+            self.start_iter = int(meta.get("iter", 0)) + 1
+        if self.mesh is not None:
+            spec = lambda x: NamedSharding(
+                self.mesh, P("ensemble", *([None] * (x.ndim - 1))))
+            put = lambda x: jax.device_put(x, spec(x))
+            self.params = jax.tree_util.tree_map(put, self.params)
+            self.opt_state = jax.tree_util.tree_map(put, self.opt_state)
+        self._chunk_cache: dict = {}
+
+    def _one_loss(self, params):
+        pred = self.model.apply(params, self.obs[0], self.nt)
+        return l2_loss(pred, self.obs)
+
+    def _train_chunk(self, n: int):
+        if n not in self._chunk_cache:
+            @jax.jit
+            def chunk(params, opt_state):
+                def raw(params, opt_state):
+                    losses, grads = jax.vmap(
+                        jax.value_and_grad(self._one_loss))(params)
+                    updates, opt_state = jax.vmap(self.tx.update)(
+                        grads, opt_state)
+                    params = jax.vmap(optax.apply_updates)(params, updates)
+                    return params, opt_state, losses
+
+                def body(carry, _):
+                    params, opt_state = carry
+                    params, opt_state, losses = raw(params, opt_state)
+                    return (params, opt_state), losses
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), None, length=n)
+                return params, opt_state, losses
+
+            self._chunk_cache[n] = chunk
+        return self._chunk_cache[n]
+
+    def train(self, progress: bool = True):
+        import os
+        import numpy as _np
+        cfg = self.cfg
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        it = self.start_iter - 1
+        while it < cfg.n_iters:
+            n = min(cfg.ckpt_every - it % cfg.ckpt_every, cfg.n_iters - it)
+            chunk = self._train_chunk(n)
+            self.params, self.opt_state, losses = chunk(
+                self.params, self.opt_state)
+            rows = _np.asarray(losses)             # (n, n_models)
+            self.losses.extend([list(map(float, r)) for r in rows])
+            it += n
+            if it % cfg.ckpt_every == 0 or it == cfg.n_iters:
+                self.save(it)
+            if progress:
+                print(f"[{it}/{cfg.n_iters}] mean loss "
+                      f"{rows[-1].mean():.4f}", flush=True)
+        return self.losses
+
+    def save(self, it: int):
+        import dataclasses as _dc
+        from ns_tpu.train.checkpoint import save_checkpoint
+        state = {"params": self.params, "opt_state": self.opt_state}
+        meta = {"iter": it, "losses": self.losses,
+                "n_models": self.n_models, "config": _dc.asdict(self.cfg)}
+        return save_checkpoint(state, self.cfg.out_dir, meta=meta)
+
+    def extrapolate(self, npz_path: Optional[str] = None):
+        """(n_models, nt_full, 3, nx, ny) full-horizon rollouts."""
+        import numpy as _np
+        from ns_tpu.train.trainer import load_obs
+        obs_full = load_obs(npz_path or self.cfg.npz_path, None)
+        nt_full = obs_full.shape[0]
+
+        @jax.jit
+        def roll(params):
+            return jax.vmap(
+                lambda p: self.model.apply(p, obs_full[0], nt_full))(params)
+
+        return _np.asarray(roll(self.params)[:, :, 0])

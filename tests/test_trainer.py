@@ -91,3 +91,96 @@ def test_spatial_coarsen_block_mean():
     want = u[:, :4, :4].reshape(T, -1).mean(axis=1)  # block (0,0)
     np.testing.assert_allclose(cu[:, 0, 0], want)
     assert cu.shape == (T, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Ensemble trainer product surface (train.py --n-models)
+# ---------------------------------------------------------------------------
+
+def _toy_npz(tmp_path, nt=6, nx=8, ny=8, name="edata.npz"):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    path = tmp_path / name
+    np.savez(path, u=rng.normal(size=(nt, nx, ny)),
+             v=rng.normal(size=(nt, nx, ny)),
+             p=rng.normal(size=(nt, nx, ny)))
+    return str(path), nt, nx, ny
+
+
+def test_ensemble_trainer_trains_and_resumes(tmp_path):
+    import numpy as np
+    from ns_tpu.train.ensemble import EnsembleTrainer
+    from ns_tpu.train.trainer import TrainConfig
+
+    npz, nt, nx, ny = _toy_npz(tmp_path)
+    cfg = TrainConfig(model="basis_ode", npz_path=npz,
+                      out_dir=str(tmp_path / "ens"), n_iters=6, n_coeffs=2,
+                      n_frames=nt, ckpt_every=3)
+    tr = EnsembleTrainer(cfg, n_models=4)
+    losses = tr.train(progress=False)
+    assert len(losses) == 6 and len(losses[0]) == 4
+    arr = np.asarray(losses)
+    # each model's loss decreases and the seeds differ
+    assert (arr[-1] < arr[0]).all()
+    assert np.std(arr[0]) > 0
+
+    extrap = tr.extrapolate()
+    assert extrap.shape == (4, nt, 3, nx, ny)
+
+    # resume from the checkpoint continues the iteration count
+    cfg2 = TrainConfig(model="basis_ode", npz_path=npz,
+                       out_dir=str(tmp_path / "ens"), n_iters=9, n_coeffs=2,
+                       n_frames=nt, ckpt_every=3,
+                       resume=str(tmp_path / "ens" / "checkpoint.npz"))
+    tr2 = EnsembleTrainer(cfg2, n_models=4)
+    assert tr2.start_iter == 7
+    losses2 = tr2.train(progress=False)
+    assert len(losses2) == 9
+
+
+def test_ensemble_trainer_sharded_matches_unsharded(tmp_path):
+    """The ensemble-sharded run computes the same losses as mesh=None."""
+    import numpy as np
+    from ns_tpu.train.ensemble import EnsembleTrainer, ensemble_mesh
+    from ns_tpu.train.trainer import TrainConfig
+
+    npz, nt, nx, ny = _toy_npz(tmp_path)
+    mesh = ensemble_mesh(8)
+    assert mesh is not None and mesh.shape == {"ensemble": 8}
+    cfg = TrainConfig(model="basis_gru", npz_path=npz,
+                      out_dir=str(tmp_path / "e1"), n_iters=4, n_coeffs=2,
+                      n_frames=nt, ckpt_every=4)
+    tr_sharded = EnsembleTrainer(cfg, n_models=8, mesh="auto")
+    l1 = np.asarray(tr_sharded.train(progress=False))
+    cfg2 = TrainConfig(model="basis_gru", npz_path=npz,
+                       out_dir=str(tmp_path / "e2"), n_iters=4, n_coeffs=2,
+                       n_frames=nt, ckpt_every=4)
+    tr_single = EnsembleTrainer(cfg2, n_models=8, mesh=None)
+    l2 = np.asarray(tr_single.train(progress=False))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_ensemble_cli(tmp_path, monkeypatch):
+    import numpy as np
+    from ns_tpu.cli.train import main as train_main
+
+    npz, nt, nx, ny = _toy_npz(tmp_path)
+    out = str(tmp_path / "cliens")
+    monkeypatch.chdir(tmp_path)
+    train_main(["--model", "basis_ode2", "--npz-path", npz,
+                "--out-dir", out, "--n-iters", "2", "--n-coeffs", "2",
+                "--n-frames", str(nt), "--ckpt-every", "2",
+                "--n-models", "2"])
+    extrap = np.load(f"{out}_2/extrapolation.npy")
+    assert extrap.shape == (2, nt, 3, nx, ny)
+
+
+def test_ensemble_trainer_rejects_bad_model(tmp_path):
+    import pytest as _pytest
+    from ns_tpu.train.ensemble import EnsembleTrainer
+    from ns_tpu.train.trainer import TrainConfig
+    npz, nt, nx, ny = _toy_npz(tmp_path)
+    cfg = TrainConfig(model="fno", npz_path=npz,
+                      out_dir=str(tmp_path / "x"), n_frames=nt)
+    with _pytest.raises(ValueError, match="ensemble"):
+        EnsembleTrainer(cfg, n_models=2)
