@@ -1,5 +1,6 @@
 from ns_tpu.ops.pallas.poisson_kernels import (
     jacobi_fused_pallas,
     sor_redblack_fused_pallas,
+    sor_redblack_tiled_pallas,
     vmem_fits,
 )

@@ -171,3 +171,112 @@ def sor_redblack_fused_pallas(p: Array, rhs_c: Array, dx: float, dy: float,
         out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(p, rhs_c)
+
+
+# ---------------------------------------------------------------------------
+# Tiled (overlapped-strip) red-black SOR — the >= 1024^2 path
+# ---------------------------------------------------------------------------
+
+def sor_redblack_tiled_pallas(p: Array, rhs_c: Array, dx: float, dy: float,
+                              beta: float, tol: float, max_iter: int,
+                              k_per_launch: int = 4, tile_rows: int = 128,
+                              interpret: bool = False) -> Array:
+    """Red-black SOR for grids beyond the single-block VMEM ceiling.
+
+    Temporal blocking over row strips: each grid step loads a (tile_rows +
+    2H, ny) working strip (its own rows plus H = 2*k halo rows from each
+    neighbor strip, delivered as separate BlockSpec views of the same HBM
+    snapshot) and runs k_per_launch FULL red-black iterations in VMEM
+    before one writeback. Each iteration's dependency cone grows 2 rows, so
+    with H = 2*k the strip's own rows are bit-identical to k global sweeps
+    — one launch costs ~3 strip-sized HBM transfers instead of the XLA
+    path's ~4k (read+write per color per sweep), at (tile_rows+2H)/tile_rows
+    redundant compute.
+
+    The convergence gate (err = max|dp| vs tol, chorin_fd/simulate.py:183,
+    190) is evaluated every k_per_launch sweeps (per-strip maxima reduced
+    on host side of the while_loop), so the solve may run up to
+    k_per_launch-1 extra sweeps past the single-device stopping point —
+    same fixed point, slightly more converged.
+    """
+    nx, ny = p.shape
+    H = 2 * k_per_launch
+    tm = tile_rows
+    if nx % tm or tm % H:
+        raise ValueError(f"need tile_rows | nx and 2*k | tile_rows; got "
+                         f"nx={nx}, tile_rows={tm}, H={H}")
+    n_strips = nx // tm
+    sub = tm // H  # halo-block units per strip
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 * (dx2 + dy2)
+    W = tm + 2 * H  # working rows
+
+    def kernel(pt, pm, pb, ct, cm, cb, out_ref, err_ref):
+        i = pl.program_id(0)
+        pw = jnp.concatenate([pt[:, :], pm[:, :], pb[:, :]], axis=0)
+        cw = jnp.concatenate([ct[:, :], cm[:, :], cb[:, :]], axis=0)
+        g0 = i * tm - H  # global row of working row 0
+        rows = g0 + jax.lax.broadcasted_iota(jnp.int32, (W, ny), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, ny), 1)
+        interior = (rows >= 1) & (rows <= nx - 2) & (cols >= 1) & (cols <= ny - 2)
+        red = (((rows + cols) % 2) == 0) & interior
+        black = (((rows + cols) % 2) == 1) & interior
+        own = (rows >= i * tm) & (rows < (i + 1) * tm) & interior
+        bta = jnp.asarray(beta, pw.dtype)
+
+        def gs(q):
+            up = pltpu.roll(q, W - 1, 0)
+            down = pltpu.roll(q, 1, 0)
+            right = pltpu.roll(q, ny - 1, 1)
+            left = pltpu.roll(q, 1, 1)
+            return bta * (dy2 * (up + down) + dx2 * (right + left) - cw) \
+                / denom + (1.0 - bta) * q
+
+        def sweep(_, q):
+            q = jnp.where(red, gs(q), q)
+            return jnp.where(black, gs(q), q)
+
+        q_prev = jax.lax.fori_loop(0, k_per_launch - 1, sweep, pw)
+        q_last = sweep(0, q_prev)
+        # gate error: last sweep's max|dp| over this strip's own rows,
+        # broadcast into a tile-aligned (8, 128) err block (Mosaic requires
+        # last-two-dims multiples of (8, 128) for VMEM outputs)
+        err = jnp.max(jnp.where(own, jnp.abs(q_last - q_prev), 0.0))
+        err_ref[:, :] = jnp.full((8, 128), err, q_last.dtype)
+        out_ref[:, :] = q_last[H:H + tm, :]
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    halo_spec_top = pl.BlockSpec((H, ny), lambda i: (i * sub - 1, 0),
+                                 memory_space=mem)
+    main_spec = pl.BlockSpec((tm, ny), lambda i: (i, 0), memory_space=mem)
+    halo_spec_bot = pl.BlockSpec((H, ny), lambda i: ((i + 1) * sub, 0),
+                                 memory_space=mem)
+
+    launch = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        out_shape=(jax.ShapeDtypeStruct(p.shape, p.dtype),
+                   jax.ShapeDtypeStruct((8 * n_strips, 128), p.dtype)),
+        in_specs=[halo_spec_top, main_spec, halo_spec_bot] * 2,
+        out_specs=(main_spec,
+                   pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=mem)),
+        interpret=interpret,
+    )
+
+    def cond(carry):
+        _, err, it = carry
+        return (err > tol) & (it < max_iter)
+
+    def body(carry):
+        q, _, it = carry
+        q_new, errs = launch(q, q, q, rhs_c, rhs_c, rhs_c)
+        return q_new, jnp.max(errs[::8, 0]), it + k_per_launch
+
+    # it starts at 1 for the reference's cap semantics (err=1, it=1; loop
+    # while it < nit -> nit-1 sweeps; ref chorin_fd/simulate.py:183,190),
+    # quantized up to the launch granularity k_per_launch
+    q, _, _ = jax.lax.while_loop(
+        cond, body, (p, jnp.asarray(jnp.inf, p.dtype),
+                     jnp.asarray(1, jnp.int32)))
+    return q

@@ -250,13 +250,23 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                 p = cg_poisson(p, f, cfg.dx, cfg.dy,
                                tol=cfg.sor_tol, max_iter=cfg.nit)
             elif cfg.use_pallas:
-                from ns_tpu.ops.pallas import sor_redblack_fused_pallas, vmem_fits
-                if not vmem_fits(cfg.nx, cfg.ny,
-                                 bytes_per=jnp.dtype(dtype).itemsize):
-                    raise ValueError("grid too large for the fused Pallas SOR; "
-                                     "set use_pallas=False")
-                p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
-                                              cfg.beta, cfg.sor_tol, cfg.nit)
+                from ns_tpu.ops.pallas import (sor_redblack_fused_pallas,
+                                               sor_redblack_tiled_pallas,
+                                               vmem_fits)
+                if vmem_fits(cfg.nx, cfg.ny,
+                             bytes_per=jnp.dtype(dtype).itemsize):
+                    # whole solve VMEM-resident, one launch (2.3x at 51^2)
+                    p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
+                                                  cfg.beta, cfg.sor_tol,
+                                                  cfg.nit)
+                else:
+                    # beyond the VMEM ceiling: overlapped-strip temporal
+                    # blocking, 8 sweeps per launch (1.2x at 1024^2;
+                    # convergence gate every 8 sweeps — see RESULTS.md)
+                    p = sor_redblack_tiled_pallas(p, rhs_c, cfg.dx, cfg.dy,
+                                                  cfg.beta, cfg.sor_tol,
+                                                  cfg.nit, k_per_launch=8,
+                                                  tile_rows=128)
             else:
                 p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
                                  cfg.sor_tol, cfg.nit)

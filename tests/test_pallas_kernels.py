@@ -50,3 +50,36 @@ def test_vmem_guard():
     assert vmem_fits(51, 51)
     assert vmem_fits(512, 512)
     assert not vmem_fits(4096, 4096)
+
+
+def test_tiled_sor_matches_xla_fixed_iterations():
+    """Overlapped-strip tiled SOR == the XLA red-black solver after the
+    same sweep count (tol=0 forces the iteration cap; N*k+1 cap = N*k
+    sweeps on both sides given the reference's it-starts-at-1 semantics)."""
+    import numpy as np
+    from ns_tpu.ops.pallas.poisson_kernels import sor_redblack_tiled_pallas
+    from ns_tpu.ops.poisson import sor_redblack
+
+    nx = ny = 128
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(size=(nx, ny)))
+    p0 = jnp.zeros((nx, ny))
+    dx = dy = 2.0 / (nx - 1)
+    for n_launches, k, tm in ((8, 4, 64), (4, 8, 32)):
+        cap = n_launches * k + 1
+        ref = sor_redblack(p0, rhs, dx, dy, 1.25, 0.0, cap)
+        tiled = sor_redblack_tiled_pallas(p0, rhs, dx, dy, 1.25, 0.0, cap,
+                                          k_per_launch=k, tile_rows=tm,
+                                          interpret=True)
+        assert float(jnp.abs(ref - tiled).max()) < 1e-9
+
+
+def test_tiled_sor_validates_geometry():
+    import numpy as np
+    import pytest
+    from ns_tpu.ops.pallas.poisson_kernels import sor_redblack_tiled_pallas
+    p = jnp.zeros((100, 100))
+    with pytest.raises(ValueError, match="tile_rows"):
+        sor_redblack_tiled_pallas(p, p, 0.1, 0.1, 1.25, 0.0, 10,
+                                  k_per_launch=4, tile_rows=64,
+                                  interpret=True)
