@@ -26,12 +26,19 @@ under jit each step is a single fused XLA program.
 NOTE (measured, see tests/golden): the reference scheme as written is
 numerically unstable at its own default config — fields grow ~1e5x per step
 from a zero+lid start and overflow by step ~6. Parity is therefore asserted
-on the first 3 steps in float64. The corrected operator mode
-(`quirk_compat=False`, proper D @ D second derivative) is provided for
-actual use. Like the reference (NotImplementedError at ref :218-227), only
-Dirichlet BCs are supported: the Robin beta machinery is plumbed through
-the boundary-constant helpers, but a Neumann variant was measured unstable
-with the current boundary lifting and is rejected explicitly.
+on the first 3 steps in float64 (and for 6 steps on the nullspace-deflated
+workload). The corrected operator mode (`quirk_compat=False`, proper
+D @ D second derivative) is provided for actual use.
+
+BCs: quirk mode supports Dirichlet only, raising exactly like the reference
+(NotImplementedError at ref :218-227). The corrected mode ALSO supports
+Neumann (and the general Robin machinery underneath): the boundary values
+are reconstructed from the interior via the 2x2 face solve, their
+interior-dependent part is folded into the Helmholtz operator as a rank-2
+outer-product update, the data part is lifted into the RHS, and the
+boundary rows are re-derived after the pressure projection (they are
+functions of the interior under Robin data). Neumann g is the
+physical-coordinate derivative (d/dx or d/dy), not the outward normal.
 """
 
 from __future__ import annotations
@@ -84,16 +91,19 @@ class ChorinSpectralConfig:
         return 2.0 / self.ny
 
 
-def _process_bcs(bc_list: Sequence[BC]):
+def _process_bcs(bc_list: Sequence[BC], allow_neumann: bool = False):
     """Map the BC list to Robin constants per side (ref :201-230).
 
     Dirichlet -> alpha=1, g=value on that side. The side naming quirk is
     preserved: top -> minus_y, bottom -> plus_y (ref :210-215), matching the
-    descending Gauss-Lobatto coordinate. Neumann raises NotImplementedError
-    exactly like the reference (ref :218-221): the Robin beta machinery is
-    plumbed through `_boundary_constants`, but the corrected-mode boundary
-    lifting assumes fixed edge VALUES, and a Neumann variant was measured
-    unstable — rejected rather than shipped silently wrong.
+    descending Gauss-Lobatto coordinate.
+
+    Neumann (alpha=0, beta=1, g = coordinate-direction derivative value)
+    is supported in the CORRECTED mode only (`allow_neumann=True`), where
+    the predictor lifts the reconstructed — interior-dependent — boundary
+    values into the Helmholtz RHS (see predictor_corrected); in quirk mode
+    it raises exactly like the reference (ref :218-221), whose fixed-value
+    lifting cannot represent derivative data.
     """
     c = {f"{w}_{s}": 0.0 for w in ("alpha", "beta", "g")
          for s in ("minus_x", "plus_x", "minus_y", "plus_y")}
@@ -101,13 +111,17 @@ def _process_bcs(bc_list: Sequence[BC]):
                 "top": "minus_y", "bottom": "plus_y"}
     seen = set()
     for bc in bc_list:
-        if bc.kind != "dirichlet":
-            raise NotImplementedError(
-                "chorin_spectral supports Dirichlet BCs only (the reference "
-                "likewise raises, chorin_spectral/simulate.py:218-221)")
         s = side_map[bc.side]
         seen.add(s)
-        c[f"alpha_{s}"] = 1.0
+        if bc.kind == "dirichlet":
+            c[f"alpha_{s}"] = 1.0
+        elif bc.kind == "neumann" and allow_neumann:
+            c[f"beta_{s}"] = 1.0
+        else:
+            raise NotImplementedError(
+                "chorin_spectral supports Dirichlet BCs only in quirk mode "
+                "(the reference likewise raises, chorin_spectral/simulate.py"
+                ":218-221); Neumann needs quirk_compat=False")
         c[f"g_{s}"] = float(bc.value)
     missing = set(side_map.values()) - seen
     if missing:
@@ -133,17 +147,31 @@ def _boundary_constants(D: np.ndarray, c: dict, axis: str):
 class _FieldOps:
     """Device constants for one velocity field's Helmholtz solve + BC rows."""
 
-    def __init__(self, Dx, Dy, Dx_sqr, Dy_sqr, cbc, dtype):
+    def __init__(self, Dx, Dy, Dx_sqr, Dy_sqr, cbc, dtype,
+                 corrected: bool = False):
         self.kx = _boundary_constants(Dx, cbc, "x")
         self.ky = _boundary_constants(Dy, cbc, "y")
         self.g = {k: cbc[k] for k in
                   ("g_minus_x", "g_plus_x", "g_minus_y", "g_plus_y")}
-        # BC-modified interior operators (ref :159-166; note the reference
-        # broadcast adds the (N-2,) edge-weight vector across matrix rows)
-        Mx = Dx_sqr[1:-1, 1:-1] + (1.0 / self.kx["e"]) * (
-            self.kx["b0"] * Dx_sqr[1:-1, 0] + self.kx["bN"] * Dx_sqr[1:-1, -1])
-        My = Dy_sqr[1:-1, 1:-1] + (1.0 / self.ky["e"]) * (
-            self.ky["b0"] * Dy_sqr[1:-1, 0] + self.ky["bN"] * Dy_sqr[1:-1, -1])
+        if corrected:
+            # proper substitution of the reconstructed boundary values into
+            # the interior Laplacian rows: a rank-2 outer-product update
+            # D2[:,0] (x) b0/e + D2[:,-1] (x) bN/e (zero for pure Dirichlet)
+            Mx = Dx_sqr[1:-1, 1:-1] + (1.0 / self.kx["e"]) * (
+                np.outer(Dx_sqr[1:-1, 0], self.kx["b0"])
+                + np.outer(Dx_sqr[1:-1, -1], self.kx["bN"]))
+            My = Dy_sqr[1:-1, 1:-1] + (1.0 / self.ky["e"]) * (
+                np.outer(Dy_sqr[1:-1, 0], self.ky["b0"])
+                + np.outer(Dy_sqr[1:-1, -1], self.ky["bN"]))
+        else:
+            # BC-modified interior operators exactly as the reference wrote
+            # them (ref :159-166): the (N-2,) edge-weight vector broadcast
+            # row-wise — a quirk that only matters when beta != 0, which the
+            # reference rejects anyway
+            Mx = Dx_sqr[1:-1, 1:-1] + (1.0 / self.kx["e"]) * (
+                self.kx["b0"] * Dx_sqr[1:-1, 0] + self.kx["bN"] * Dx_sqr[1:-1, -1])
+            My = Dy_sqr[1:-1, 1:-1] + (1.0 / self.ky["e"]) * (
+                self.ky["b0"] * Dy_sqr[1:-1, 0] + self.ky["bN"] * Dy_sqr[1:-1, -1])
         # host copies kept for operator-equality detection (all-Dirichlet
         # BCs give u and v identical operators -> batched Helmholtz solve)
         self._Mx_np, self._My_np = Mx, My
@@ -169,8 +197,13 @@ def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
     Dx_sqr = cheb.d_sqr_matrix(Nx, quirk_compat=cfg.quirk_compat)
     Dy_sqr = cheb.d_sqr_matrix(Ny, quirk_compat=cfg.quirk_compat)
 
-    u_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr, _process_bcs(u_bc), dtype)
-    v_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr, _process_bcs(v_bc), dtype)
+    corrected = not cfg.quirk_compat
+    u_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr,
+                      _process_bcs(u_bc, allow_neumann=corrected), dtype,
+                      corrected=corrected)
+    v_ops = _FieldOps(Dx, Dy, Dx_sqr, Dy_sqr,
+                      _process_bcs(v_bc, allow_neumann=corrected), dtype,
+                      corrected=corrected)
 
     DPx = cheb.d_matrix_pn_minus_2(Nx, quirk_compat=cfg.quirk_compat)
     DPy = cheb.d_matrix_pn_minus_2(Ny, quirk_compat=cfg.quirk_compat)
@@ -216,8 +249,14 @@ def _helmholtz_solve(F, ops: _FieldOps, dt):
     return ops.P @ (u_hat @ ops.Q.T)
 
 
-def _boundary_rows(soln, ops: _FieldOps):
-    """Reconstruct edge rows/cols from the interior solve (ref :245-256)."""
+def _boundary_rows(soln, ops: _FieldOps, corrected: bool = False):
+    """Reconstruct edge rows/cols from the interior solve (ref :245-256).
+
+    The reference's far-face formulas drop the BC-data term (its xN/yN are
+    pure interior sums; fine for its zero far-face cavity values). The
+    corrected mode restores the full 2x2-solve data terms on both faces —
+    required for nonzero far-face Dirichlet values and for any
+    Neumann/Robin data."""
     kx, ky, g = ops.kx, ops.ky, ops.g
     x0 = (jnp.sum(ops.b0_x[:, None] * soln, axis=0)
           + (kx["c0_minus"] * g["g_minus_x"] + kx["c0_plus"] * g["g_plus_x"])) / kx["e"]
@@ -225,6 +264,11 @@ def _boundary_rows(soln, ops: _FieldOps):
     y0 = (jnp.sum(ops.b0_y[None, :] * soln, axis=1)
           + (ky["c0_minus"] * g["g_minus_y"] + ky["c0_plus"] * g["g_plus_y"])) / ky["e"]
     yN = jnp.sum(ops.bN_y[None, :] * soln, axis=1) / ky["e"]
+    if corrected:
+        xN = xN + (kx["cN_minus"] * g["g_minus_x"]
+                   + kx["cN_plus"] * g["g_plus_x"]) / kx["e"]
+        yN = yN + (ky["cN_minus"] * g["g_minus_y"]
+                   + ky["cN_plus"] * g["g_plus_y"]) / ky["e"]
     return x0, xN, y0, yN
 
 
@@ -251,12 +295,17 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
     same_ops = (np.array_equal(u_ops._Mx_np, v_ops._Mx_np)
                 and np.array_equal(u_ops._My_np, v_ops._My_np))
 
+    # corrected mode runs CN diffusion at the CONFIGURED viscosity:
+    # (2 - nu*dt*Lap) u* = RHS (the reference never multiplies by nu,
+    # ref :258-298 — quirk mode keeps dt alone for parity)
+    dt_eff = dt if cfg.quirk_compat else cfg.nu * dt
+
     def _solve_uv(u_F, v_F):
         if same_ops:
-            soln = _helmholtz_solve(jnp.stack([u_F, v_F]), u_ops, dt)
+            soln = _helmholtz_solve(jnp.stack([u_F, v_F]), u_ops, dt_eff)
             return soln[0], soln[1]
-        return (_helmholtz_solve(u_F, u_ops, dt),
-                _helmholtz_solve(v_F, v_ops, dt))
+        return (_helmholtz_solve(u_F, u_ops, dt_eff),
+                _helmholtz_solve(v_F, v_ops, dt_eff))
 
     def predictor_ref(un, vn, un1, vn1):
         """AB advection + CN diffusion RHS, Helmholtz solve — exact reference
@@ -303,27 +352,46 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
             h_dx, h_dy = Dxr @ h_full[:, 1:-1], h_full[1:-1, :] @ Dyr.T
             h1_dx, h1_dy = Dxr @ h1_full[:, 1:-1], h1_full[1:-1, :] @ Dyr.T
             h_ddx, h_ddy = Dx2r @ h_full[:, 1:-1], h_full[1:-1, :] @ Dy2r.T
+            # NOTE the nu factor: the reference stores self.nu but never
+            # multiplies any diffusion term by it (ref :258-298 — its
+            # momentum equation effectively runs at nu = 1 regardless of
+            # config). Quirk mode replicates that (predictor_ref above);
+            # corrected mode applies the configured viscosity.
             F = (2.0 * h
                  - 3.0 * dt * (_un * h_dx + _vn * h_dy)
                  + dt * (_un1 * h1_dx + _vn1 * h1_dy)
-                 + dt * (h_ddx + h_ddy))
-            # lift the known u* boundary values (Dirichlet g) into the RHS
-            g = ops.g
-            gx0 = jnp.full((Ny - 2,), g["g_plus_x"], dtype)   # row 0 = x=+1
-            gxN = jnp.full((Ny - 2,), g["g_minus_x"], dtype)  # row N = x=-1
-            gy0 = jnp.full((Nx - 2,), g["g_plus_y"], dtype)
-            gyN = jnp.full((Nx - 2,), g["g_minus_y"], dtype)
+                 + cfg.nu * dt * (h_ddx + h_ddy))
+            # lift the DATA part of the reconstructed u* boundary values
+            # into the RHS (the interior-dependent part is folded into the
+            # eigen-solved operator in _FieldOps). For Dirichlet this is
+            # just the boundary value g; for Neumann/Robin it is the 2x2
+            # boundary-solve data term.
+            g, kx, ky = ops.g, ops.kx, ops.ky
+            gx0_v = (kx["c0_plus"] * g["g_plus_x"]
+                     + kx["c0_minus"] * g["g_minus_x"]) / kx["e"]
+            gxN_v = (kx["cN_plus"] * g["g_plus_x"]
+                     + kx["cN_minus"] * g["g_minus_x"]) / kx["e"]
+            gy0_v = (ky["c0_plus"] * g["g_plus_y"]
+                     + ky["c0_minus"] * g["g_minus_y"]) / ky["e"]
+            gyN_v = (ky["cN_plus"] * g["g_plus_y"]
+                     + ky["cN_minus"] * g["g_minus_y"]) / ky["e"]
+            gx0 = jnp.full((Ny - 2,), gx0_v, dtype)   # row 0 = x=+1
+            gxN = jnp.full((Ny - 2,), gxN_v, dtype)   # row N = x=-1
+            gy0 = jnp.full((Nx - 2,), gy0_v, dtype)
+            gyN = jnp.full((Nx - 2,), gyN_v, dtype)
             lift = (C["Dx_sqr_rows"][:, 0][:, None] * gx0[None, :]
                     + C["Dx_sqr_rows"][:, -1][:, None] * gxN[None, :]
                     + gy0[:, None] * C["Dy_sqr_rows"][:, 0][None, :]
                     + gyN[:, None] * C["Dy_sqr_rows"][:, -1][None, :])
-            return F + dt * lift
+            return F + cfg.nu * dt * lift
 
         u_F = F_of(un, un1, u_ops)
         v_F = F_of(vn, vn1, v_ops)
         u_soln, v_soln = _solve_uv(u_F, v_F)
-        ui = _assemble(Nx, Ny, u_soln, _boundary_rows(u_soln, u_ops), dtype)
-        vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
+        ui = _assemble(Nx, Ny, u_soln,
+                       _boundary_rows(u_soln, u_ops, corrected=True), dtype)
+        vi = _assemble(Nx, Ny, v_soln,
+                       _boundary_rows(v_soln, v_ops, corrected=True), dtype)
         return ui, vi
 
     predictor = predictor_ref if cfg.quirk_compat else predictor_corrected
@@ -365,8 +433,19 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
             # corrected projection: u <- u* - (dt/rho) * grad_{P_{N-2}} Q, so
             # Dx (DPx Q) + (Q DPy^T) Dy^T equals the Uzawa LHS and the
             # interior divergence of u^{n+1} vanishes by construction.
-            u_next = ui.at[1:-1, 1:-1].add(-(C["DPx"] @ Q) * dt / rho)
-            v_next = vi.at[1:-1, 1:-1].add(-(Q @ C["DPy"].T) * dt / rho)
+            u_int = ui[1:-1, 1:-1] - (C["DPx"] @ Q) * dt / rho
+            v_int = vi[1:-1, 1:-1] - (Q @ C["DPy"].T) * dt / rho
+            # the boundary values are functions of the interior (via the
+            # Robin reconstruction), so re-derive them from the projected
+            # interior; for pure Dirichlet this reproduces the fixed values
+            u_next = _assemble(Nx, Ny, u_int,
+                               _boundary_rows(u_int, u_ops, corrected=True),
+                               ui.dtype)
+            v_next = _assemble(Nx, Ny, v_int,
+                               _boundary_rows(v_int, v_ops, corrected=True),
+                               vi.dtype)
+            p_next = p.at[1:-1, 1:-1].set(Q)
+            return u_next, v_next, p_next
         p_next = p.at[1:-1, 1:-1].set(Q)
         return u_next, v_next, p_next
 

@@ -35,3 +35,93 @@ def test_corrected_explicit_stable_and_differs_from_quirked():
     assert np.abs(np.asarray(uc)).max() < 2.0
     # the corrected y-advection stencil changes the flow measurably
     assert np.abs(np.asarray(uc[-1]) - np.asarray(uq[-1])).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Neumann BCs in corrected mode (round 2: derivative-data boundary lifting)
+# ---------------------------------------------------------------------------
+
+def test_neumann_rejected_in_quirk_mode():
+    import pytest
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.solvers import chorin_spectral
+    u_bc = [neumann(0, "left", 0.1, 0.1), dirichlet(0, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    with pytest.raises(NotImplementedError):
+        chorin_spectral._process_bcs(u_bc, allow_neumann=False)
+
+
+def test_corrected_neumann_channel_matches_heat_equation():
+    """Channel shear u = 1 - y^2 with Neumann-0 x-faces and Dirichlet-0
+    y-faces reduces to the 1D heat equation u_t = nu u_yy; the corrected
+    solver (which, unlike the reference, actually applies nu — the
+    reference stores self.nu and never uses it, ref :258-298) matches a
+    converged FD heat solve to ~2e-6 and satisfies the Neumann condition
+    spectrally."""
+    import numpy as np
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.ops import cheb
+    from ns_tpu.solvers import chorin_spectral
+
+    nx = ny = 33
+    u_bc = [neumann(0, "left", 0.1, 0.1), neumann(0, "right", 0.1, 0.1),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    x = cheb.gauss_lobatto(nx)
+    _, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = 1.0 - Y**2
+    nu, dt, nt = 0.1, 1e-3, 100
+    sys_ = chorin_spectral.NavierStokesSystem(
+        u0, np.zeros((nx, ny)), np.zeros((nx, ny)), u_bc, v_bc,
+        nt=nt, nx=nx, ny=ny, dt=dt, rho=1, nu=nu, dtype=jnp.float64,
+        quirk_compat=False)
+    u, v, p = sys_.simulate()
+    u = np.asarray(u)
+    assert np.isfinite(u).all()
+    # stays x-independent (no spurious x-coupling through the Neumann faces)
+    assert np.abs(u[-1] - u[-1][nx // 2][None, :]).max() < 1e-10
+    # v stays identically zero
+    assert np.abs(np.asarray(v[-1])).max() < 1e-10
+    # matches the 1D heat equation at the configured nu
+    m = 801
+    yx = np.linspace(-1, 1, m)
+    hy = yx[1] - yx[0]
+    w = 1.0 - yx**2
+    sub = 40
+    for _ in range(nt * sub):
+        lap = np.zeros_like(w)
+        lap[1:-1] = (w[2:] - 2 * w[1:-1] + w[:-2]) / hy**2
+        w = w + dt / sub * nu * lap
+        w[0] = w[-1] = 0.0
+    exact = np.interp(x, yx, w)
+    rel = np.abs(u[-1][nx // 2, :] - exact).max() / np.abs(exact).max()
+    assert rel < 1e-5, rel
+    # Neumann condition holds spectrally on both x faces
+    D = cheb.d_matrix(nx, quirk_compat=False)
+    dun = D @ u[-1]
+    assert np.abs(dun[0, 1:-1]).max() < 1e-10
+    assert np.abs(dun[-1, 1:-1]).max() < 1e-10
+
+
+def test_corrected_mode_applies_nu():
+    """Two corrected runs differing only in nu must differ (the reference's
+    momentum step ignores nu entirely — defect replicated in quirk mode
+    only)."""
+    import numpy as np
+    from ns_tpu.core.bc import dirichlet
+    from ns_tpu.ops import cheb
+    from ns_tpu.solvers import chorin_spectral
+
+    nx = ny = 21
+    bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    x = cheb.gauss_lobatto(nx)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = (1 - X**2) * (1 - Y**2)
+    outs = []
+    for nu in (0.05, 0.5):
+        s = chorin_spectral.NavierStokesSystem(
+            u0, np.zeros((nx, ny)), np.zeros((nx, ny)), bc0, bc0,
+            nt=10, nx=nx, ny=ny, dt=1e-3, rho=1, nu=nu,
+            dtype=jnp.float64, quirk_compat=False)
+        outs.append(np.asarray(s.simulate()[0][-1]))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-6
