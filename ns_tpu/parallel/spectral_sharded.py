@@ -23,6 +23,7 @@ step); validated elementwise against the unsharded rollout on a fake
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -261,10 +262,18 @@ def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
 
 
 def make_sharded_compact_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
-                                 axis: str = "x"):
+                                 axis: str = "x",
+                                 ens_axis: Optional[str] = None):
     """(rollout, physical_sharding): rollout maps row-sharded physical
     vorticity (nx, ny) -> final row-sharded vorticity after cfg.nt compact
-    IF-AB2 steps — the distributed form of rollout_final_compact."""
+    IF-AB2 steps — the distributed form of rollout_final_compact.
+
+    With `ens_axis`, the input carries a LEADING batch axis sharded
+    data-parallel over that mesh axis (the north-star topology: batch-64
+    ensembles x spatial rows on a 2D mesh) — every transform matmul gains a
+    batch dim (bigger GEMMs) and the spatial all_to_all stays confined to
+    the `axis` ring; the ensemble axis never communicates in the hot loop.
+    """
     K = make_sharded_compact(cfg, mesh, axis)
     C = K["C"]
 
@@ -283,9 +292,9 @@ def make_sharded_compact_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
         (w_hat, _), _ = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
         return K["inv"](w_hat)
 
-    sharded = jax.shard_map(block, mesh=mesh,
-                            in_specs=P(axis, None), out_specs=P(axis, None))
-    return jax.jit(sharded), NamedSharding(mesh, P(axis, None))
+    spec = P(ens_axis, axis, None) if ens_axis else P(axis, None)
+    sharded = jax.shard_map(block, mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(sharded), NamedSharding(mesh, spec)
 
 
 def make_sharded_compact_simulate(cfg: SpectralPeriodicConfig, mesh: Mesh,
