@@ -259,10 +259,17 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                     p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
                                                   cfg.beta, cfg.sor_tol,
                                                   cfg.nit)
-                else:
+                elif cfg.ny % 256 == 0:
                     # beyond the VMEM ceiling: overlapped-strip temporal
-                    # blocking, 8 sweeps per launch (1.2x at 1024^2;
+                    # blocking with packed color planes (1.34x at 1024^2;
                     # convergence gate every 8 sweeps — see RESULTS.md)
+                    from ns_tpu.ops.pallas import (
+                        sor_redblack_packed_tiled_pallas)
+                    p = sor_redblack_packed_tiled_pallas(
+                        p, rhs_c, cfg.dx, cfg.dy, cfg.beta, cfg.sor_tol,
+                        cfg.nit, k_per_launch=8, tile_rows=128)
+                else:
+                    # color-masked tiled variant for odd widths (1.2x)
                     p = sor_redblack_tiled_pallas(p, rhs_c, cfg.dx, cfg.dy,
                                                   cfg.beta, cfg.sor_tol,
                                                   cfg.nit, k_per_launch=8,
