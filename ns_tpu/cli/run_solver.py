@@ -54,6 +54,23 @@ def main(argv=None):
                    choices=["semi_implicit", "explicit"])
     p.add_argument("--corrected", action="store_true",
                    help="chorin_spectral: stable corrected-operator mode")
+    p.add_argument("--pressure-mode", default="redblack",
+                   choices=["redblack", "gauss_seidel", "multigrid", "cg"],
+                   help="chorin_fd pressure solver")
+    p.add_argument("--transform", default="fft", choices=["fft", "matmul"],
+                   help="periodic families: FFT or MXU matmul-DFT")
+    p.add_argument("--precision", default="high",
+                   choices=["default", "high", "highest"],
+                   help="matmul-DFT precision (default=bf16 ~5e-3, "
+                        "high=bf16x3 ~3e-5, highest=f32)")
+    p.add_argument("--compact", action="store_true",
+                   help="periodic families: compact dealias-truncated "
+                        "spectrum carry (the flagship throughput path)")
+    p.add_argument("--stream-dir", type=str, default=None,
+                   help="periodic families: stream u/v/p frames to "
+                        "memmapped .npy files in this directory instead of "
+                        "materializing the stacked rollout (horizons larger "
+                        "than device memory)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--out", type=str, default=None)
@@ -86,7 +103,8 @@ def main(argv=None):
         sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=args.nt,
                                   nit=nit, nx=nx, ny=nx, dt=args.dt,
                                   rho=args.rho, nu=args.nu, beta=args.beta,
-                                  method=args.method, dtype=dtype)
+                                  method=args.method, dtype=dtype,
+                                  pressure_mode=args.pressure_mode)
         u, v, pr = sys_.simulate()
         default_out = f"data_{args.method}.npz"
     elif args.family == "chorin_spectral":
@@ -106,12 +124,34 @@ def main(argv=None):
         from ns_tpu.solvers import spectral_periodic as sp
         nx = args.nx or 256
         cfg_kwargs = dict(nt=args.nt, nx=nx, ny=nx, dt=args.dt, nu=args.nu,
-                          rho=args.rho, dtype=args.dtype)
+                          rho=args.rho, dtype=args.dtype,
+                          transform=args.transform,
+                          matmul_precision=args.precision,
+                          compact_spectrum=args.compact)
         cfg = sp.SpectralPeriodicConfig(**cfg_kwargs)
         if args.family == "taylor_green":
             w0 = sp.taylor_green_vorticity(cfg)
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
+        if args.stream_dir:
+            import jax.numpy as jnp
+            from ns_tpu.io.streaming import stream_rollout
+            carry0 = sp.init_from_vorticity(cfg, w0)
+            step, _ = sp.make_step(cfg)
+            step_fn = lambda c: step(c)[0]
+            if cfg.compact_spectrum:
+                _, cinv = sp.make_compact_transforms(cfg)
+                extract = lambda c: {"w": cinv(c[0])}
+            else:
+                extract = lambda c: {
+                    "w": jnp.fft.irfft2(c[0], s=(cfg.nx, cfg.ny))}
+            paths = stream_rollout(step_fn, carry0, cfg.nt, extract,
+                                   args.stream_dir)
+            elapsed = time.perf_counter() - t0
+            print(f"{args.family}: nt={args.nt} grid={nx}x{nx} streamed to "
+                  f"{paths['w']} in {elapsed:.2f}s "
+                  f"({args.nt / elapsed:.1f} steps/s)")
+            return
         sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
         u, v, pr = sys_.simulate()
         default_out = f"{args.family}.npz"

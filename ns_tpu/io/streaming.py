@@ -1,0 +1,68 @@
+"""Streaming rollout writer: time horizons larger than device memory.
+
+The reference materializes whole (nt, nx, ny) rollouts in memory before one
+np.savez at the end (direct_fd/simulate.py:129-144,194). On TPU the stacked
+rollout is the HBM limit long before compute is: 200 frames of u/v/p at
+1024^2 f32 is already 2.4 GB. This writer runs the rollout in fixed-size
+scan chunks — each chunk is ONE device program — and streams the stacked
+frames into memmapped .npy files between chunks, so the device never holds
+more than `chunk` frames and the host never holds more than one chunk.
+
+Output files are standard .npy (np.load-compatible); the npz-compatible
+path (ns_tpu/io/npz.py) remains for reference-format interchange.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def stream_rollout(step_fn: Callable, state0, nt: int,
+                   extract: Callable, out_dir: str,
+                   chunk: int = 64, dtype=np.float32) -> Dict[str, str]:
+    """Roll `state0` forward nt steps with `step_fn`, streaming the
+    per-step outputs of `extract(state) -> {name: array}` into
+    `out_dir/<name>.npy` memmaps of shape (nt, *array.shape).
+
+    Returns {name: path}. The rollout runs in ceil(nt/chunk) jitted scan
+    chunks (two compiled programs at most: full chunk + remainder).
+    """
+    probe = extract(state0)
+    os.makedirs(out_dir, exist_ok=True)
+    outs = {
+        name: np.lib.format.open_memmap(
+            os.path.join(out_dir, f"{name}.npy"), mode="w+", dtype=dtype,
+            shape=(nt,) + tuple(a.shape))
+        for name, a in probe.items()
+    }
+
+    def make_chunk(n):
+        @jax.jit
+        def run(state):
+            def body(state, _):
+                state = step_fn(state)
+                return state, extract(state)
+            return jax.lax.scan(body, state, None, length=n)
+        return run
+
+    run_full = make_chunk(chunk)
+    state = state0
+    t = 0
+    while t < nt:
+        n = min(chunk, nt - t)
+        run = run_full if n == chunk else make_chunk(n)
+        state, frames = run(state)
+        host = jax.device_get(frames)  # one bulk transfer per chunk
+        for name, arr in host.items():
+            outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
+        t += n
+    for m in outs.values():
+        m.flush()
+    return {name: os.path.join(out_dir, f"{name}.npy") for name in outs}

@@ -84,3 +84,54 @@ def test_timed_blocks():
 def test_sanity_cli_runs():
     from ns_tpu.cli.sanity import main
     main(["--n", "33"])
+
+
+def test_stream_rollout_matches_in_memory(tmp_path):
+    """Chunked streaming writer produces byte-identical frames to the
+    in-memory stacked rollout (incl. a non-divisible remainder chunk)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ns_tpu.io.streaming import stream_rollout
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    cfg = sp.SpectralPeriodicConfig(nt=11, nx=16, ny=16, dt=1e-3, nu=1e-3)
+    w0 = sp.taylor_green_vorticity(cfg)
+    carry0 = sp.init_from_vorticity(cfg, w0)
+    step, _ = sp.make_step(cfg)
+
+    def step_fn(carry):
+        new_carry, _ = step(carry)
+        return new_carry
+
+    def extract(carry):
+        return {"w": jnp.fft.irfft2(carry[0], s=(cfg.nx, cfg.ny))}
+
+    paths = stream_rollout(step_fn, carry0, cfg.nt, extract,
+                           str(tmp_path / "roll"), chunk=4)
+    w_stream = np.load(paths["w"])
+    assert w_stream.shape == (cfg.nt, cfg.nx, cfg.ny)
+
+    w_hats = jax.jit(lambda c: sp.simulate_hat(cfg, c))(carry0)
+    w_ref = np.asarray(jax.vmap(
+        lambda h: jnp.fft.irfft2(h, s=(cfg.nx, cfg.ny)))(w_hats))
+    np.testing.assert_allclose(w_stream, w_ref.astype(np.float32), rtol=1e-6)
+
+
+def test_run_solver_cli_streaming_and_flags(tmp_path, monkeypatch):
+    """CLI: --stream-dir streams the turbulence rollout; --pressure-mode cg
+    and --transform matmul --compact are reachable."""
+    import numpy as np
+    from ns_tpu.cli.run_solver import main as run_main
+
+    monkeypatch.chdir(tmp_path)
+    run_main(["decaying_turbulence", "--nx", "16", "--nt", "7",
+              "--transform", "matmul", "--compact", "--precision", "highest",
+              "--stream-dir", str(tmp_path / "stream")])
+    w = np.load(tmp_path / "stream" / "w.npy")
+    assert w.shape == (7, 16, 16) and np.isfinite(w).all()
+
+    run_main(["chorin_fd", "--nx", "17", "--nt", "2", "--nit", "50",
+              "--pressure-mode", "cg", "--out", str(tmp_path / "cg.npz")])
+    d = np.load(tmp_path / "cg.npz")
+    assert np.isfinite(d["u"]).all()
