@@ -67,15 +67,18 @@ def main():
                          f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
 
     # --- compact-spectrum carry (the bench.py flagship path) --------------
-    for prec in ("high", "default"):
+    for prec, rg in (("high", False), ("default", False),
+                     ("high", True), ("default", True)):
         cfg = sp.SpectralPeriodicConfig(
             nt=200, nx=1024, ny=1024, dt=5e-4, nu=1e-4, dtype="float32",
-            transform="matmul", matmul_precision=prec, compact_spectrum=True)
+            transform="matmul", matmul_precision=prec, compact_spectrum=True,
+            real_gemm=rg)
         w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
-        c0 = sp.init_from_vorticity_compact(cfg, w0)
-        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final_compact(cfg, c))
+        c0 = sp.init_from_vorticity(cfg, w0)
+        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
         el = timeit(lambda: roll(c0))
-        rows.append((f"spectral_periodic 1024^2 (compact matmul/{prec}), 200 steps",
+        tag = ("real-GEMM engine" if rg else "compact matmul") + f"/{prec}"
+        rows.append((f"spectral_periodic 1024^2 ({tag}), 200 steps",
                      f"{200/el:.0f} steps/s",
                      f"{200*1024*1024/el/1e9:.2f}e9 cell-updates/s"))
 
@@ -162,8 +165,15 @@ def main():
         out.append("| " + " | ".join(r) + " |")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "RESULTS.md")
+    # preserve every hand-written '## ' analysis section below the table
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
     with open(path, "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write("\n".join(out) + "\n" + tail)
     print("\n".join(out))
 
 
