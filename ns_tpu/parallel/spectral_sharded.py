@@ -137,6 +137,73 @@ def make_sharded_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
     return rollout, NamedSharding(mesh, P(axis, None))
 
 
+def make_sharded_simulate(cfg: SpectralPeriodicConfig, mesh: Mesh,
+                          axis: str = "x"):
+    """(simulate, physical_sharding) for the distributed-FFT path:
+    simulate maps row-sharded physical vorticity to the STACKED
+    (nt, nx, ny) vorticity rollout (row-sharded per frame) — the stacked
+    counterpart of make_sharded_rollout's final-state contract."""
+    n = mesh.shape[axis]
+    if cfg.nx % n:
+        raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
+    C = _host_constants(cfg, n)
+    nyh, nyp = C["nyh"], C["nyp"]
+    cp = nyp // n
+    dt = cfg.dt
+
+    def chunk(full: Array) -> Array:
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(full, i * cp, cp, axis=1)
+
+    def fwd(w_local: Array) -> Array:
+        a = jnp.fft.rfft(w_local, axis=1)
+        a = jnp.pad(a, ((0, 0), (0, nyp - nyh)))
+        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return jnp.fft.fft(a, axis=0)
+
+    def inv(s: Array) -> Array:
+        a = jnp.fft.ifft(s, axis=0)
+        a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
+                               tiled=True)
+        return jnp.fft.irfft(a[:, :nyh], n=cfg.ny, axis=1)
+
+    def block_simulate(w0_local: Array) -> Array:
+        kx = C["kx"]
+        ky_c = chunk(C["ky"])
+        inv_k2_c = chunk(C["inv_k2"])
+        visc_c = chunk(C["visc"])
+        mask_c = chunk(C["mask"].astype(jnp.int8)) > 0
+
+        def nonlinear(w_hat):
+            w_hat = jnp.where(mask_c, w_hat, 0.0)
+            psi = w_hat * inv_k2_c
+            u = inv(_ik_mul(ky_c, psi))
+            v = inv(-_ik_mul(kx, psi))
+            wx = inv(_ik_mul(kx, w_hat))
+            wy = inv(_ik_mul(ky_c, w_hat))
+            N = -fwd(u * wx + v * wy)
+            return jnp.where(mask_c, N, 0.0)
+
+        w_hat0 = fwd(w0_local)
+        N0 = nonlinear(w_hat0)
+
+        def body(carry, _):
+            w_hat, N_prev = carry
+            N = nonlinear(w_hat)
+            w_new = visc_c * w_hat + dt * (1.5 * visc_c * N
+                                           - 0.5 * visc_c * visc_c * N_prev)
+            return (w_new, N), inv(w_new)
+
+        _, w_seq = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
+        return w_seq
+
+    sharded = jax.shard_map(block_simulate, mesh=mesh,
+                            in_specs=P(axis, None),
+                            out_specs=P(None, axis, None))
+    return jax.jit(sharded), NamedSharding(mesh, P(axis, None))
+
+
 # ---------------------------------------------------------------------------
 # Distributed compact matmul-DFT path
 # ---------------------------------------------------------------------------

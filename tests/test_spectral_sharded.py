@@ -171,3 +171,21 @@ def test_sharded_compact_ensemble_by_spatial_mesh():
     assert w_fin.shape == (B, cfg.nx, cfg.ny)
     for b in range(B):
         np.testing.assert_allclose(np.asarray(w_fin[b]), refs[b], atol=1e-11)
+
+
+def test_sharded_fft_simulate_stacked():
+    """The distributed-FFT path also offers the stacked-rollout contract."""
+    from ns_tpu.parallel.spectral_sharded import make_sharded_simulate
+    cfg = sp.SpectralPeriodicConfig(nt=6, nx=32, ny=32, dt=0.005, nu=1e-3,
+                                    dtype="float64")
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=4)
+    c0 = sp.init_from_vorticity(cfg, w0)
+    w_hats = jax.jit(lambda c: sp.simulate_hat(cfg, c))(c0)
+    w_ref = np.asarray(jax.vmap(
+        lambda h: jnp.fft.irfft2(h, s=(cfg.nx, cfg.ny)))(w_hats))
+
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    simulate, sharding = make_sharded_simulate(cfg, mesh)
+    w_seq = simulate(jax.device_put(w0, sharding))
+    assert w_seq.shape == (cfg.nt, cfg.nx, cfg.ny)
+    np.testing.assert_allclose(np.asarray(w_seq), w_ref, atol=1e-11)

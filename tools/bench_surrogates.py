@@ -1,0 +1,76 @@
+"""Surrogate extrapolation-quality sweep -> printed markdown rows.
+
+Reproduces the RESULTS.md surrogate table protocol at a chosen resolution:
+generate a decaying-turbulence rollout with the periodic spectral solver,
+train each surrogate on the FIRST 100 frames (the reference's
+teacher-forced protocol, spectral_ode.py:158-167), then run the
+full-horizon autoregressive extrapolation and report relative L2 errors on
+the train horizon and the full horizon.
+
+Usage: python tools/bench_surrogates.py [--nx 64] [--n-iters 400]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--nt", type=int, default=200)
+    ap.add_argument("--n-iters", type=int, default=400)
+    ap.add_argument("--n-coeffs", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    from ns_tpu.io.npz import save_rollout
+    from ns_tpu.solvers import spectral_periodic as sp
+    from ns_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = sp.SpectralPeriodicConfig(nt=args.nt, nx=args.nx, ny=args.nx,
+                                    dt=1e-3, nu=1e-3, dtype="float32")
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=0,
+                                          k_peak=max(4.0, args.nx / 12))
+    sys_ = sp.NavierStokesSystem(w0, nt=args.nt, nx=args.nx, ny=args.nx,
+                                 dt=1e-3, nu=1e-3)
+    u, v, p = (np.asarray(a) for a in sys_.simulate())
+    tmp = tempfile.mkdtemp()
+    npz = os.path.join(tmp, "data.npz")
+    save_rollout(npz, u, v, p)
+    obs_full = np.stack([u, v, p], axis=1)  # (nt, 3, nx, ny)
+
+    def rel(pred, target):
+        return float(np.linalg.norm(pred - target) / np.linalg.norm(target))
+
+    rows = []
+    jobs = [("fno (next-step)", dict(model="fno")),
+            ("fno (4-step rollout training)",
+             dict(model="fno", fno_rollout_steps=4)),
+            ("basis_ode", dict(model="basis_ode"))]
+    for name, kw in jobs:
+        tc = TrainConfig(npz_path=npz, out_dir=os.path.join(tmp, name),
+                         n_iters=args.n_iters, n_coeffs=args.n_coeffs,
+                         n_frames=100, ckpt_every=50, **kw)
+        t0 = time.perf_counter()
+        tr = Trainer(tc)
+        tr.train(progress=False)
+        train_s = time.perf_counter() - t0
+        ex = tr.extrapolate()
+        rows.append((name, rel(ex[:100], obs_full[:100]),
+                     rel(ex, obs_full), train_s))
+        print(f"| {name} | {rows[-1][1]:.2f} | {rows[-1][2]:.2f} "
+              f"| {train_s:.0f} s |", flush=True)
+
+    print(f"\n# {args.nx}^2, {args.n_iters} iters "
+          f"(| model | train rel | full rel | train time |)")
+
+
+if __name__ == "__main__":
+    main()
