@@ -31,16 +31,8 @@ class RolloutEngine:
 
     def __init__(self, cfg: sp.SpectralPeriodicConfig):
         self.cfg = cfg
-        ops = sp.make_ops(cfg)
-
-        def run(w0):
-            w_hat = jnp.fft.rfft2(w0.astype(cfg.real_dtype))
-            carry = (w_hat, sp.nonlinear_term(w_hat, ops, cfg))
-            w_hat_final, _ = sp.rollout_final(cfg, carry)
-            return jnp.fft.irfft2(w_hat_final, s=(cfg.nx, cfg.ny))
-
         shape = jax.ShapeDtypeStruct((cfg.nx, cfg.ny), cfg.real_dtype)
-        self._compiled = jax.jit(run).lower(shape).compile()
+        self._compiled = jax.jit(_rollout_fn(cfg)).lower(shape).compile()
 
     def __call__(self, w0):
         return self._compiled(jnp.asarray(w0, self.cfg.real_dtype))
@@ -51,13 +43,13 @@ class RolloutEngine:
 
 
 def _rollout_fn(cfg: sp.SpectralPeriodicConfig) -> Callable:
-    ops = sp.make_ops(cfg)
+    """physical w0 -> physical w after cfg.nt steps, on whichever engine
+    the config selects (fft / matmul / compact / real_gemm)."""
 
     def run(w0):
-        w_hat = jnp.fft.rfft2(w0.astype(cfg.real_dtype))
-        carry = (w_hat, sp.nonlinear_term(w_hat, ops, cfg))
-        w_hat_final, _ = sp.rollout_final(cfg, carry)
-        return jnp.fft.irfft2(w_hat_final, s=(cfg.nx, cfg.ny))
+        carry = sp.carry_from_vorticity(cfg, w0)
+        final_carry = sp.rollout_final(cfg, carry)
+        return sp.physical_from_carry(cfg, final_carry[0])
 
     return run
 

@@ -510,25 +510,55 @@ def make_step(cfg: SpectralPeriodicConfig):
     return step, ops
 
 
+def carry_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
+    """TRACEABLE carry builder for any engine (fft / matmul / compact /
+    real_gemm) — used inside larger jitted programs (serving engines,
+    exports); init_from_vorticity is the eager-facing jitted wrapper."""
+    if cfg.real_gemm:
+        fwd, inv = make_real_gemm_transforms(cfg)
+        ops = make_compact_ops(cfg)
+        w2 = fwd(w0.astype(cfg.real_dtype))
+        psi = w2 * ops["inv_k2"]
+        stack = jnp.stack([_ik_mul2(ops["ky"], psi),
+                           _ik_mul2(-ops["kx"], psi),
+                           _ik_mul2(ops["kx"], w2),
+                           _ik_mul2(ops["ky"], w2)])
+        u, v, wx, wy = inv(stack)
+        return w2, -fwd(u * wx + v * wy)
+    if cfg.compact_spectrum:
+        fwd, inv = make_compact_transforms(cfg)
+        ops = make_compact_ops(cfg)
+        w_hat = fwd(w0.astype(cfg.real_dtype))
+        psi = w_hat * ops["inv_k2"]
+        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
+                           _ik_mul(ops["kx"], w_hat),
+                           _ik_mul(ops["ky"], w_hat)])
+        u, v, wx, wy = inv(stack)
+        return w_hat, -fwd(u * wx + v * wy)
+    ops = make_ops(cfg)
+    transforms = make_transforms(cfg)
+    w_hat = transforms[0](w0.astype(cfg.real_dtype))
+    return w_hat, nonlinear_term(w_hat, ops, cfg, transforms)
+
+
+def physical_from_carry(cfg: SpectralPeriodicConfig, w_spec: Array) -> Array:
+    """Traceable spectrum -> physical vorticity for any engine's carry."""
+    if cfg.real_gemm:
+        _, inv = make_real_gemm_transforms(cfg)
+        return inv(w_spec)
+    if cfg.compact_spectrum:
+        _, inv = make_compact_transforms(cfg)
+        return inv(w_spec)
+    return jnp.fft.irfft2(w_spec, s=(cfg.nx, cfg.ny))
+
+
 def init_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
     """Build the scan carry from a physical-space vorticity field; the AB2
     history seeds with the first nonlinear evaluation (self-start).
     Jitted as one program — eager complex dispatch is avoided throughout
     this module (axon TPU reliability). With cfg.compact_spectrum the
     carry is the compact truncated spectrum (see expand_compact)."""
-    if cfg.real_gemm:
-        return init_from_vorticity_real(cfg, w0)
-    if cfg.compact_spectrum:
-        return init_from_vorticity_compact(cfg, w0)
-    ops = make_ops(cfg)
-    transforms = make_transforms(cfg)
-    fwd, _ = transforms
-
-    @jax.jit
-    def build(w0):
-        w_hat = fwd(w0.astype(cfg.real_dtype))
-        return w_hat, nonlinear_term(w_hat, ops, cfg, transforms)
-
+    build = jax.jit(partial(carry_from_vorticity, cfg))
     return build(jnp.asarray(w0, cfg.real_dtype))
 
 

@@ -66,3 +66,27 @@ def test_train_ensemble_sharded():
                                   mesh=mesh)
     assert hist.shape == (5, 8)
     assert np.isfinite(np.asarray(hist)).all()
+
+
+def test_rollout_engine_serves_all_spectral_engines():
+    """The AOT engine serves whichever engine the config selects, all
+    agreeing with each other on a smooth flow (f64)."""
+    import numpy as np
+    from ns_tpu.runtime.engine import RolloutEngine
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    kw = dict(nt=5, nx=32, ny=32, dt=1e-3, nu=1e-3, dtype="float64")
+    w0 = np.asarray(sp.taylor_green_vorticity(sp.SpectralPeriodicConfig(**kw)))
+    outs = {}
+    for name, extra in (
+            ("fft", {}),
+            ("compact", dict(transform="matmul", matmul_precision="highest",
+                             compact_spectrum=True)),
+            ("real_gemm", dict(transform="matmul",
+                               matmul_precision="highest",
+                               compact_spectrum=True, real_gemm=True))):
+        eng = RolloutEngine(sp.SpectralPeriodicConfig(**kw, **extra))
+        outs[name] = np.asarray(eng(w0))
+    np.testing.assert_allclose(outs["compact"], outs["fft"], atol=1e-10)
+    np.testing.assert_allclose(outs["real_gemm"], outs["compact"],
+                               atol=1e-12)
