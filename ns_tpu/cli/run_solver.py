@@ -67,7 +67,7 @@ def main(argv=None):
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
     p.add_argument("--stream-dir", type=str, default=None,
-                   help="periodic families: stream u/v/p frames to "
+                   help="periodic families: stream u/v/p/w frames to "
                         "memmapped .npy files in this directory instead of "
                         "materializing the stacked rollout (horizons larger "
                         "than device memory)")
@@ -134,22 +134,30 @@ def main(argv=None):
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
         if args.stream_dir:
-            import jax.numpy as jnp
+            from functools import partial
             from ns_tpu.io.streaming import stream_rollout
             carry0 = sp.init_from_vorticity(cfg, w0)
             step, _ = sp.make_step(cfg)
             step_fn = lambda c: step(c)[0]
-            if cfg.compact_spectrum:
-                _, cinv = sp.make_compact_transforms(cfg)
-                extract = lambda c: {"w": cinv(c[0])}
-            else:
-                extract = lambda c: {
-                    "w": jnp.fft.irfft2(c[0], s=(cfg.nx, cfg.ny))}
+
+            def extract(c):
+                # reference simulate() contract (u, v, p) plus vorticity;
+                # compact/real-GEMM carries expand to the rfft2 layout for
+                # the field/pressure recovery
+                w_spec = c[0]
+                if cfg.real_gemm:
+                    w_spec = sp.compact_real_to_complex(w_spec)
+                if cfg.compact_spectrum:
+                    w_spec = sp.expand_compact(cfg, w_spec)
+                u, v, w = sp.fields_from_hat(cfg, w_spec)
+                p = sp.pressure_from_hat(cfg, w_spec)
+                return {"u": u, "v": v, "p": p, "w": w}
+
             paths = stream_rollout(step_fn, carry0, cfg.nt, extract,
                                    args.stream_dir)
             elapsed = time.perf_counter() - t0
-            print(f"{args.family}: nt={args.nt} grid={nx}x{nx} streamed to "
-                  f"{paths['w']} in {elapsed:.2f}s "
+            print(f"{args.family}: nt={args.nt} grid={nx}x{nx} streamed "
+                  f"u/v/p/w to {args.stream_dir} in {elapsed:.2f}s "
                   f"({args.nt / elapsed:.1f} steps/s)")
             return
         sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ns_tpu.utils import to_host
+
 Array = jnp.ndarray
 
 
@@ -34,7 +36,9 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
     Returns {name: path}. The rollout runs in ceil(nt/chunk) jitted scan
     chunks (two compiled programs at most: full chunk + remainder).
     """
-    probe = extract(state0)
+    # shapes only — jax.eval_shape keeps the (complex) extract math out of
+    # eager dispatch (CLAUDE.md: eager complex dispatch flakes on axon)
+    probe = jax.eval_shape(extract, state0)
     os.makedirs(out_dir, exist_ok=True)
     outs = {
         name: np.lib.format.open_memmap(
@@ -59,7 +63,10 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
         n = min(chunk, nt - t)
         run = run_full if n == chunk else make_chunk(n)
         state, frames = run(state)
-        host = jax.device_get(frames)  # one bulk transfer per chunk
+        # one bulk transfer per chunk, laundered through to_host: the scan
+        # executable contains complex FFT/DFT ops, whose outputs the axon
+        # tunnel cannot read back directly (ns_tpu/utils/host.py)
+        host = to_host(frames)
         for name, arr in host.items():
             outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
         t += n

@@ -67,18 +67,16 @@ def _host_constants(cfg: SpectralPeriodicConfig, n_shards: int):
                 mask=jnp.asarray(mask), nyh=nyh, nyp=nyp)
 
 
-def make_sharded_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
-                         axis: str = "x"):
-    """Build (rollout_fn, physical_sharding). rollout_fn maps a row-sharded
-    physical vorticity (nx, ny) to the final row-sharded vorticity after
-    cfg.nt IF-AB2 steps."""
+def _make_fft_pieces(cfg: SpectralPeriodicConfig, mesh: Mesh, axis: str):
+    """Shared machinery of the distributed-FFT entry points: transposed
+    transforms, per-shard constants, the masked nonlinear term and the
+    IF-AB2 step."""
     n = mesh.shape[axis]
     if cfg.nx % n:
         raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
     C = _host_constants(cfg, n)
     nyh, nyp = C["nyh"], C["nyp"]
     cp = nyp // n          # spectral columns per shard
-    bx = cfg.nx // n       # physical rows per shard
     dt = cfg.dt
 
     def chunk(full: Array) -> Array:
@@ -101,35 +99,50 @@ def make_sharded_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
                                tiled=True)                     # (bx, nyp)
         return jnp.fft.irfft(a[:, :nyh], n=cfg.ny, axis=1)
 
+    def consts():
+        return dict(kx=C["kx"], ky=chunk(C["ky"]),
+                    inv_k2=chunk(C["inv_k2"]), visc=chunk(C["visc"]),
+                    mask=chunk(C["mask"].astype(jnp.int8)) > 0)
+
+    def nonlinear(w_hat, c):
+        w_hat = jnp.where(c["mask"], w_hat, 0.0)
+        psi = w_hat * c["inv_k2"]
+        u = inv(_ik_mul(c["ky"], psi))
+        v = inv(-_ik_mul(c["kx"], psi))
+        wx = inv(_ik_mul(c["kx"], w_hat))
+        wy = inv(_ik_mul(c["ky"], w_hat))
+        N = -fwd(u * wx + v * wy)
+        return jnp.where(c["mask"], N, 0.0)
+
+    def step(carry, c):
+        w_hat, N_prev = carry
+        N = nonlinear(w_hat, c)
+        E = c["visc"]
+        w_new = E * w_hat + dt * (1.5 * E * N - 0.5 * E * E * N_prev)
+        return (w_new, N), w_new
+
+    return dict(fwd=fwd, inv=inv, consts=consts, nonlinear=nonlinear,
+                step=step)
+
+
+def make_sharded_rollout(cfg: SpectralPeriodicConfig, mesh: Mesh,
+                         axis: str = "x"):
+    """Build (rollout_fn, physical_sharding). rollout_fn maps a row-sharded
+    physical vorticity (nx, ny) to the final row-sharded vorticity after
+    cfg.nt IF-AB2 steps."""
+    K = _make_fft_pieces(cfg, mesh, axis)
+
     def block_rollout(w0_local: Array) -> Array:
-        kx = C["kx"]
-        ky_c = chunk(C["ky"])
-        inv_k2_c = chunk(C["inv_k2"])
-        visc_c = chunk(C["visc"])
-        mask_c = chunk(C["mask"].astype(jnp.int8)) > 0
-
-        def nonlinear(w_hat):
-            w_hat = jnp.where(mask_c, w_hat, 0.0)
-            psi = w_hat * inv_k2_c
-            u = inv(_ik_mul(ky_c, psi))
-            v = inv(-_ik_mul(kx, psi))
-            wx = inv(_ik_mul(kx, w_hat))
-            wy = inv(_ik_mul(ky_c, w_hat))
-            N = -fwd(u * wx + v * wy)
-            return jnp.where(mask_c, N, 0.0)
-
-        w_hat0 = fwd(w0_local)
-        N0 = nonlinear(w_hat0)
+        c = K["consts"]()
+        w_hat0 = K["fwd"](w0_local)
+        N0 = K["nonlinear"](w_hat0, c)
 
         def body(carry, _):
-            w_hat, N_prev = carry
-            N = nonlinear(w_hat)
-            w_new = visc_c * w_hat + dt * (1.5 * visc_c * N
-                                           - 0.5 * visc_c * visc_c * N_prev)
-            return (w_new, N), None
+            carry, _ = K["step"](carry, c)
+            return carry, None
 
         (w_hat, _), _ = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
-        return inv(w_hat)
+        return K["inv"](w_hat)
 
     sharded = jax.shard_map(block_rollout, mesh=mesh,
                             in_specs=P(axis, None), out_specs=P(axis, None))
@@ -143,57 +156,16 @@ def make_sharded_simulate(cfg: SpectralPeriodicConfig, mesh: Mesh,
     simulate maps row-sharded physical vorticity to the STACKED
     (nt, nx, ny) vorticity rollout (row-sharded per frame) — the stacked
     counterpart of make_sharded_rollout's final-state contract."""
-    n = mesh.shape[axis]
-    if cfg.nx % n:
-        raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
-    C = _host_constants(cfg, n)
-    nyh, nyp = C["nyh"], C["nyp"]
-    cp = nyp // n
-    dt = cfg.dt
-
-    def chunk(full: Array) -> Array:
-        i = jax.lax.axis_index(axis)
-        return jax.lax.dynamic_slice_in_dim(full, i * cp, cp, axis=1)
-
-    def fwd(w_local: Array) -> Array:
-        a = jnp.fft.rfft(w_local, axis=1)
-        a = jnp.pad(a, ((0, 0), (0, nyp - nyh)))
-        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0,
-                               tiled=True)
-        return jnp.fft.fft(a, axis=0)
-
-    def inv(s: Array) -> Array:
-        a = jnp.fft.ifft(s, axis=0)
-        a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1,
-                               tiled=True)
-        return jnp.fft.irfft(a[:, :nyh], n=cfg.ny, axis=1)
+    K = _make_fft_pieces(cfg, mesh, axis)
 
     def block_simulate(w0_local: Array) -> Array:
-        kx = C["kx"]
-        ky_c = chunk(C["ky"])
-        inv_k2_c = chunk(C["inv_k2"])
-        visc_c = chunk(C["visc"])
-        mask_c = chunk(C["mask"].astype(jnp.int8)) > 0
-
-        def nonlinear(w_hat):
-            w_hat = jnp.where(mask_c, w_hat, 0.0)
-            psi = w_hat * inv_k2_c
-            u = inv(_ik_mul(ky_c, psi))
-            v = inv(-_ik_mul(kx, psi))
-            wx = inv(_ik_mul(kx, w_hat))
-            wy = inv(_ik_mul(ky_c, w_hat))
-            N = -fwd(u * wx + v * wy)
-            return jnp.where(mask_c, N, 0.0)
-
-        w_hat0 = fwd(w0_local)
-        N0 = nonlinear(w_hat0)
+        c = K["consts"]()
+        w_hat0 = K["fwd"](w0_local)
+        N0 = K["nonlinear"](w_hat0, c)
 
         def body(carry, _):
-            w_hat, N_prev = carry
-            N = nonlinear(w_hat)
-            w_new = visc_c * w_hat + dt * (1.5 * visc_c * N
-                                           - 0.5 * visc_c * visc_c * N_prev)
-            return (w_new, N), inv(w_new)
+            carry, w_new = K["step"](carry, c)
+            return carry, K["inv"](w_new)
 
         _, w_seq = jax.lax.scan(body, (w_hat0, N0), None, length=cfg.nt)
         return w_seq

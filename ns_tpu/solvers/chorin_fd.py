@@ -251,6 +251,7 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                                tol=cfg.sor_tol, max_iter=cfg.nit)
             elif cfg.use_pallas:
                 from ns_tpu.ops.pallas import (sor_redblack_fused_pallas,
+                                               sor_redblack_packed_tiled_pallas,
                                                sor_redblack_tiled_pallas,
                                                vmem_fits)
                 if vmem_fits(cfg.nx, cfg.ny,
@@ -259,21 +260,25 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                     p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
                                                   cfg.beta, cfg.sor_tol,
                                                   cfg.nit)
-                elif cfg.ny % 256 == 0:
+                elif cfg.nx % 128 == 0 and cfg.ny % 256 == 0:
                     # beyond the VMEM ceiling: overlapped-strip temporal
                     # blocking with packed color planes (1.34x at 1024^2;
                     # convergence gate every 8 sweeps — see RESULTS.md)
-                    from ns_tpu.ops.pallas import (
-                        sor_redblack_packed_tiled_pallas)
                     p = sor_redblack_packed_tiled_pallas(
                         p, rhs_c, cfg.dx, cfg.dy, cfg.beta, cfg.sor_tol,
                         cfg.nit, k_per_launch=8, tile_rows=128)
-                else:
+                elif cfg.nx % 128 == 0:
                     # color-masked tiled variant for odd widths (1.2x)
                     p = sor_redblack_tiled_pallas(p, rhs_c, cfg.dx, cfg.dy,
                                                   cfg.beta, cfg.sor_tol,
                                                   cfg.nit, k_per_launch=8,
                                                   tile_rows=128)
+                else:
+                    # grid matches no kernel geometry (tiled strips need
+                    # 128 | nx): fall back to the XLA path rather than
+                    # failing at trace time
+                    p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
+                                     cfg.sor_tol, cfg.nit)
             else:
                 p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
                                  cfg.sor_tol, cfg.nit)

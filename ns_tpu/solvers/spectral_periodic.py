@@ -354,14 +354,9 @@ def make_step_compact_real(cfg: SpectralPeriodicConfig):
     ops = make_compact_ops(cfg)
     fwd, inv = make_real_gemm_transforms(cfg)
     E = ops["visc"]
-    kx, ky, inv_k2 = ops["kx"], ops["ky"], ops["inv_k2"]
 
     def nonlinear(w2):
-        psi = w2 * inv_k2
-        stack = jnp.stack([_ik_mul2(ky, psi), _ik_mul2(-kx, psi),
-                           _ik_mul2(kx, w2), _ik_mul2(ky, w2)])
-        u, v, wx, wy = inv(stack)                      # one batched GEMM pair
-        return -fwd(u * wx + v * wy)
+        return _nonlinear_real(ops, fwd, inv, w2)
 
     def step(carry):
         w2, N_prev = carry
@@ -373,19 +368,11 @@ def make_step_compact_real(cfg: SpectralPeriodicConfig):
 
 
 def init_from_vorticity_real(cfg: SpectralPeriodicConfig, w0: Array):
-    fwd, inv = make_real_gemm_transforms(cfg)
-    ops = make_compact_ops(cfg)
-    kx, ky, inv_k2 = ops["kx"], ops["ky"], ops["inv_k2"]
-
-    @jax.jit
-    def build(w0):
-        w2 = fwd(w0.astype(cfg.real_dtype))
-        psi = w2 * inv_k2
-        stack = jnp.stack([_ik_mul2(ky, psi), _ik_mul2(-kx, psi),
-                           _ik_mul2(kx, w2), _ik_mul2(ky, w2)])
-        u, v, wx, wy = inv(stack)
-        return w2, -fwd(u * wx + v * wy)
-
+    """Thin jitted wrapper over the single carry builder
+    (carry_from_vorticity); kept for API stability."""
+    if not cfg.real_gemm:
+        cfg = dataclasses.replace(cfg, compact_spectrum=True, real_gemm=True)
+    build = jax.jit(partial(carry_from_vorticity, cfg))
     return build(jnp.asarray(w0, cfg.real_dtype))
 
 
@@ -406,6 +393,26 @@ def gather_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
         [z[..., :kxc, :kyc], z[..., cfg.nx - n_neg:, :kyc]], axis=-2)
 
 
+def _nonlinear_compact(ops, fwd, inv, w_hat):
+    """-FFT[u.grad(w)] on the compact complex layout; the four inverse
+    transforms ride ONE batched matmul pair (bigger GEMMs, fewer
+    dispatches: +5% at 1024^2). Shared by the step and the carry builder."""
+    psi = w_hat * ops["inv_k2"]
+    stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
+                       _ik_mul(ops["kx"], w_hat), _ik_mul(ops["ky"], w_hat)])
+    u, v, wx, wy = inv(stack)
+    return -fwd(u * wx + v * wy)
+
+
+def _nonlinear_real(ops, fwd, inv, w2):
+    """Stacked real/imag (real_gemm) counterpart of _nonlinear_compact."""
+    psi = w2 * ops["inv_k2"]
+    stack = jnp.stack([_ik_mul2(ops["ky"], psi), _ik_mul2(-ops["kx"], psi),
+                       _ik_mul2(ops["kx"], w2), _ik_mul2(ops["ky"], w2)])
+    u, v, wx, wy = inv(stack)
+    return -fwd(u * wx + v * wy)
+
+
 def make_step_compact(cfg: SpectralPeriodicConfig):
     """IF-AB2 step on the compact spectrum carry (matmul+dealias only)."""
     if cfg.transform != "matmul" or not cfg.dealias:
@@ -415,14 +422,7 @@ def make_step_compact(cfg: SpectralPeriodicConfig):
     E = ops["visc"]
 
     def nonlinear(w_hat):
-        psi = w_hat * ops["inv_k2"]
-        # the four inverse transforms ride ONE batched matmul pair
-        # (bigger GEMMs, fewer dispatches: +5% at 1024^2)
-        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
-                           _ik_mul(ops["kx"], w_hat),
-                           _ik_mul(ops["ky"], w_hat)])
-        u, v, wx, wy = inv(stack)
-        return -fwd(u * wx + v * wy)
+        return _nonlinear_compact(ops, fwd, inv, w_hat)
 
     def step(carry):
         w_hat, N_prev = carry
@@ -434,19 +434,11 @@ def make_step_compact(cfg: SpectralPeriodicConfig):
 
 
 def init_from_vorticity_compact(cfg: SpectralPeriodicConfig, w0: Array):
-    fwd, inv = make_compact_transforms(cfg)
-    ops = make_compact_ops(cfg)
-
-    @jax.jit
-    def build(w0):
-        w_hat = fwd(w0.astype(cfg.real_dtype))
-        psi = w_hat * ops["inv_k2"]
-        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
-                           _ik_mul(ops["kx"], w_hat),
-                           _ik_mul(ops["ky"], w_hat)])
-        u, v, wx, wy = inv(stack)
-        return w_hat, -fwd(u * wx + v * wy)
-
+    """Thin jitted wrapper over the single carry builder
+    (carry_from_vorticity); kept for API stability."""
+    if not cfg.compact_spectrum or cfg.real_gemm:
+        cfg = dataclasses.replace(cfg, compact_spectrum=True, real_gemm=False)
+    build = jax.jit(partial(carry_from_vorticity, cfg))
     return build(jnp.asarray(w0, cfg.real_dtype))
 
 
@@ -518,23 +510,12 @@ def carry_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
         fwd, inv = make_real_gemm_transforms(cfg)
         ops = make_compact_ops(cfg)
         w2 = fwd(w0.astype(cfg.real_dtype))
-        psi = w2 * ops["inv_k2"]
-        stack = jnp.stack([_ik_mul2(ops["ky"], psi),
-                           _ik_mul2(-ops["kx"], psi),
-                           _ik_mul2(ops["kx"], w2),
-                           _ik_mul2(ops["ky"], w2)])
-        u, v, wx, wy = inv(stack)
-        return w2, -fwd(u * wx + v * wy)
+        return w2, _nonlinear_real(ops, fwd, inv, w2)
     if cfg.compact_spectrum:
         fwd, inv = make_compact_transforms(cfg)
         ops = make_compact_ops(cfg)
         w_hat = fwd(w0.astype(cfg.real_dtype))
-        psi = w_hat * ops["inv_k2"]
-        stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
-                           _ik_mul(ops["kx"], w_hat),
-                           _ik_mul(ops["ky"], w_hat)])
-        u, v, wx, wy = inv(stack)
-        return w_hat, -fwd(u * wx + v * wy)
+        return w_hat, _nonlinear_compact(ops, fwd, inv, w_hat)
     ops = make_ops(cfg)
     transforms = make_transforms(cfg)
     w_hat = transforms[0](w0.astype(cfg.real_dtype))

@@ -24,11 +24,9 @@ def init_ensemble(model, n_models: int, seed: int = 0):
     return jax.vmap(model.init)(keys)
 
 
-def make_ensemble_train_step(model, tx, obs, nt: int,
-                             mesh: Optional[Mesh] = None,
-                             axis: str = "ensemble"):
-    """obs (nt, 1, 3, nx, ny) is shared; params/opt_state carry a leading
-    n_models axis. Returns (jitted step, shard(params_tree) helper)."""
+def raw_ensemble_step(model, tx, obs, nt: int):
+    """The unjitted vmapped N-model train step — the single definition
+    shared by make_ensemble_train_step and EnsembleTrainer's scan chunks."""
     obs0 = obs[0]
 
     def one_loss(params):
@@ -40,6 +38,16 @@ def make_ensemble_train_step(model, tx, obs, nt: int,
         updates, opt_state = jax.vmap(tx.update)(grads, opt_state)
         params = jax.vmap(optax.apply_updates)(params, updates)
         return params, opt_state, losses
+
+    return step
+
+
+def make_ensemble_train_step(model, tx, obs, nt: int,
+                             mesh: Optional[Mesh] = None,
+                             axis: str = "ensemble"):
+    """obs (nt, 1, 3, nx, ny) is shared; params/opt_state carry a leading
+    n_models axis. Returns (jitted step, shard(params_tree) helper)."""
+    step = raw_ensemble_step(model, tx, obs, nt)
 
     if mesh is None:
         return jax.jit(step), lambda tree: tree
@@ -143,22 +151,12 @@ class EnsembleTrainer:
             self.opt_state = jax.tree_util.tree_map(put, self.opt_state)
         self._chunk_cache: dict = {}
 
-    def _one_loss(self, params):
-        pred = self.model.apply(params, self.obs[0], self.nt)
-        return l2_loss(pred, self.obs)
-
     def _train_chunk(self, n: int):
         if n not in self._chunk_cache:
+            raw = raw_ensemble_step(self.model, self.tx, self.obs, self.nt)
+
             @jax.jit
             def chunk(params, opt_state):
-                def raw(params, opt_state):
-                    losses, grads = jax.vmap(
-                        jax.value_and_grad(self._one_loss))(params)
-                    updates, opt_state = jax.vmap(self.tx.update)(
-                        grads, opt_state)
-                    params = jax.vmap(optax.apply_updates)(params, updates)
-                    return params, opt_state, losses
-
                 def body(carry, _):
                     params, opt_state = carry
                     params, opt_state, losses = raw(params, opt_state)

@@ -108,3 +108,28 @@ def test_packed_tiled_sor_matches_xla():
         p0, rhs, dx, dy, 1.25, 0.0, cap, k_per_launch=4, tile_rows=64,
         interpret=True)
     assert float(jnp.abs(ref - packed).max()) < 1e-9
+
+
+def test_chorin_pallas_dispatch_falls_back_on_bad_geometry():
+    """use_pallas grids that fit no kernel geometry (128 does not divide
+    nx) silently use the XLA path instead of failing at trace time."""
+    import numpy as np
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.solvers import chorin_fd
+
+    nx = 600  # past the f64 VMEM guard, and 128 does not divide it
+    from ns_tpu.ops.pallas import vmem_fits
+    assert not vmem_fits(nx, nx, bytes_per=8)
+    assert nx % 128 != 0
+    dx = dy = 2.0 / (nx - 1)
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+            neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+    z = np.zeros((nx, nx))
+    s = chorin_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, nt=1, nit=5, nx=nx, ny=nx, dt=1e-4,
+        rho=1, nu=0.01, use_pallas=True, dtype=jnp.float64)
+    u, v, p = s.simulate()
+    assert np.isfinite(np.asarray(u)).all()

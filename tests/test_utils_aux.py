@@ -128,8 +128,10 @@ def test_run_solver_cli_streaming_and_flags(tmp_path, monkeypatch):
     run_main(["decaying_turbulence", "--nx", "16", "--nt", "7",
               "--transform", "matmul", "--compact", "--precision", "highest",
               "--stream-dir", str(tmp_path / "stream")])
-    w = np.load(tmp_path / "stream" / "w.npy")
-    assert w.shape == (7, 16, 16) and np.isfinite(w).all()
+    # the streamed contract is the reference simulate() triple + vorticity
+    for name in ("u", "v", "p", "w"):
+        a = np.load(tmp_path / "stream" / f"{name}.npy")
+        assert a.shape == (7, 16, 16) and np.isfinite(a).all(), name
 
     run_main(["chorin_fd", "--nx", "17", "--nt", "2", "--nit", "50",
               "--pressure-mode", "cg", "--out", str(tmp_path / "cg.npz")])
