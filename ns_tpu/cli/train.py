@@ -36,6 +36,10 @@ def main(argv=None):
                         "chunk size (larger = faster on high-latency links)")
     p.add_argument("--fno-rollout-steps", type=int, default=1,
                    help="fno only: k-step rollout training (pushforward)")
+    p.add_argument("--fno-modes", type=int, default=12,
+                   help="fno only: spectral modes kept per axis")
+    p.add_argument("--fno-width", type=int, default=32,
+                   help="fno only: channel width")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n-models", type=int, default=1,
                    help=">1 trains an ensemble of independently-seeded "
@@ -58,6 +62,7 @@ def main(argv=None):
                       hidden_dim=args.hidden_dim, n_frames=args.n_frames,
                       seed=args.seed, ckpt_every=args.ckpt_every,
                       fno_rollout_steps=args.fno_rollout_steps,
+                      fno_modes=args.fno_modes, fno_width=args.fno_width,
                       resume=args.resume)
     if args.n_models > 1:
         from ns_tpu.train.ensemble import EnsembleTrainer

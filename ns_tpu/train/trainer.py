@@ -62,6 +62,10 @@ class TrainConfig:
     # next-step prediction (the pushforward trick) — reduces the
     # teacher-forcing/extrapolation mismatch at k x the training cost
     fno_rollout_steps: int = 1
+    # fno capacity: spectral modes kept per axis and channel width — raise
+    # modes toward nx/3 for higher-wavenumber flows
+    fno_modes: int = 12
+    fno_width: int = 32
 
     def __post_init__(self):
         if self.model not in MODELS:
@@ -100,7 +104,8 @@ class Trainer:
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps} (a k >= n_frames leaves no "
                     "training windows and the loss is identically 0)")
-            self.model = FNO2D(self.nx, self.ny)
+            self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
+                               modes=cfg.fno_modes)
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 

@@ -50,9 +50,10 @@ def main():
         return float(np.linalg.norm(pred - target) / np.linalg.norm(target))
 
     rows = []
-    jobs = [("fno (next-step)", dict(model="fno")),
+    modes = max(12, args.nx // 5)
+    jobs = [("fno (next-step)", dict(model="fno", fno_modes=modes)),
             ("fno (4-step rollout training)",
-             dict(model="fno", fno_rollout_steps=4)),
+             dict(model="fno", fno_rollout_steps=4, fno_modes=modes)),
             ("basis_ode", dict(model="basis_ode"))]
     for name, kw in jobs:
         tc = TrainConfig(npz_path=npz, out_dir=os.path.join(tmp, name),
