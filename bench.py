@@ -35,15 +35,14 @@ def bench_spectral(nx=1024, nt=200):
     carry0 = sp.init_from_vorticity_compact(cfg, w0)
 
     from ns_tpu.utils import to_host
+    from ns_tpu.utils.host import sync
 
     roll = jax.jit(lambda c: sp.rollout_final_compact(cfg, c))
-    # Warm-up MUST be synced with a real host readback: through the axon
-    # tunnel, block_until_ready on the first post-compile invocation can
-    # return immediately (async remote compile), so timing loops started
-    # right after it measure dispatch latency (~50 us), not the rollout.
-    # to_host forces the compile + execution to actually finish.
-    out = roll(carry0)
-    to_host(jnp.abs(out[0]).sum())
+    # Warm-up MUST be a hard sync (host readback): through the axon tunnel,
+    # block_until_ready on the first post-compile invocation can return
+    # immediately (async remote compile), so timing loops started right
+    # after it measure dispatch latency (~50 us), not the rollout.
+    sync(roll(carry0))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -54,8 +53,7 @@ def bench_spectral(nx=1024, nt=200):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = roll(carry0)
-            to_host(jnp.abs(out[0]).sum())  # hard sync (adds ~25 ms readback)
+            out = sync(roll(carry0))  # hard sync (adds ~25 ms readback)
             best = min(best, time.perf_counter() - t0)
     elapsed = best
 

@@ -19,6 +19,21 @@ def _copy_real(x):
     return x * jnp.ones((), x.dtype)
 
 
+def sync(tree):
+    """Hard synchronization: force every leaf's producing executable to
+    actually finish by reading one element back to the host.
+
+    jax.block_until_ready is NOT sufficient through the axon tunnel: on the
+    first post-compile invocation it can return while the remote compile is
+    still in flight, so timing loops "warmed" with it alone measure dispatch
+    latency instead of real work. Reading any output element requires the
+    execution to complete. Returns the tree for chaining."""
+    for x in jax.tree_util.tree_leaves(tree):
+        if hasattr(x, "dtype"):
+            to_host(jnp.ravel(jnp.asarray(x))[:1])
+    return tree
+
+
 def to_host(tree):
     """Materialize a pytree of device arrays as numpy, robust to the axon
     complex-executable readback limitation. Complex arrays are split into

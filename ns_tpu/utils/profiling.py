@@ -31,9 +31,13 @@ def trace(log_dir: str):
 def timed(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs):
     """(mean_seconds, last_result) of fn, blocking on the result each call
     so async dispatch cannot fake the numbers."""
+    from ns_tpu.utils.host import sync
+
     result = None
     for _ in range(warmup):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        # hard sync: on axon, block_until_ready on the first post-compile
+        # call can return before the remote compile finishes (see host.sync)
+        result = sync(fn(*args, **kwargs))
     t0 = time.perf_counter()
     for _ in range(iters):
         result = jax.block_until_ready(fn(*args, **kwargs))

@@ -16,16 +16,28 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def timeit(fn, n=3):
+def timeit(fn, n=3, min_plausible=1e-3):
     import jax
-    out = fn()
-    jax.block_until_ready(out)
+
+    from ns_tpu.utils.host import sync
+
+    # Warm-up MUST be a hard sync (host readback): through the axon tunnel
+    # block_until_ready on the first post-compile call can return before the
+    # remote compile finishes, making subsequent "timed" calls measure only
+    # dispatch latency. Once truly warm, blocked timings are trustworthy.
+    sync(fn())
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
+    if best < min_plausible:  # still not synced: time with hard readbacks
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            sync(fn())
+            best = min(best, time.perf_counter() - t0)
     return best
 
 
