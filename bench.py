@@ -20,7 +20,12 @@ from ns_tpu.solvers import spectral_periodic as sp
 NORTH_STAR = 1.0e9  # cell-updates/sec/chip @ 1024^2 spectral
 
 
-def bench_spectral(nx=1024, nt=200):
+def bench_spectral(nx=1024, nt=5000):
+    # nt=5000: every rollout execution pays a fixed ~30 ms dispatch/launch
+    # round trip through the tunnel transport (measured: slope of elapsed
+    # vs nt is 93 us/step while nt=200 takes 50 ms total). Production
+    # rollouts run thousands of steps, so the steady-state number is the
+    # honest one; docs/roofline.md has the phase-level breakdown.
     # compact dealias-truncated matmul-DFT (MXU path) at bf16 'default'
     # matmul precision: ~4.0 Gcups at 1024^2 (vs 2.4 at bf16x3 'high',
     # 1.3 for the XLA-FFT path). Documented fidelity: 'default' ~5e-3
