@@ -77,6 +77,35 @@ def _residual(p: Array, f: Array, hx2: float, hy2: float,
     return jnp.where(mask, r, 0.0)  # zero outside the solved region
 
 
+def _every2(a: Array, axis: int) -> Array:
+    """a[::2] along an odd-length axis via reshape + contiguous slices.
+
+    A literal strided slice (and its scatter dual in prolongation) lowers
+    to a pathological gather on TPU — measured 2.6 ms for restrict and
+    7.7 ms for prolong at 1025^2 while four full smoothing sweeps cost
+    0.05 ms. Pairing the axis as (m, 2) and taking index 0 keeps every
+    memory access contiguous; bitwise-identical result."""
+    n = a.shape[axis]
+    m = n // 2
+    main = jax.lax.slice_in_dim(a, 0, 2 * m, axis=axis)
+    shape = a.shape[:axis] + (m, 2) + a.shape[axis + 1:]
+    evens = jax.lax.index_in_dim(main.reshape(shape), 0, axis=axis + 1,
+                                 keepdims=False)
+    last = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+    return jnp.concatenate([evens, last], axis=axis)
+
+
+def _interleave(a: Array, b: Array, axis: int) -> Array:
+    """[a0 b0 a1 b1 ... b_{m-1} a_m] along axis (a has one more row)."""
+    m = b.shape[axis]
+    a_main = jax.lax.slice_in_dim(a, 0, m, axis=axis)
+    stacked = jnp.stack([a_main, b], axis=axis + 1)
+    shape = a.shape[:axis] + (2 * m,) + a.shape[axis + 1:]
+    merged = stacked.reshape(shape)
+    last = jax.lax.slice_in_dim(a, m, m + 1, axis=axis)
+    return jnp.concatenate([merged, last], axis=axis)
+
+
 def _restrict(r: Array) -> Array:
     """Full-weighting restriction to the (n+1)//2 vertex grid."""
     # 3x3 stencil [1 2 1; 2 4 2; 1 2 1]/16 applied at even fine vertices
@@ -87,21 +116,15 @@ def _restrict(r: Array) -> Array:
             + jnp.roll(jnp.roll(r, 1, 0), -1, 1)
             + jnp.roll(jnp.roll(r, -1, 0), 1, 1)
             + jnp.roll(jnp.roll(r, -1, 0), -1, 1))) / 16.0
-    return w[::2, ::2]
+    return _every2(_every2(w, 0), 1)
 
 
 def _prolong(e: Array, nx: int, ny: int) -> Array:
     """Bilinear prolongation from the coarse vertex grid to (nx, ny)."""
-    out = jnp.zeros((nx, ny), e.dtype)
-    out = out.at[::2, ::2].set(e)
-    # odd rows, even cols
-    out = out.at[1::2, ::2].set(0.5 * (e[:-1, :] + e[1:, :]))
-    # even rows, odd cols
-    out = out.at[::2, 1::2].set(0.5 * (e[:, :-1] + e[:, 1:]))
-    # odd rows, odd cols
-    out = out.at[1::2, 1::2].set(
-        0.25 * (e[:-1, :-1] + e[1:, :-1] + e[:-1, 1:] + e[1:, 1:]))
-    return out
+    rows_odd = 0.5 * (e[:-1, :] + e[1:, :])
+    full_rows = _interleave(e, rows_odd, 0)                    # (nx, nc)
+    cols_odd = 0.5 * (full_rows[:, :-1] + full_rows[:, 1:])
+    return _interleave(full_rows, cols_odd, 1)                 # (nx, ny)
 
 
 def _vcycle(p: Array, f: Array, hx: float, hy: float, mask: Array,
@@ -116,7 +139,7 @@ def _vcycle(p: Array, f: Array, hx: float, hy: float, mask: Array,
     # coarse-level solved region by injection: a coarse vertex is free iff
     # its coinciding fine vertex is (fixed cells stay Dirichlet on every
     # level, so the padded/exterior region never acquires correction)
-    mask_c = mask[::2, ::2]
+    mask_c = _every2(_every2(mask, 0), 1)
     r_c = jnp.where(mask_c, r_c, 0.0)
     e_c = jnp.zeros_like(r_c)
     e_c = _vcycle(e_c, r_c, 2 * hx, 2 * hy, mask_c, pre, post, min_n)
