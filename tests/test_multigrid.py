@@ -81,3 +81,48 @@ def test_multigrid_masked_convergence_rate():
     # >= ~3x contraction per 2 cycles
     assert resids[1] < resids[0] / 3
     assert resids[2] < resids[1] / 3
+
+
+def test_restrict_matches_strided_slicing():
+    """`_restrict`'s reshape-based even-vertex selection is bitwise equal
+    to the literal strided form w[::2, ::2] (the reshape trick exists only
+    because strided slices lower to pathological TPU gathers)."""
+    from ns_tpu.ops.multigrid import _restrict
+
+    rng = np.random.default_rng(7)
+    for n in (5, 9, 51, 65):
+        r = jnp.asarray(rng.normal(size=(n, n)))
+        w = (4 * r
+             + 2 * (jnp.roll(r, 1, 0) + jnp.roll(r, -1, 0)
+                    + jnp.roll(r, 1, 1) + jnp.roll(r, -1, 1))
+             + (jnp.roll(jnp.roll(r, 1, 0), 1, 1)
+                + jnp.roll(jnp.roll(r, 1, 0), -1, 1)
+                + jnp.roll(jnp.roll(r, -1, 0), 1, 1)
+                + jnp.roll(jnp.roll(r, -1, 0), -1, 1))) / 16.0
+        np.testing.assert_array_equal(np.asarray(_restrict(r)),
+                                      np.asarray(w)[::2, ::2])
+
+
+def test_prolong_matches_scatter_form():
+    """`_prolong`'s interleave form equals the literal .at[::2].set /
+    .at[1::2].set scatter construction: bitwise on the even lattice and
+    odd rows/cols; 1-ULP on odd-odd points, where the interleave form
+    averages the two row-averages (0.5*(0.5*(a+b)+0.5*(c+d))) instead of
+    summing all four corners at once."""
+    from ns_tpu.ops.multigrid import _prolong
+
+    rng = np.random.default_rng(8)
+    for n in (5, 9, 51, 65):
+        nc = (n + 1) // 2
+        e = jnp.asarray(rng.normal(size=(nc, nc)))
+        out = jnp.zeros((n, n), e.dtype)
+        out = out.at[::2, ::2].set(e)
+        out = out.at[1::2, ::2].set(0.5 * (e[:-1, :] + e[1:, :]))
+        out = out.at[::2, 1::2].set(0.5 * (e[:, :-1] + e[:, 1:]))
+        out = out.at[1::2, 1::2].set(
+            0.25 * (e[:-1, :-1] + e[1:, :-1] + e[:-1, 1:] + e[1:, 1:]))
+        got, want = np.asarray(_prolong(e, n, n)), np.asarray(out)
+        # even lattice + odd rows/cols: exact; odd-odd: 1 ULP
+        np.testing.assert_array_equal(got[::2, :], want[::2, :])
+        np.testing.assert_array_equal(got[:, ::2], want[:, ::2])
+        assert np.max(np.abs(got - want)) <= 4 * np.finfo(np.float64).eps
