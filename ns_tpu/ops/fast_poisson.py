@@ -1,0 +1,96 @@
+"""Direct (non-iterative) Dirichlet-frame Poisson solver via matmul DST.
+
+The chorin_fd pressure system (ref chorin_fd/simulate.py:169-202, via its
+SOR fixed point — see ns_tpu/ops/poisson.py::sor_redblack) is
+
+    (Dxx p)_ij + (Dyy p)_ij = f_ij   on the interior,
+    boundary ring of p held fixed,
+
+i.e. an inhomogeneous-Dirichlet 5-point Poisson problem. The interior
+operator separates as  Lx P + P Ly^T  with Lx = tridiag(1,-2,1)/dx^2 of
+size m = nx-2 (zero-Dirichlet), and Lx diagonalizes EXACTLY in the DST-I
+basis:
+
+    Sx[a,b] = sqrt(2/(m+1)) sin(pi (a+1)(b+1) / (m+1))     (orthonormal,
+    lam_x[b] = -(4/dx^2) sin^2(pi (b+1) / (2(m+1)))         symmetric)
+
+so the solve is  P = Sx ((Sx F' Sy) / (lam_x + lam_y)) Sy  — four square
+GEMMs and one elementwise divide, where F' is the interior RHS with the
+fixed boundary values lifted onto it. This is the TPU-native endgame for
+the pressure solve: one MXU-shaped direct solve, exact to working
+precision, replacing an O(N)-sweep iteration (SOR) or an O(1)-cycle but
+bandwidth-bound iteration (multigrid). Measured numbers in RESULTS.md
+("Pressure-solver shoot-out").
+
+Setup (transform matrices + eigenvalues) runs in float64 NumPy on host
+(repo convention, CLAUDE.md); only real constants transfer to device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _dst_basis(m: int, h: float) -> tuple[np.ndarray, np.ndarray]:
+    """Orthonormal DST-I matrix (symmetric) and second-difference
+    eigenvalues for the size-m zero-Dirichlet 1D Laplacian with grid
+    spacing h, in float64."""
+    a = np.arange(1, m + 1, dtype=np.float64)
+    S = np.sqrt(2.0 / (m + 1)) * np.sin(np.pi * np.outer(a, a) / (m + 1))
+    lam = -(4.0 / (h * h)) * np.sin(np.pi * a / (2.0 * (m + 1))) ** 2
+    return S, lam
+
+
+def make_dst_poisson(nx: int, ny: int, dx: float, dy: float,
+                     dtype=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST):
+    """Build `solve(p, f) -> p` replacing p's interior with the exact
+    solution of  laplace(p) = f  (5-point), keeping p's boundary ring
+    fixed (the same system every `pressure_mode` iterates on; this one is
+    direct). Pure and jit/scan-safe; constants close over the returned
+    function."""
+    if nx < 3 or ny < 3:
+        raise ValueError(f"need nx, ny >= 3, got {nx}x{ny}")
+    m, k = nx - 2, ny - 2
+    Sx_h, lamx = _dst_basis(m, dx)
+    Sy_h, lamy = _dst_basis(k, dy)
+    inv_denom_h = 1.0 / (lamx[:, None] + lamy[None, :])  # all < 0: safe
+
+    Sx = jnp.asarray(Sx_h, dtype)
+    Sy = jnp.asarray(Sy_h, dtype)
+    inv_denom = jnp.asarray(inv_denom_h, dtype)
+    mm = partial(jnp.matmul, precision=precision)
+
+    def solve(p: Array, f: Array) -> Array:
+        p = p.astype(dtype)
+        fi = f.astype(dtype)[1:-1, 1:-1]
+        # lift the fixed boundary values onto the interior RHS
+        inv_dx2 = 1.0 / (dx * dx)
+        inv_dy2 = 1.0 / (dy * dy)
+        fi = fi.at[0, :].add(-p[0, 1:-1] * inv_dx2)
+        fi = fi.at[-1, :].add(-p[-1, 1:-1] * inv_dx2)
+        fi = fi.at[:, 0].add(-p[1:-1, 0] * inv_dy2)
+        fi = fi.at[:, -1].add(-p[1:-1, -1] * inv_dy2)
+        # P = Sx ((Sx F' Sy) * inv_denom) Sy   (Sx, Sy symmetric)
+        G = mm(mm(Sx, fi), Sy) * inv_denom
+        P = mm(mm(Sx, G), Sy)
+        return p.at[1:-1, 1:-1].set(P)
+
+    return solve
+
+
+def poisson_dst(p: Array, f: Array, dx: float, dy: float,
+                precision=jax.lax.Precision.HIGHEST) -> Array:
+    """One-shot convenience wrapper (same signature family as
+    `poisson_multigrid`). Builds the transform constants on each call —
+    inside jit they constant-fold, but prefer `make_dst_poisson` in hot
+    loops so setup runs once on host."""
+    solve = make_dst_poisson(p.shape[0], p.shape[1], dx, dy,
+                             dtype=p.dtype, precision=precision)
+    return solve(p, f)

@@ -28,6 +28,7 @@ tests/test_chorin_fd_sharded.py on a fake 8-device CPU mesh.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -92,13 +93,22 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
     """Build the jitted sharded step on globally-shaped arrays (fields
     sharded along dim 1 on mesh axis `axis`). Returns (step, NamedSharding).
 
-    Supports both predictor methods and pressure_mode='redblack' (the
-    data-parallel pressure solver; 'gauss_seidel' wavefronts and the fused
-    Pallas kernel are single-device paths).
+    Supports both predictor methods and two pressure modes:
+      - 'redblack': pmax-gated data-parallel SOR (two halo exchanges per
+        sweep, global convergence gate);
+      - 'dst': DIRECT matmul-DST solve of the same Dirichlet-frame system
+        (ops/fast_poisson.py), distributed as four local MXU GEMMs + two
+        all_to_all transposes per solve — the same transpose skeleton as
+        parallel/spectral_sharded.py. The DST basis is zero-padded to the
+        full (nx, ny) grid so every shard keeps uniform block shapes (no
+        interior slicing under SPMD); the padding rows/cols multiply by
+        zero so results are identical to the interior-sized solve.
+    ('gauss_seidel' wavefronts and the fused Pallas kernel remain
+    single-device paths.)
     """
-    if cfg.pressure_mode != "redblack" or cfg.use_pallas:
+    if cfg.pressure_mode not in ("redblack", "dst") or cfg.use_pallas:
         raise ValueError("sharded chorin_fd supports pressure_mode="
-                         "'redblack' only")
+                         "'redblack' or 'dst' only")
     n = mesh.shape[axis]
     if cfg.ny % n:
         raise ValueError(f"ny={cfg.ny} not divisible by mesh axis size {n}")
@@ -108,6 +118,20 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
     nx, ny = cfg.nx, cfg.ny
     dt, dx, dy, nu, rho = cfg.dt, cfg.dx, cfg.dy, cfg.nu, cfg.rho
     dx2, dy2 = dx * dx, dy * dy
+    if cfg.pressure_mode == "dst":
+        if nx % n:
+            raise ValueError(f"pressure_mode='dst' needs nx={nx} divisible "
+                             f"by mesh axis size {n} (all_to_all transpose)")
+        import numpy as np
+        from ns_tpu.ops.fast_poisson import _dst_basis
+        Sx_h, lamx = _dst_basis(nx - 2, dx)
+        Sy_h, lamy = _dst_basis(ny - 2, dy)
+        Sx_pad = jnp.asarray(np.pad(Sx_h, 1), dtype)          # (nx, nx)
+        Sy_pad = jnp.asarray(np.pad(Sy_h, 1), dtype)          # (ny, ny)
+        inv_den_h = np.zeros((nx, ny))
+        inv_den_h[1:-1, 1:-1] = 1.0 / (lamx[:, None] + lamy[None, :])
+        inv_den_full = jnp.asarray(inv_den_h, dtype)          # (nx, ny)
+        bx = nx // n
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
         # corrected y-sweep helper: B^-T with zero columns padded at the
@@ -216,39 +240,65 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             dx * rho * dy2 / dt * (ui - jnp.roll(ui, 1, axis=0))
             + dy * rho * dx2 / dt * (vi - vi_left),
             0.0)
-        red = ((gi + gj) % 2 == 0) & interior
-        black = ((gi + gj) % 2 == 1) & interior
-        denom = 2.0 * (dx2 + dy2)
-        beta = jnp.asarray(cfg.beta, ui.dtype)
+        if cfg.pressure_mode == "dst":
+            # direct distributed solve: lift the fixed boundary values
+            # onto the interior RHS, then P = Sx ((Sx F Sy) * invden) Sy
+            # with the sharded contractions riding all_to_all transposes
+            f = rhs_c / (dx2 * dy2)
+            inv_dx2, inv_dy2 = 1.0 / dx2, 1.0 / dy2
+            f = f.at[1, :].add(-p[0, :] * inv_dx2)
+            f = f.at[-2, :].add(-p[-1, :] * inv_dx2)
+            ppad = ypad(p)
+            f = f + jnp.where(gj == 1, -ppad[:, :-2] * inv_dy2, 0.0) \
+                  + jnp.where(gj == ny - 2, -ppad[:, 2:] * inv_dy2, 0.0)
+            # non-interior rows/cols of f are ignored: the padded basis
+            # matrices carry zero boundary rows/cols
+            mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+            t = mm(Sx_pad, f)                       # (nx, by)  local
+            t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
+                                   tiled=True)      # (bx, ny)  row block
+            t = mm(t, Sy_pad)                       # (bx, ny)  local
+            i0 = jax.lax.axis_index(axis) * bx
+            t = t * jax.lax.dynamic_slice_in_dim(inv_den_full, i0, bx, 0)
+            t = mm(t, Sy_pad)                       # (bx, ny)  local
+            t = jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
+                                   tiled=True)      # (nx, by)  col block
+            P_int = mm(Sx_pad, t)                   # (nx, by)  local
+            p = jnp.where(interior, P_int, p)
+        else:
+            red = ((gi + gj) % 2 == 0) & interior
+            black = ((gi + gj) % 2 == 1) & interior
+            denom = 2.0 * (dx2 + dy2)
+            beta = jnp.asarray(cfg.beta, ui.dtype)
 
-        def gs_update(p):
-            pp = ypad(p)
-            left, right = pp[:, :-2], pp[:, 2:]
-            up = jnp.roll(p, -1, axis=0)
-            down = jnp.roll(p, 1, axis=0)
-            return beta * (dy2 * (up + down) + dx2 * (right + left)
-                           - rhs_c) / denom + (1.0 - beta) * p
+            def gs_update(p):
+                pp = ypad(p)
+                left, right = pp[:, :-2], pp[:, 2:]
+                up = jnp.roll(p, -1, axis=0)
+                down = jnp.roll(p, 1, axis=0)
+                return beta * (dy2 * (up + down) + dx2 * (right + left)
+                               - rhs_c) / denom + (1.0 - beta) * p
 
-        def sweep(p):
-            p = jnp.where(red, gs_update(p), p)
-            p = jnp.where(black, gs_update(p), p)
-            return p
+            def sweep(p):
+                p = jnp.where(red, gs_update(p), p)
+                p = jnp.where(black, gs_update(p), p)
+                return p
 
-        def cond(carry):
-            _, err, it = carry
-            return (err > cfg.sor_tol) & (it < cfg.nit)
+            def cond(carry):
+                _, err, it = carry
+                return (err > cfg.sor_tol) & (it < cfg.nit)
 
-        def body(carry):
-            p, _, it = carry
-            p_new = sweep(p)
-            # GLOBAL convergence gate: every shard reduces the same error,
-            # so all shards exit the while_loop on the same sweep
-            err = jax.lax.pmax(jnp.max(jnp.abs(p_new - p)), axis)
-            return p_new, err, it + 1
+            def body(carry):
+                p, _, it = carry
+                p_new = sweep(p)
+                # GLOBAL convergence gate: every shard reduces the same
+                # error, so all shards exit the while_loop on the same sweep
+                err = jax.lax.pmax(jnp.max(jnp.abs(p_new - p)), axis)
+                return p_new, err, it + 1
 
-        p, _, _ = jax.lax.while_loop(
-            cond, body, (p, jnp.asarray(1.0, ui.dtype),
-                         jnp.asarray(1, jnp.int32)))
+            p, _, _ = jax.lax.while_loop(
+                cond, body, (p, jnp.asarray(1.0, ui.dtype),
+                             jnp.asarray(1, jnp.int32)))
         p = _apply_bcs_block(p, p_bc, axis)
 
         # --- correction (ref :204-210) -----------------------------------

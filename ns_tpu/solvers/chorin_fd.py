@@ -67,7 +67,10 @@ class ChorinFDConfig:
     # 'gauss_seidel': exact reference iterate order via wavefront sweeps;
     # 'multigrid': V-cycle solver for the same system — O(1) cycles
     # instead of O(N) sweeps, the scalable choice at large N;
-    # 'cg': conjugate gradient on the same Dirichlet-frame system.
+    # 'cg': conjugate gradient on the same Dirichlet-frame system;
+    # 'dst': DIRECT matmul-DST solve of the same system — four MXU GEMMs,
+    # exact fixed point, no iteration (ops/fast_poisson.py; fastest at
+    # every size, see RESULTS.md shoot-out).
     pressure_mode: str = "redblack"
     mg_cycles: int = 6
     # Fused Pallas SOR kernel (whole solve in VMEM, one launch). Measured
@@ -79,9 +82,9 @@ class ChorinFDConfig:
         if self.method not in ("semi_implicit", "explicit"):
             raise ValueError(f"method must be semi_implicit|explicit, got {self.method!r}")
         if self.pressure_mode not in ("redblack", "gauss_seidel",
-                                      "multigrid", "cg"):
+                                      "multigrid", "cg", "dst"):
             raise ValueError("pressure_mode must be redblack|gauss_seidel|"
-                             f"multigrid|cg, got {self.pressure_mode!r}")
+                             f"multigrid|cg|dst, got {self.pressure_mode!r}")
         if (self.method == "semi_implicit" and self.quirk_compat
                 and self.nx != self.ny):
             raise ValueError(
@@ -219,6 +222,10 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
     """Build the pure one-timestep function (ref step, :212-234)."""
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
+    if cfg.pressure_mode == "dst":
+        from ns_tpu.ops.fast_poisson import make_dst_poisson
+        dst_solve = make_dst_poisson(cfg.nx, cfg.ny, cfg.dx, cfg.dy,
+                                     dtype=dtype)
 
     def step(state: FlowState) -> FlowState:
         un, vn, p = state.u, state.v, state.p
@@ -244,6 +251,9 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                 f = rhs_c / (cfg.dx**2 * cfg.dy**2)
                 p = poisson_multigrid(p, f, cfg.dx, cfg.dy,
                                       n_cycles=cfg.mg_cycles)
+            elif cfg.pressure_mode == "dst":
+                # direct solve of the SOR fixed-point system: no iteration
+                p = dst_solve(p, rhs_c / (cfg.dx**2 * cfg.dy**2))
             elif cfg.pressure_mode == "cg":
                 from ns_tpu.ops.poisson import cg_poisson
                 f = rhs_c / (cfg.dx**2 * cfg.dy**2)

@@ -27,6 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ns_tpu.ops.fast_poisson import make_dst_poisson
     from ns_tpu.ops.multigrid import poisson_mgcg, poisson_multigrid
     from ns_tpu.ops.poisson import sor_redblack
     from ns_tpu.utils.host import sync, to_host
@@ -77,6 +78,8 @@ def main():
              lambda p: poisson_multigrid(p, f, dx, dx, n_cycles=10), 2, 10),
             ("MGCG 10 iters",
              lambda p: poisson_mgcg(p, f, dx, dx, n_iters=10), 2, 10),
+            ("DST direct solve",
+             lambda p, s=make_dst_poisson(n, n, dx, dx): s(p, f), 8, 64),
         ]
         for name, solve, n1, n2 in cases:
             t = slope_time(solve, p0, n1, n2)
