@@ -55,7 +55,8 @@ def main(argv=None):
     p.add_argument("--corrected", action="store_true",
                    help="chorin_spectral: stable corrected-operator mode")
     p.add_argument("--pressure-mode", default="redblack",
-                   choices=["redblack", "gauss_seidel", "multigrid", "cg"],
+                   choices=["redblack", "gauss_seidel", "multigrid", "cg",
+                            "dst"],
                    help="chorin_fd pressure solver")
     p.add_argument("--transform", default="fft", choices=["fft", "matmul"],
                    help="periodic families: FFT or MXU matmul-DFT")
