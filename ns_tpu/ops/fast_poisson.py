@@ -24,6 +24,14 @@ bandwidth-bound iteration (multigrid). Measured numbers in RESULTS.md
 
 Setup (transform matrices + eigenvalues) runs in float64 NumPy on host
 (repo convention, CLAUDE.md); only real constants transfer to device.
+
+Note on compile time: the first HIGHEST-precision GEMM compile in a
+process triggers XLA GEMM autotuning, which costs tens of seconds over
+the axon tunnel (per-candidate dispatch latency) at 512^2+. It is a
+one-time per-process cost — subsequent jits of any dst program reuse the
+autotune cache. HIGHEST is kept as the default because it is ~10x more
+accurate than HIGH here (3.1e-6 vs 2.7e-5 rel err at 512^2) at identical
+steady-state throughput.
 """
 
 from __future__ import annotations

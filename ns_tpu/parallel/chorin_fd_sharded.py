@@ -198,7 +198,10 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
 
             def sweeps(hn, hn1, Hn, Hn1):
                 # x-sweep (ref :131-137): contracts the local x axis
-                C1 = dt / 2.0 * (3.0 * Hn - Hn1)
+                # advection sign: quirk replicates the reference's flipped
+                # +dt/2(3H - H1) (see solvers/chorin_fd.py::sweeps)
+                sgn = 1.0 if cfg.quirk_compat else -1.0
+                C1 = sgn * dt / 2.0 * (3.0 * Hn - Hn1)
                 C2 = dt * nu * lap(hn)
                 C = 2.0 / nu * dx2 * (C1 + C2)
                 ht = A_inv @ C                       # (nx-2, by) local matmul

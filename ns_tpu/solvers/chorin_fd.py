@@ -180,7 +180,14 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
 
     def sweeps(hn, hn1, Hn, Hn1):
         # -- x-sweep (ref :131-137): A ht = C
-        C1 = dt / 2.0 * (3.0 * Hn - Hn1)
+        # Reference defect: the semi-implicit path ADDS +dt/2(3H - H1)
+        # with H = +u.grad(u) (ref :126-137), i.e. advection enters the
+        # momentum update with the WRONG sign — the reference's own
+        # explicit path subtracts it (ref :73-77). quirk_compat replicates
+        # the flip (goldens depend on it); corrected mode restores the
+        # physical minus sign. See PARITY.md "Known reference defects".
+        sgn = 1.0 if cfg.quirk_compat else -1.0
+        C1 = sgn * dt / 2.0 * (3.0 * Hn - Hn1)
         C2 = dt * nu * lap(hn)
         C = 2.0 / nu * dx**2 * (C1 + C2)
         ht = A_inv @ C

@@ -125,3 +125,42 @@ def test_corrected_mode_applies_nu():
             dtype=jnp.float64, quirk_compat=False)
         outs.append(np.asarray(s.simulate()[0][-1]))
     assert np.abs(outs[0] - outs[1]).max() > 1e-6
+
+
+def _advection_sign_probe(quirk_compat):
+    """One semi-implicit predictor step at negligible viscosity, where
+    physics dictates u* ~= u - dt * u.grad(u)."""
+    from ns_tpu.solvers.chorin_fd import (ChorinFDConfig, _adi_inverses,
+                                          _semi_implicit_predictor)
+
+    nx = ny = 41
+    cfg = ChorinFDConfig(nx=nx, ny=ny, dt=1e-3, nu=1e-6,
+                         method="semi_implicit", quirk_compat=quirk_compat)
+    x = np.linspace(-1, 1, nx)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u = 0.5 * np.sin(np.pi * X) * np.cos(np.pi * Y) + 1.0
+    v = 0.3 * np.cos(np.pi * X) * np.sin(np.pi * Y)
+    uj, vj = jnp.asarray(u), jnp.asarray(v)
+    A_inv, B_inv = _adi_inverses(cfg, jnp.float64)
+    ui, _ = _semi_implicit_predictor(cfg, A_inv, B_inv, uj, vj, uj, vj)
+
+    dx = cfg.dx
+    dudx = (u[2:, 1:-1] - u[:-2, 1:-1]) / (2 * dx)
+    dudy = (u[1:-1, 2:] - u[1:-1, :-2]) / (2 * dx)
+    adv = u[1:-1, 1:-1] * dudx + v[1:-1, 1:-1] * dudy
+    got = np.asarray(ui)[1:-1, 1:-1]
+    err_minus = np.abs(got - (u[1:-1, 1:-1] - cfg.dt * adv)).max()
+    err_plus = np.abs(got - (u[1:-1, 1:-1] + cfg.dt * adv)).max()
+    return err_minus, err_plus
+
+
+def test_semi_implicit_advection_sign_defect_replicated_and_corrected():
+    """The reference's semi-implicit predictor ADDS +dt/2(3H - H1) with
+    H = +u.grad(u) (ref chorin_fd/simulate.py:126-137) — advection with
+    the sign flipped vs the momentum equation (its own explicit path
+    subtracts, ref :73-77). quirk mode replicates the flip; corrected
+    mode restores the physical minus sign."""
+    err_minus_q, err_plus_q = _advection_sign_probe(True)
+    assert err_plus_q < 1e-5 < err_minus_q          # quirk: flipped sign
+    err_minus_c, err_plus_c = _advection_sign_probe(False)
+    assert err_minus_c < 1e-5 < err_plus_c          # corrected: physical
