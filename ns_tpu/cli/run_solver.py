@@ -51,7 +51,7 @@ def main(argv=None):
     p.add_argument("--nu", type=float, default=0.1)
     p.add_argument("--beta", type=float, default=1.25)
     p.add_argument("--method", default="semi_implicit",
-                   choices=["semi_implicit", "explicit"])
+                   choices=["semi_implicit", "explicit", "helmholtz"])
     p.add_argument("--corrected", action="store_true",
                    help="chorin_spectral: stable corrected-operator mode")
     p.add_argument("--pressure-mode", default="redblack",

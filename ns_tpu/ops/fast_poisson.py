@@ -93,6 +93,52 @@ def make_dst_poisson(nx: int, ny: int, dx: float, dy: float,
     return solve
 
 
+def make_dst_helmholtz(nx: int, ny: int, dx: float, dy: float, coeff: float,
+                       dtype=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Build `solve(ring, rhs_int) -> w` for the Helmholtz problem
+
+        (I - coeff * laplace) w = rhs   (5-point) on the interior,
+
+    with w's boundary ring fixed to `ring`'s edge values (Dirichlet
+    frame). For coeff = dt*nu/2 this is the unsplit Crank-Nicolson
+    diffusion solve used by chorin_fd's corrected `method='helmholtz'`
+    predictor (replacing the reference's ADI splitting,
+    chorin_fd/simulate.py:93-167). The eigen-denominators
+    1 - coeff*(lam_x + lam_y) are >= 1 (lam < 0): unconditionally
+    well-conditioned."""
+    if nx < 3 or ny < 3:
+        raise ValueError(f"need nx, ny >= 3, got {nx}x{ny}")
+    if coeff < 0:
+        raise ValueError(f"need coeff >= 0, got {coeff}")
+    m, k = nx - 2, ny - 2
+    Sx_h, lamx = _dst_basis(m, dx)
+    Sy_h, lamy = _dst_basis(k, dy)
+    inv_den_h = 1.0 / (1.0 - coeff * (lamx[:, None] + lamy[None, :]))
+
+    Sx = jnp.asarray(Sx_h, dtype)
+    Sy = jnp.asarray(Sy_h, dtype)
+    inv_den = jnp.asarray(inv_den_h, dtype)
+    mm = partial(jnp.matmul, precision=precision)
+
+    def solve(ring: Array, rhs_int: Array) -> Array:
+        ring = ring.astype(dtype)
+        rhs = rhs_int.astype(dtype)
+        # (I - coeff*lap) couples boundary-adjacent interior cells to the
+        # fixed ring: -coeff*w_b/h^2 moves to the RHS as +coeff*w_b/h^2
+        cx = coeff / (dx * dx)
+        cy = coeff / (dy * dy)
+        rhs = rhs.at[0, :].add(cx * ring[0, 1:-1])
+        rhs = rhs.at[-1, :].add(cx * ring[-1, 1:-1])
+        rhs = rhs.at[:, 0].add(cy * ring[1:-1, 0])
+        rhs = rhs.at[:, -1].add(cy * ring[1:-1, -1])
+        G = mm(mm(Sx, rhs), Sy) * inv_den
+        W = mm(mm(Sx, G), Sy)
+        return ring.at[1:-1, 1:-1].set(W)
+
+    return solve
+
+
 def poisson_dst(p: Array, f: Array, dx: float, dy: float,
                 precision=jax.lax.Precision.HIGHEST) -> Array:
     """One-shot convenience wrapper (same signature family as

@@ -60,7 +60,10 @@ class ChorinFDConfig:
     rho: float = 1.0
     nu: float = 1.0
     beta: float = 1.25
-    method: str = "semi_implicit"  # 'explicit' | 'semi_implicit'
+    # 'explicit' (AB2, ref :63-91) | 'semi_implicit' (AB2 + CN-ADI,
+    # ref :93-167) | 'helmholtz' (corrected unsplit CN via exact DST
+    # eigenbasis solve — no ADI splitting error / sign quirk; new)
+    method: str = "semi_implicit"
     sor_tol: float = 5e-6  # ref :183
     quirk_compat: bool = True  # replicate the explicit-path axis quirk
     # 'redblack': fast data-parallel SOR (same fixed point, default);
@@ -79,8 +82,9 @@ class ChorinFDConfig:
     use_pallas: bool = False
 
     def __post_init__(self):
-        if self.method not in ("semi_implicit", "explicit"):
-            raise ValueError(f"method must be semi_implicit|explicit, got {self.method!r}")
+        if self.method not in ("semi_implicit", "explicit", "helmholtz"):
+            raise ValueError("method must be semi_implicit|explicit|"
+                             f"helmholtz, got {self.method!r}")
         if self.pressure_mode not in ("redblack", "gauss_seidel",
                                       "multigrid", "cg", "dst"):
             raise ValueError("pressure_mode must be redblack|gauss_seidel|"
@@ -208,6 +212,34 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
     return (un.at[1:-1, 1:-1].set(ui_int), vn.at[1:-1, 1:-1].set(vi_int))
 
 
+def _helmholtz_predictor(cfg: ChorinFDConfig, hsolve, un, vn, un1, vn1):
+    """Corrected unsplit Crank-Nicolson predictor (method='helmholtz').
+
+    Solves   (I - a*lap) u* = u^n - dt (3/2 H^n - 1/2 H^{n-1}) + a lap u^n
+    with a = dt*nu/2 and H = u.grad(u) (physical sign), EXACTLY in the
+    DST eigenbasis (ops/fast_poisson.py::make_dst_helmholtz). This is the
+    scheme the reference's ADI split (ref chorin_fd/simulate.py:93-167)
+    approximates, without the dimensional-splitting error, the square-grid
+    y-sweep quirk, or the advection sign flip. Same cost class as the ADI
+    path (4 square GEMMs/field vs 2 plus stencils)."""
+    dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
+    a = dt * nu / 2.0
+
+    def advect(f, g, h):
+        return (f[1:-1, 1:-1] * (h[2:, 1:-1] - h[:-2, 1:-1]) / (2.0 * dx)
+                + g[1:-1, 1:-1] * (h[1:-1, 2:] - h[1:-1, :-2]) / (2.0 * dy))
+
+    def lap(h):
+        return ((h[2:, 1:-1] - 2 * h[1:-1, 1:-1] + h[:-2, 1:-1]) / dx**2
+                + (h[1:-1, 2:] - 2 * h[1:-1, 1:-1] + h[1:-1, :-2]) / dy**2)
+
+    uHn, uHn1 = advect(un, vn, un), advect(un1, vn1, un1)
+    vHn, vHn1 = advect(un, vn, vn), advect(un1, vn1, vn1)
+    rhs_u = (un[1:-1, 1:-1] - dt * (1.5 * uHn - 0.5 * uHn1) + a * lap(un))
+    rhs_v = (vn[1:-1, 1:-1] - dt * (1.5 * vHn - 0.5 * vHn1) + a * lap(vn))
+    return hsolve(un, rhs_u), hsolve(vn, rhs_v)
+
+
 def _pressure_rhs(cfg: ChorinFDConfig, ui: Array, vi: Array) -> Array:
     """Scaled divergence source of the SOR iteration (ref :186-188)."""
     dt, dx, dy, rho = cfg.dt, cfg.dx, cfg.dy, cfg.rho
@@ -229,6 +261,10 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
     """Build the pure one-timestep function (ref step, :212-234)."""
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
+    elif cfg.method == "helmholtz":
+        from ns_tpu.ops.fast_poisson import make_dst_helmholtz
+        hsolve = make_dst_helmholtz(cfg.nx, cfg.ny, cfg.dx, cfg.dy,
+                                    cfg.dt * cfg.nu / 2.0, dtype=dtype)
     if cfg.pressure_mode == "dst":
         from ns_tpu.ops.fast_poisson import make_dst_poisson
         dst_solve = make_dst_poisson(cfg.nx, cfg.ny, cfg.dx, cfg.dy,
@@ -241,6 +277,8 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
         with jax.named_scope("chorin_fd.predictor"):
             if cfg.method == "explicit":
                 ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
+            elif cfg.method == "helmholtz":
+                ui, vi = _helmholtz_predictor(cfg, hsolve, un, vn, un1, vn1)
             else:
                 ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv,
                                                   un, vn, un1, vn1)

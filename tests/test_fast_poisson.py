@@ -89,3 +89,105 @@ def test_chorin_fd_dst_mode_matches_converged_sor():
     np.testing.assert_allclose(u2, u1, atol=1e-6)
     np.testing.assert_allclose(v2, v1, atol=1e-6)
     np.testing.assert_allclose(p2, p1, atol=1e-5)
+
+
+# --- helmholtz (unsplit CN predictor) --------------------------------------
+
+
+def test_dst_helmholtz_exact_inverse():
+    """(I - c*lap) solve inverts the operator to machine precision,
+    including inhomogeneous fixed-ring lifting and nx != ny."""
+    from ns_tpu.ops.fast_poisson import make_dst_helmholtz
+
+    nx, ny, dx, dy, c = 21, 35, 0.07, 0.11, 0.013
+    rng = np.random.default_rng(3)
+    w_true = rng.normal(size=(nx, ny))
+    lap = five_point(w_true, dx, dy)
+    rhs = w_true[1:-1, 1:-1] - c * lap
+    ring = w_true.copy()
+    ring[1:-1, 1:-1] = rng.normal(size=(nx - 2, ny - 2))
+    solve = make_dst_helmholtz(nx, ny, dx, dy, c, dtype=jnp.float64)
+    w = np.asarray(solve(jnp.asarray(ring), jnp.asarray(rhs)))
+    np.testing.assert_allclose(w, w_true, atol=1e-11)
+
+
+def test_helmholtz_predictor_cn_diffusion_factor():
+    """Pure-diffusion limit: a discrete sine mode decays by the exact
+    Crank-Nicolson factor (1 + a*lam)/(1 - a*lam) per step (amplitude
+    made tiny so quadratic advection is negligible)."""
+    from ns_tpu.solvers.chorin_fd import (ChorinFDConfig,
+                                          _helmholtz_predictor)
+    from ns_tpu.ops.fast_poisson import make_dst_helmholtz
+
+    nx = ny = 33
+    kx = ky = 2
+    cfg = ChorinFDConfig(nx=nx, ny=ny, dt=2e-3, nu=0.5, method="helmholtz")
+    dx = cfg.dx
+    a = cfg.dt * cfg.nu / 2.0
+    i = np.arange(nx)
+    mode = (np.sin(np.pi * kx * i / (nx - 1))[:, None]
+            * np.sin(np.pi * ky * i / (nx - 1))[None, :])
+    eps = 1e-7
+    u = jnp.asarray(eps * mode)
+    v = jnp.zeros_like(u)
+    hsolve = make_dst_helmholtz(nx, ny, dx, dx, a, dtype=jnp.float64)
+    ui, _ = _helmholtz_predictor(cfg, hsolve, u, v, u, v)
+
+    lam = -(4 / dx**2) * (np.sin(np.pi * kx / (2 * (nx - 1)))**2
+                          + np.sin(np.pi * ky / (2 * (nx - 1)))**2)
+    factor = (1 + a * lam) / (1 - a * lam)
+    np.testing.assert_allclose(np.asarray(ui), eps * factor * mode,
+                               atol=1e-12)
+
+
+def test_helmholtz_predictor_advection_sign_physical():
+    """method='helmholtz' uses the physical -dt*u.grad(u) (the defect the
+    reference's semi-implicit path flips, PARITY.md)."""
+    from ns_tpu.solvers.chorin_fd import (ChorinFDConfig,
+                                          _helmholtz_predictor)
+    from ns_tpu.ops.fast_poisson import make_dst_helmholtz
+
+    nx = ny = 41
+    cfg = ChorinFDConfig(nx=nx, ny=ny, dt=1e-3, nu=1e-6, method="helmholtz")
+    x = np.linspace(-1, 1, nx)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u = 0.5 * np.sin(np.pi * X) * np.cos(np.pi * Y) + 1.0
+    v = 0.3 * np.cos(np.pi * X) * np.sin(np.pi * Y)
+    hsolve = make_dst_helmholtz(nx, ny, cfg.dx, cfg.dy, cfg.dt * cfg.nu / 2,
+                                dtype=jnp.float64)
+    ui, _ = _helmholtz_predictor(cfg, hsolve, jnp.asarray(u), jnp.asarray(v),
+                                 jnp.asarray(u), jnp.asarray(v))
+    dx = cfg.dx
+    dudx = (u[2:, 1:-1] - u[:-2, 1:-1]) / (2 * dx)
+    dudy = (u[1:-1, 2:] - u[1:-1, :-2]) / (2 * dx)
+    adv = u[1:-1, 1:-1] * dudx + v[1:-1, 1:-1] * dudy
+    got = np.asarray(ui)[1:-1, 1:-1]
+    assert np.abs(got - (u[1:-1, 1:-1] - cfg.dt * adv)).max() < 1e-5
+
+
+def test_helmholtz_cavity_tracks_corrected_semi_implicit():
+    """Full cavity rollout: the unsplit CN predictor stays close to the
+    corrected ADI scheme (they differ only by the O(dt^2) splitting term)
+    and both are stable; rectangular grid exercises the general path."""
+    from ns_tpu.solvers.chorin_fd import (ChorinFDConfig, init_state,
+                                          simulate)
+    from tests.test_chorin_fd import cavity_bcs
+
+    nx, ny = 33, 25
+    dx, dy = 2.0 / (nx - 1), 2.0 / (ny - 1)
+    u_bc, v_bc, p_bc = cavity_bcs(dx, dy)
+    z = np.zeros((nx, ny))
+
+    def roll(method):
+        cfg = ChorinFDConfig(nx=nx, ny=ny, nt=40, nit=2000, dt=5e-4, nu=0.1,
+                             beta=1.25, method=method, quirk_compat=False,
+                             pressure_mode="dst")
+        s0 = init_state(cfg, z, z, z, u_bc, v_bc, p_bc, dtype=jnp.float64)
+        return map(np.asarray, simulate(cfg, s0, u_bc, v_bc, p_bc,
+                                        dtype=jnp.float64))
+
+    u_h, v_h, p_h = roll("helmholtz")
+    u_s, v_s, p_s = roll("semi_implicit")
+    assert np.isfinite(u_h).all() and np.isfinite(v_h).all()
+    assert np.abs(u_h - u_s).max() < 2e-3
+    assert np.abs(v_h - v_s).max() < 2e-3
