@@ -93,7 +93,9 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
     """Build the jitted sharded step on globally-shaped arrays (fields
     sharded along dim 1 on mesh axis `axis`). Returns (step, NamedSharding).
 
-    Supports both predictor methods and two pressure modes:
+    Supports all three predictor methods (explicit, semi_implicit, and the
+    corrected unsplit-CN 'helmholtz' — its eigenbasis solve rides the same
+    dst_apply transposes as the dst pressure) and two pressure modes:
       - 'redblack': pmax-gated data-parallel SOR (two halo exchanges per
         sweep, global convergence gate);
       - 'dst': DIRECT matmul-DST solve of the same Dirichlet-frame system
@@ -118,20 +120,48 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
     nx, ny = cfg.nx, cfg.ny
     dt, dx, dy, nu, rho = cfg.dt, cfg.dx, cfg.dy, cfg.nu, cfg.rho
     dx2, dy2 = dx * dx, dy * dy
-    if cfg.pressure_mode == "dst":
+    needs_dst = cfg.pressure_mode == "dst" or cfg.method == "helmholtz"
+    if needs_dst:
         if nx % n:
-            raise ValueError(f"pressure_mode='dst' needs nx={nx} divisible "
-                             f"by mesh axis size {n} (all_to_all transpose)")
+            raise ValueError(f"the DST paths need nx={nx} divisible by "
+                             f"mesh axis size {n} (all_to_all transpose)")
         import numpy as np
         from ns_tpu.ops.fast_poisson import _dst_basis
         Sx_h, lamx = _dst_basis(nx - 2, dx)
         Sy_h, lamy = _dst_basis(ny - 2, dy)
         Sx_pad = jnp.asarray(np.pad(Sx_h, 1), dtype)          # (nx, nx)
         Sy_pad = jnp.asarray(np.pad(Sy_h, 1), dtype)          # (ny, ny)
-        inv_den_h = np.zeros((nx, ny))
-        inv_den_h[1:-1, 1:-1] = 1.0 / (lamx[:, None] + lamy[None, :])
-        inv_den_full = jnp.asarray(inv_den_h, dtype)          # (nx, ny)
+        lam_sum = lamx[:, None] + lamy[None, :]
+
+        def pad_inv_den(den_int):
+            full = np.zeros((nx, ny))
+            full[1:-1, 1:-1] = 1.0 / den_int
+            return jnp.asarray(full, dtype)
+
+        if cfg.pressure_mode == "dst":
+            inv_den_poisson = pad_inv_den(lam_sum)
+        if cfg.method == "helmholtz":
+            a_cn = dt * nu / 2.0
+            inv_den_helm = pad_inv_den(1.0 - a_cn * lam_sum)
         bx = nx // n
+    if needs_dst:
+        _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+        def dst_apply(F_block, inv_den_full):
+            """Padded-basis eigenbasis solve on a (nx, by) column block:
+            Sx ((Sx F Sy) * inv_den) Sy with the sharded contractions
+            riding two all_to_all transposes (call under shard_map)."""
+            t = _mm(Sx_pad, F_block)                     # (nx, by) local
+            t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
+                                   tiled=True)           # (bx, ny)
+            t = _mm(t, Sy_pad)                           # (bx, ny) local
+            i0 = jax.lax.axis_index(axis) * bx
+            t = t * jax.lax.dynamic_slice_in_dim(inv_den_full, i0, bx, 0)
+            t = _mm(t, Sy_pad)                           # (bx, ny) local
+            t = jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
+                                   tiled=True)           # (nx, by)
+            return _mm(Sx_pad, t)                        # (nx, by) local
+
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
         # corrected y-sweep helper: B^-T with zero columns padded at the
@@ -184,6 +214,35 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
                 + dt * nu * (1.5 * lap_v - 0.5 * lap_v1)
             ui = jnp.where(interior, jnp.pad(ui_int, ((1, 1), (0, 0))), un)
             vi = jnp.where(interior, jnp.pad(vi_int, ((1, 1), (0, 0))), vn)
+        elif cfg.method == "helmholtz":
+            # corrected unsplit CN (solvers/chorin_fd.py::
+            # _helmholtz_predictor) on full (nx, by) blocks: stencils via
+            # rolls/halos, boundary ring lifted onto the RHS, eigenbasis
+            # solve through dst_apply
+            def advect_full(f, g, h):
+                hL, hR = ystencil(h)
+                return (f * (jnp.roll(h, -1, 0) - jnp.roll(h, 1, 0))
+                        / (2.0 * dx) + g * (hR - hL) / (2.0 * dy))
+
+            def lap_full(h):
+                hL, hR = ystencil(h)
+                return ((jnp.roll(h, -1, 0) - 2 * h + jnp.roll(h, 1, 0))
+                        / dx2 + (hR - 2 * h + hL) / dy2)
+
+            def helm_solve(hn, hn1, Hn, Hn1):
+                rhs = hn - dt * (1.5 * Hn - 0.5 * Hn1) + a_cn * lap_full(hn)
+                # ring lift: +a/h^2 * fixed boundary neighbor values
+                rhs = rhs.at[1, :].add(a_cn / dx2 * hn[0, :])
+                rhs = rhs.at[-2, :].add(a_cn / dx2 * hn[-1, :])
+                hL, hR = ystencil(hn)
+                rhs = rhs + jnp.where(gj == 1, a_cn / dy2 * hL, 0.0) \
+                          + jnp.where(gj == ny - 2, a_cn / dy2 * hR, 0.0)
+                return jnp.where(interior, dst_apply(rhs, inv_den_helm), hn)
+
+            uHn, uHn1 = advect_full(un, vn, un), advect_full(un1, vn1, un1)
+            vHn, vHn1 = advect_full(un, vn, vn), advect_full(un1, vn1, vn1)
+            ui = helm_solve(un, un1, uHn, uHn1)
+            vi = helm_solve(vn, vn1, vHn, vHn1)
         else:
             def advect(f, g, h):
                 # f * dh/dx + g * dh/dy on interior rows, all local columns
@@ -245,8 +304,9 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             0.0)
         if cfg.pressure_mode == "dst":
             # direct distributed solve: lift the fixed boundary values
-            # onto the interior RHS, then P = Sx ((Sx F Sy) * invden) Sy
-            # with the sharded contractions riding all_to_all transposes
+            # onto the interior RHS, then solve in the eigenbasis.
+            # Non-interior rows/cols of f are ignored (the padded basis
+            # matrices carry zero boundary rows/cols).
             f = rhs_c / (dx2 * dy2)
             inv_dx2, inv_dy2 = 1.0 / dx2, 1.0 / dy2
             f = f.at[1, :].add(-p[0, :] * inv_dx2)
@@ -254,20 +314,7 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             ppad = ypad(p)
             f = f + jnp.where(gj == 1, -ppad[:, :-2] * inv_dy2, 0.0) \
                   + jnp.where(gj == ny - 2, -ppad[:, 2:] * inv_dy2, 0.0)
-            # non-interior rows/cols of f are ignored: the padded basis
-            # matrices carry zero boundary rows/cols
-            mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-            t = mm(Sx_pad, f)                       # (nx, by)  local
-            t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
-                                   tiled=True)      # (bx, ny)  row block
-            t = mm(t, Sy_pad)                       # (bx, ny)  local
-            i0 = jax.lax.axis_index(axis) * bx
-            t = t * jax.lax.dynamic_slice_in_dim(inv_den_full, i0, bx, 0)
-            t = mm(t, Sy_pad)                       # (bx, ny)  local
-            t = jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=0,
-                                   tiled=True)      # (nx, by)  col block
-            P_int = mm(Sx_pad, t)                   # (nx, by)  local
-            p = jnp.where(interior, P_int, p)
+            p = jnp.where(interior, dst_apply(f, inv_den_poisson), p)
         else:
             red = ((gi + gj) % 2 == 0) & interior
             black = ((gi + gj) % 2 == 1) & interior

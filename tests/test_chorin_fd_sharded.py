@@ -108,3 +108,25 @@ def test_sharded_dst_matches_single_device(n_shards):
     np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_ref), atol=1e-10)
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), atol=1e-10)
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-9)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_helmholtz_matches_single_device(n_shards):
+    """Distributed unsplit-CN predictor (method='helmholtz', eigenbasis
+    solve through the shared dst_apply transposes) matches the
+    single-device corrected solver elementwise."""
+    nx = ny = 40
+    cfg = chorin_fd.ChorinFDConfig(nt=4, nit=100, nx=nx, ny=ny, dt=1e-3,
+                                   rho=1.0, nu=0.1, beta=1.25,
+                                   method="helmholtz", quirk_compat=False,
+                                   pressure_mode="dst")
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    (u_ref, v_ref, p_ref), state0 = _reference_rollout(cfg, u_bc, v_bc, p_bc)
+
+    mesh = make_mesh({"x": n_shards}, devices=jax.devices()[:n_shards])
+    u_s, v_s, p_s = chorin_fd_sharded.simulate(
+        cfg, state0, u_bc, v_bc, p_bc, mesh, dtype=jnp.float64)
+
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-9)

@@ -37,6 +37,7 @@ def main():
                 neumann(0, "left", dx, dx), neumann(0, "right", dx, dx)]
         cfg = ChorinFDConfig(nt=n2, nit=200, nx=nx, ny=ny, dt=1e-5,
                              rho=1.0, nu=0.1, beta=1.25, method=method,
+                             quirk_compat=(method != "helmholtz"),
                              pressure_mode=pressure_mode)
         z = np.zeros((nx, ny), np.float32)
         state0 = init_state(cfg, z, z, z, u_bc, v_bc, p_bc)
@@ -64,8 +65,9 @@ def main():
     print("| grid | method | pressure | ms/step | Gcups |")
     print("|---|---|---|---|---|")
     for nx in (256, 512, 1024):
-        for method in ("semi_implicit", "explicit"):
-            for mode in ("redblack", "dst"):
+        for method in ("semi_implicit", "explicit", "helmholtz"):
+            for mode in (("redblack", "dst") if method != "helmholtz"
+                         else ("dst",)):
                 t, g = bench(nx, method, mode)
                 print(f"| {nx}^2 | {method} | {mode} | {t*1e3:.3f} | "
                       f"{g:.2f} |", flush=True)
