@@ -56,8 +56,9 @@ def main(argv=None):
                    help="chorin_spectral: stable corrected-operator mode")
     p.add_argument("--pressure-mode", default="redblack",
                    choices=["redblack", "gauss_seidel", "multigrid", "cg",
-                            "dst"],
-                   help="chorin_fd pressure solver")
+                            "dst", "exact"],
+                   help="chorin_fd pressure solver ('exact' = direct_fd's "
+                        "direct mixed-BC solve)")
     p.add_argument("--transform", default="fft", choices=["fft", "matmul"],
                    help="periodic families: FFT or MXU matmul-DFT")
     p.add_argument("--precision", default="high",
@@ -91,7 +92,10 @@ def main(argv=None):
         z = np.zeros((nx, nx))
         sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=args.nt,
                                   nit=nit, nx=nx, ny=nx, dt=args.dt,
-                                  rho=args.rho, nu=args.nu, dtype=dtype)
+                                  rho=args.rho, nu=args.nu, dtype=dtype,
+                                  pressure_mode=("exact" if
+                                                 args.pressure_mode == "exact"
+                                                 else "jacobi"))
         u, v, pr = sys_.simulate()
         default_out = "data.npz"
     elif args.family == "chorin_fd":

@@ -139,6 +139,109 @@ def make_dst_helmholtz(nx: int, ny: int, dx: float, dy: float, coeff: float,
     return solve
 
 
+def _mixed_axis_operator(n_total: int, h: float, lo, hi):
+    """1D interior second-difference operator for one axis with the
+    fixed-point BC relations folded in.
+
+    lo/hi are ('dirichlet', value, step) or ('neumann', value, step) for
+    the low/high edge of the axis, where `step` is the BC object's own
+    dx/dy constant (the reference's one-sided difference always uses
+    bc.dx for left/right and bc.dy for bottom/top, boundary.py:56-86 —
+    NOT necessarily the axis grid spacing h). Folding (low edge; high is
+    symmetric):
+      - dirichlet c:  p[0] = c            -> rhs lift -c/h^2
+      - neumann g:    p[0] = p[1]-step*g  -> diagonal -2 -> -1,
+                                             rhs lift +step*g/h^2
+    Returns (V, lam, rhs_lift) with V orthonormal (np.linalg.eigh of the
+    symmetric tridiagonal), all in float64."""
+    m = n_total - 2
+    L = (np.diag(np.full(m, -2.0)) + np.diag(np.ones(m - 1), 1)
+         + np.diag(np.ones(m - 1), -1))
+    lift = np.zeros(m)
+    for end, (kind, value, step), sign in ((0, lo, +1.0), (m - 1, hi, -1.0)):
+        if kind == "neumann":
+            L[end, end] += 1.0  # -2 -> -1 (+= so m == 1 folds both ends)
+            lift[end] += sign * value * step / (h * h)
+        else:
+            lift[end] -= value / (h * h)
+    L /= h * h
+    lam, V = np.linalg.eigh(L)
+    return V, lam, lift
+
+
+def _side_bcs(p_bc) -> dict:
+    """Effective (kind, value, step) per side: the LAST BC in list order
+    writing a side determines the edge values the interior reads (corners
+    are order-dependent but never read by the 5-point stencil). `step` is
+    the one-sided-difference constant the BC itself carries: bc.dx for
+    left/right edges, bc.dy for bottom/top (boundary.py:56-86)."""
+    eff = {}
+    for bc in p_bc:
+        step = bc.dx if bc.side in ("left", "right") else bc.dy
+        eff[bc.side] = (bc.kind, float(bc.value), float(step))
+    missing = [s for s in ("left", "right", "bottom", "top") if s not in eff]
+    if missing:
+        raise ValueError(
+            f"exact mixed-BC solve needs one BC per side; missing {missing} "
+            "(an unconstrained edge would pin to its previous values, which "
+            "the direct solve cannot represent)")
+    return eff
+
+
+def make_mixed_poisson(nx: int, ny: int, h0: float, h1: float, p_bc,
+                       dtype=None,
+                       precision=jax.lax.Precision.HIGHEST):
+    """Direct solver for the fixed point of (Jacobi sweep + apply_bcs) —
+    the converged limit of the reference direct_fd pressure iteration
+    (direct_fd/simulate.py:68-88), which its fixed nit=50 sweeps only
+    approximate.
+
+    The system: interior cells satisfy (d2/daxis0^2)/h0^2 +
+    (d2/daxis1^2)/h1^2 applied to p equals b, and each edge satisfies its
+    BC relation. With one BC per side this separates: each axis's 1D
+    operator absorbs its Dirichlet/Neumann ends (`_mixed_axis_operator`,
+    eigendecomposed on host in float64), and the solve is four GEMMs in
+    the mixed eigenbasis. `left`/`right` are the axis-0 edges and
+    `bottom`/`top` the axis-1 edges (core/bc.py edge naming); pass
+    h0/h1 as the spacings dividing the axis-0/axis-1 differences
+    (direct_fd: h0=dy, h1=dx — ref :60-65 axis convention).
+
+    All-Neumann problems are singular (constant nullspace): the zero
+    eigenpair is deflated, returning the particular solution with no
+    nullspace component (the compatible part of b is solved exactly).
+
+    Returns `solve(b) -> p`: full-grid p with interior from the direct
+    solve and edges/corners rebuilt by `apply_bcs` in list order (exact
+    reference edge semantics). With dtype=None the solve follows b's
+    dtype (constants converted at trace time)."""
+    from ns_tpu.core.bc import apply_bcs
+
+    eff = _side_bcs(p_bc)
+    V0_h, lam0, lift0 = _mixed_axis_operator(nx, h0, eff["left"],
+                                             eff["right"])
+    V1_h, lam1, lift1 = _mixed_axis_operator(ny, h1, eff["bottom"],
+                                             eff["top"])
+    den = lam0[:, None] + lam1[None, :]
+    # deflate the all-Neumann nullspace pair (|lam| ~ 0 only there)
+    tiny = np.abs(den) < 1e-12 * max(1.0 / h0**2, 1.0 / h1**2)
+    inv_den_h = np.where(tiny, 0.0, 1.0 / np.where(tiny, 1.0, den))
+    lift_h = lift0[:, None] + lift1[None, :]
+    mm = partial(jnp.matmul, precision=precision)
+    bcs = list(p_bc)
+
+    def solve(b: Array) -> Array:
+        dt_ = dtype or b.dtype
+        V0 = jnp.asarray(V0_h, dt_)
+        V1 = jnp.asarray(V1_h, dt_)
+        rhs = b.astype(dt_)[1:-1, 1:-1] + jnp.asarray(lift_h, dt_)
+        G = mm(mm(V0.T, rhs), V1) * jnp.asarray(inv_den_h, dt_)
+        P = mm(mm(V0, G), V1.T)
+        p = jnp.zeros(b.shape, dt_).at[1:-1, 1:-1].set(P)
+        return apply_bcs(p, bcs)
+
+    return solve
+
+
 def poisson_dst(p: Array, f: Array, dx: float, dy: float,
                 precision=jax.lax.Precision.HIGHEST) -> Array:
     """One-shot convenience wrapper (same signature family as

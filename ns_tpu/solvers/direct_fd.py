@@ -52,6 +52,20 @@ class DirectFDConfig:
     # (0.82 ms vs 1.26 ms per solve on v5e), so this defaults off; it is
     # the in-VMEM ping-pong path of SURVEY.md §7 item 5 for larger grids.
     use_pallas: bool = False
+    # 'jacobi': the reference's fixed nit sweeps with per-sweep BC
+    # re-application (parity default, ref :68-88); 'exact': direct
+    # mixed-BC eigenbasis solve of the very fixed point those sweeps
+    # approach (ops/fast_poisson.py::make_mixed_poisson) — a corrected
+    # mode: the reference's nit=50 leaves the solve far from converged.
+    pressure_mode: str = "jacobi"
+
+    def __post_init__(self):
+        if self.pressure_mode not in ("jacobi", "exact"):
+            raise ValueError("pressure_mode must be jacobi|exact, got "
+                             f"{self.pressure_mode!r}")
+        if self.pressure_mode == "exact" and self.use_pallas:
+            raise ValueError("pressure_mode='exact' replaces the sweep "
+                             "loop; use_pallas does not apply")
 
     @property
     def dx(self) -> float:
@@ -99,11 +113,18 @@ def make_step(cfg: DirectFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
     """Build the pure one-timestep function (ref step, :90-127)."""
     dt, dx, dy = cfg.dt, cfg.dx, cfg.dy
     rho, nu = cfg.rho, cfg.nu
+    if cfg.pressure_mode == "exact":
+        from ns_tpu.ops.fast_poisson import make_mixed_poisson
+        # axis 0 carries the y-differences here (ref :60-65): h0=dy, h1=dx
+        exact_solve = make_mixed_poisson(cfg.nx, cfg.ny, dy, dx, p_bc)
 
     def step(state: FlowState) -> FlowState:
         un, vn, p = state.u, state.v, state.p
         b = build_up_b(cfg, un, vn)
-        p = pressure_poisson(cfg, p, b, p_bc)
+        if cfg.pressure_mode == "exact":
+            p = exact_solve(b)
+        else:
+            p = pressure_poisson(cfg, p, b, p_bc)
 
         u_int = (
             un[1:-1, 1:-1]
@@ -151,9 +172,11 @@ class NavierStokesSystem:
 
     def __init__(self, u_ic, v_ic, p_ic, u_bc, v_bc, p_bc,
                  nt=200, nit=50, nx=50, ny=50, dt=0.001, rho=1, nu=0.1,
-                 dtype=jnp.float32, use_pallas=False):
+                 dtype=jnp.float32, use_pallas=False,
+                 pressure_mode="jacobi"):
         self.cfg = DirectFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
-                                  rho=rho, nu=nu, use_pallas=use_pallas)
+                                  rho=rho, nu=nu, use_pallas=use_pallas,
+                                  pressure_mode=pressure_mode)
         self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
         self.state0 = FlowState(
             u=jnp.asarray(u_ic, dtype=dtype),

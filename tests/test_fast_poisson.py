@@ -191,3 +191,117 @@ def test_helmholtz_cavity_tracks_corrected_semi_implicit():
     assert np.isfinite(u_h).all() and np.isfinite(v_h).all()
     assert np.abs(u_h - u_s).max() < 2e-3
     assert np.abs(v_h - v_s).max() < 2e-3
+
+
+# --- mixed-BC exact solve (direct_fd corrected pressure) --------------------
+
+
+def _cavity_p_bcs(dx, dy, g=0.3, c=0.7):
+    """Reference-style pressure BCs with nonzero data to exercise lifts."""
+    from ns_tpu.core.bc import dirichlet, neumann
+    return [neumann(g, "left", dx, dy), neumann(-g, "right", dx, dy),
+            neumann(2 * g, "bottom", dx, dy), dirichlet(c, "top")]
+
+
+def test_mixed_poisson_is_jacobi_fixed_point():
+    """solve(b) is left EXACTLY invariant by one (Jacobi sweep + apply_bcs)
+    iteration — the defining property of the reference direct_fd pressure
+    fixed point (ref :68-88), including inhomogeneous Neumann/Dirichlet
+    lifts and the one-sided edge relations."""
+    from ns_tpu.core.bc import apply_bcs
+    from ns_tpu.ops.fast_poisson import make_mixed_poisson
+    from ns_tpu.ops.poisson import jacobi
+
+    nx, ny = 21, 17
+    dx, dy = 2.0 / (ny - 1), 2.0 / (nx - 1)  # axis0=y spacing=dy, axis1=x
+    p_bc = _cavity_p_bcs(dx, dy)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=(nx, ny)))
+    solve = make_mixed_poisson(nx, ny, dy, dx, p_bc)
+    p = solve(b)
+    p_after = jacobi(p, b, dx, dy, 1, bc_fn=lambda q: apply_bcs(q, p_bc))
+    np.testing.assert_allclose(np.asarray(p_after), np.asarray(p),
+                               atol=1e-10)
+
+
+def test_mixed_poisson_matches_converged_jacobi():
+    from ns_tpu.core.bc import apply_bcs
+    from ns_tpu.ops.fast_poisson import make_mixed_poisson
+    from ns_tpu.ops.poisson import jacobi
+
+    nx = ny = 33
+    dx = dy = 2.0 / (nx - 1)
+    p_bc = _cavity_p_bcs(dx, dy)
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.normal(size=(nx, ny)))
+    p_exact = make_mixed_poisson(nx, ny, dy, dx, p_bc)(b)
+    p_jac = jacobi(jnp.zeros((nx, ny), jnp.float64), b, dx, dy, 20000,
+                   bc_fn=lambda q: apply_bcs(q, p_bc))
+    # Jacobi's slowest mode here (three Neumann sides -> a near-null
+    # eigenpair) contracts so slowly that 20k sweeps still carry ~3e-6
+    # error; the machine-precision check is the sweep-invariance test
+    # above. This one pins agreement at Jacobi's practical accuracy.
+    np.testing.assert_allclose(np.asarray(p_exact), np.asarray(p_jac),
+                               atol=1e-5)
+
+
+def test_mixed_poisson_all_neumann_deflated():
+    """All-Neumann (singular) problems: the nullspace pair is deflated;
+    for compatible b the result is still an exact fixed point."""
+    from ns_tpu.core.bc import apply_bcs, neumann
+    from ns_tpu.ops.fast_poisson import make_mixed_poisson
+    from ns_tpu.ops.poisson import jacobi
+
+    nx = ny = 17
+    dx = dy = 2.0 / (nx - 1)
+    p_bc = [neumann(0.0, s, dx, dy) for s in ("left", "right",
+                                              "bottom", "top")]
+    rng = np.random.default_rng(7)
+    b_int = rng.normal(size=(nx - 2, ny - 2))
+    b_int -= b_int.mean()  # compatible RHS (zero nullspace component)
+    b = jnp.zeros((nx, ny), jnp.float64).at[1:-1, 1:-1].set(b_int)
+    p = make_mixed_poisson(nx, ny, dy, dx, p_bc)(b)
+    assert np.isfinite(np.asarray(p)).all()
+    p_after = jacobi(p, b, dx, dy, 1, bc_fn=lambda q: apply_bcs(q, p_bc))
+    np.testing.assert_allclose(np.asarray(p_after), np.asarray(p),
+                               atol=1e-10)
+
+
+def test_mixed_poisson_requires_bc_per_side():
+    from ns_tpu.core.bc import dirichlet
+    from ns_tpu.ops.fast_poisson import make_mixed_poisson
+    with pytest.raises(ValueError, match="missing"):
+        make_mixed_poisson(9, 9, 0.1, 0.1, [dirichlet(0, "top")])
+
+
+def test_direct_fd_exact_pressure_mode_tracks_converged_jacobi():
+    """Full direct_fd rollout with pressure_mode='exact' tracks a
+    rollout whose Jacobi solve is run to tight convergence (nit=20000);
+    the reference's own nit=50 is far from this fixed point."""
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.solvers.direct_fd import (DirectFDConfig, make_step)
+    from ns_tpu.core.state import FlowState
+
+    nx = ny = 33
+    dx = dy = 2.0 / (nx - 1)
+    u_bc = [dirichlet(0, "left"), dirichlet(0, "right"),
+            dirichlet(1, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "bottom", "top")]
+    p_bc = [neumann(0, "left", dx, dy), neumann(0, "right", dx, dy),
+            neumann(0, "bottom", dx, dy), dirichlet(0, "top")]
+
+    def roll(**kw):
+        cfg = DirectFDConfig(nt=10, nx=nx, ny=ny, dt=1e-3, nu=0.1, **kw)
+        step = make_step(cfg, u_bc, v_bc, p_bc)
+        z = jnp.zeros((nx, ny), jnp.float64)
+        s = FlowState(u=z, v=z, p=z)
+        for _ in range(cfg.nt):
+            s = step(s)
+        return np.asarray(s.u), np.asarray(s.v), np.asarray(s.p)
+
+    u_e, v_e, p_e = roll(pressure_mode="exact")
+    u_j, v_j, p_j = roll(pressure_mode="jacobi", nit=20000)
+    assert np.isfinite(u_e).all()
+    np.testing.assert_allclose(u_e, u_j, atol=1e-7)
+    np.testing.assert_allclose(v_e, v_j, atol=1e-7)
+    np.testing.assert_allclose(p_e, p_j, atol=1e-6)
