@@ -56,9 +56,10 @@ def main(argv=None):
                    help="chorin_spectral: stable corrected-operator mode")
     p.add_argument("--pressure-mode", default="redblack",
                    choices=["redblack", "gauss_seidel", "multigrid", "cg",
-                            "dst", "exact"],
-                   help="chorin_fd pressure solver ('exact' = direct_fd's "
-                        "direct mixed-BC solve)")
+                            "dst", "jacobi", "exact"],
+                   help="pressure solver: chorin_fd takes "
+                        "redblack|gauss_seidel|multigrid|cg|dst; direct_fd "
+                        "takes jacobi|exact (exact = direct mixed-BC solve)")
     p.add_argument("--transform", default="fft", choices=["fft", "matmul"],
                    help="periodic families: FFT or MXU matmul-DFT")
     p.add_argument("--precision", default="high",
@@ -90,6 +91,10 @@ def main(argv=None):
         dx = dy = 2.0 / (nx - 1)
         u_bc, v_bc, p_bc = cavity_bcs(dx, dy)
         z = np.zeros((nx, nx))
+        if args.pressure_mode not in ("jacobi", "exact", "redblack"):
+            # 'redblack' is the flag default, i.e. "not specified"
+            p.error(f"direct_fd supports --pressure-mode jacobi|exact, "
+                    f"got {args.pressure_mode!r}")
         sys_ = NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=args.nt,
                                   nit=nit, nx=nx, ny=nx, dt=args.dt,
                                   rho=args.rho, nu=args.nu, dtype=dtype,
@@ -100,6 +105,9 @@ def main(argv=None):
         default_out = "data.npz"
     elif args.family == "chorin_fd":
         from ns_tpu.solvers.chorin_fd import NavierStokesSystem
+        if args.pressure_mode in ("jacobi", "exact"):
+            p.error("chorin_fd supports --pressure-mode redblack|"
+                    f"gauss_seidel|multigrid|cg|dst, got {args.pressure_mode!r}")
         nx = args.nx or 51
         nit = args.nit or 200
         dx = dy = 2.0 / (nx - 1)

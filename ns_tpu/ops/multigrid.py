@@ -84,8 +84,12 @@ def _every2(a: Array, axis: int) -> Array:
     to a pathological gather on TPU — measured 2.6 ms for restrict and
     7.7 ms for prolong at 1025^2 while four full smoothing sweeps cost
     0.05 ms. Pairing the axis as (m, 2) and taking index 0 keeps every
-    memory access contiguous; bitwise-identical result."""
+    memory access contiguous; bitwise-identical result.
+
+    Odd-length axes only (every multigrid level is 2^k+1): on an even
+    length the trailing-element append would duplicate coverage."""
     n = a.shape[axis]
+    assert n % 2 == 1, f"_every2 needs an odd axis length, got {n}"
     m = n // 2
     main = jax.lax.slice_in_dim(a, 0, 2 * m, axis=axis)
     shape = a.shape[:axis] + (m, 2) + a.shape[axis + 1:]

@@ -144,7 +144,6 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             a_cn = dt * nu / 2.0
             inv_den_helm = pad_inv_den(1.0 - a_cn * lam_sum)
         bx = nx // n
-    if needs_dst:
         _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
         def dst_apply(F_block, inv_den_full):
@@ -218,31 +217,36 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             # corrected unsplit CN (solvers/chorin_fd.py::
             # _helmholtz_predictor) on full (nx, by) blocks: stencils via
             # rolls/halos, boundary ring lifted onto the RHS, eigenbasis
-            # solve through dst_apply
-            def advect_full(f, g, h):
-                hL, hR = ystencil(h)
+            # solve through dst_apply. One halo exchange per field per
+            # step (each ppermute is a separate collective XLA cannot
+            # CSE, so the (hL, hR) pairs are computed once and threaded).
+            st_un, st_vn = ystencil(un), ystencil(vn)
+            st_un1, st_vn1 = ystencil(un1), ystencil(vn1)
+
+            def advect_full(f, g, h, h_st):
+                hL, hR = h_st
                 return (f * (jnp.roll(h, -1, 0) - jnp.roll(h, 1, 0))
                         / (2.0 * dx) + g * (hR - hL) / (2.0 * dy))
 
-            def lap_full(h):
-                hL, hR = ystencil(h)
-                return ((jnp.roll(h, -1, 0) - 2 * h + jnp.roll(h, 1, 0))
-                        / dx2 + (hR - 2 * h + hL) / dy2)
-
-            def helm_solve(hn, hn1, Hn, Hn1):
-                rhs = hn - dt * (1.5 * Hn - 0.5 * Hn1) + a_cn * lap_full(hn)
+            def helm_solve(hn, hn1, Hn, Hn1, hn_st):
+                hL, hR = hn_st
+                lap_hn = ((jnp.roll(hn, -1, 0) - 2 * hn
+                           + jnp.roll(hn, 1, 0)) / dx2
+                          + (hR - 2 * hn + hL) / dy2)
+                rhs = hn - dt * (1.5 * Hn - 0.5 * Hn1) + a_cn * lap_hn
                 # ring lift: +a/h^2 * fixed boundary neighbor values
                 rhs = rhs.at[1, :].add(a_cn / dx2 * hn[0, :])
                 rhs = rhs.at[-2, :].add(a_cn / dx2 * hn[-1, :])
-                hL, hR = ystencil(hn)
                 rhs = rhs + jnp.where(gj == 1, a_cn / dy2 * hL, 0.0) \
                           + jnp.where(gj == ny - 2, a_cn / dy2 * hR, 0.0)
                 return jnp.where(interior, dst_apply(rhs, inv_den_helm), hn)
 
-            uHn, uHn1 = advect_full(un, vn, un), advect_full(un1, vn1, un1)
-            vHn, vHn1 = advect_full(un, vn, vn), advect_full(un1, vn1, vn1)
-            ui = helm_solve(un, un1, uHn, uHn1)
-            vi = helm_solve(vn, vn1, vHn, vHn1)
+            uHn = advect_full(un, vn, un, st_un)
+            uHn1 = advect_full(un1, vn1, un1, st_un1)
+            vHn = advect_full(un, vn, vn, st_vn)
+            vHn1 = advect_full(un1, vn1, vn1, st_vn1)
+            ui = helm_solve(un, un1, uHn, uHn1, st_un)
+            vi = helm_solve(vn, vn1, vHn, vHn1, st_vn)
         else:
             def advect(f, g, h):
                 # f * dh/dx + g * dh/dy on interior rows, all local columns
