@@ -6,7 +6,10 @@ SPMD program: fields are sharded over one ('x' rows) or two ('x' rows x
 boundary rides a 1-cell ppermute halo exchange (ns_tpu/parallel/halo.py),
 and BC edge writes happen only on the shards owning the physical boundary.
 The Jacobi pressure sweeps exchange halos once per sweep per axis — the
-dominant communication, one ICI hop each.
+dominant communication, one ICI hop each. With `pressure_mode='exact'`
+(1D row decomposition) the sweeps are replaced by the direct mixed-BC
+eigenbasis solve: four local MXU GEMMs + two all_to_all transposes per
+step (same skeleton as parallel/chorin_fd_sharded.py's dst path).
 
 Numerics are the single-device algorithm exactly (same update expressions,
 reference direct_fd/simulate.py:56-127); the sharded rollout is validated
@@ -95,6 +98,36 @@ def make_sharded_step(cfg: DirectFDConfig, u_bc, v_bc, p_bc,
     rho, nu = cfg.rho, cfg.nu
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 * (dx2 + dy2)
+    if cfg.pressure_mode == "exact":
+        if ax_c is not None:
+            raise ValueError("sharded pressure_mode='exact' supports the "
+                             "1D row decomposition only (the eigenbasis "
+                             "transposes assume one sharded axis)")
+        if cfg.ny % n_r:
+            raise ValueError(f"pressure_mode='exact' needs ny={cfg.ny} "
+                             f"divisible by mesh axis size {n_r} "
+                             "(all_to_all transpose)")
+        import numpy as np
+        from ns_tpu.ops.fast_poisson import (_mixed_axis_operator,
+                                             _side_bcs)
+        eff = _side_bcs(p_bc)
+        # axis 0 carries the y-differences (ref :60-65): h0=dy, h1=dx
+        V0_h, lam0, lift0 = _mixed_axis_operator(cfg.nx, dy, eff["left"],
+                                                 eff["right"])
+        V1_h, lam1, lift1 = _mixed_axis_operator(cfg.ny, dx, eff["bottom"],
+                                                 eff["top"])
+        den = lam0[:, None] + lam1[None, :]
+        tiny = np.abs(den) < 1e-12 * max(1.0 / dy**2, 1.0 / dx**2)
+        inv_den_h = np.where(tiny, 0.0, 1.0 / np.where(tiny, 1.0, den))
+        inv_den_full_h = np.zeros((cfg.nx, cfg.ny))
+        inv_den_full_h[1:-1, 1:-1] = inv_den_h
+        lift_full_h = np.zeros((cfg.nx, cfg.ny))
+        lift_full_h[1:-1, 1:-1] = lift0[:, None] + lift1[None, :]
+        V0_pad = jnp.asarray(np.pad(V0_h, 1))                 # (nx, nx)
+        V1_pad = jnp.asarray(np.pad(V1_h, 1))                 # (ny, ny)
+        inv_den_full = jnp.asarray(inv_den_full_h)
+        lift_full = jnp.asarray(lift_full_h)
+        cy = cfg.ny // n_r
 
     def pad_cols(a):
         if ax_c is None:
@@ -131,15 +164,39 @@ def make_sharded_step(cfg: DirectFDConfig, u_bc, v_bc, p_bc,
             rho / dt * (dudx + dvdy) - dudx**2 - 2 * dudy * dvdx - dvdy**2,
             0.0)
 
-        # --- pressure: nit Jacobi sweeps, halo exchange per sweep ---------
-        def sweep(_, p):
-            pL, pR, pD, pU = nbrs(p)
-            p_new = (((pR + pL) * dy2 + (pU + pD) * dx2) / denom
-                     - dx2 * dy2 / denom * b)
-            p = jnp.where(mask, p_new, p)
-            return _apply_bcs_block(p, p_bc, ax_r, ax_c)
+        # --- pressure ------------------------------------------------------
+        if cfg.pressure_mode == "exact":
+            # direct mixed-BC eigenbasis solve (ops/fast_poisson.py::
+            # make_mixed_poisson) distributed over the row axis: the
+            # axis-1 contractions are local on row blocks, the axis-0
+            # ones ride two all_to_all transposes. V0/V1 are orthonormal
+            # (not symmetric), so transpose orientation matters.
+            i0 = jax.lax.axis_index(ax_r)
+            dt_ = p.dtype
+            f = b + jax.lax.dynamic_slice_in_dim(
+                lift_full.astype(dt_), i0 * bx, bx, 0)        # (bx, ny)
+            hi = jax.lax.Precision.HIGHEST
+            t = jnp.matmul(f, V1_pad.astype(dt_), precision=hi)
+            t = jax.lax.all_to_all(t, ax_r, split_axis=1, concat_axis=0,
+                                   tiled=True)                # (nx, cy)
+            t = jnp.matmul(V0_pad.T.astype(dt_), t, precision=hi)
+            t = t * jax.lax.dynamic_slice_in_dim(
+                inv_den_full.astype(dt_), i0 * cy, cy, 1)
+            t = jnp.matmul(V0_pad.astype(dt_), t, precision=hi)
+            t = jax.lax.all_to_all(t, ax_r, split_axis=0, concat_axis=1,
+                                   tiled=True)                # (bx, ny)
+            P = jnp.matmul(t, V1_pad.T.astype(dt_), precision=hi)
+            p = jnp.where(mask, P, 0.0)
+            p = _apply_bcs_block(p, p_bc, ax_r, ax_c)
+        else:
+            def sweep(_, p):
+                pL, pR, pD, pU = nbrs(p)
+                p_new = (((pR + pL) * dy2 + (pU + pD) * dx2) / denom
+                         - dx2 * dy2 / denom * b)
+                p = jnp.where(mask, p_new, p)
+                return _apply_bcs_block(p, p_bc, ax_r, ax_c)
 
-        p = jax.lax.fori_loop(0, cfg.nit, sweep, p)
+            p = jax.lax.fori_loop(0, cfg.nit, sweep, p)
 
         # --- momentum (ref :98-118) ---------------------------------------
         pL, pR, pD, pU = nbrs(p)

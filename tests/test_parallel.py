@@ -102,3 +102,41 @@ def test_mesh_preset_and_validation():
     assert mesh.shape == {"ensemble": 4, "x": 2}
     with pytest.raises(ValueError):
         make_mesh({"x": 3})
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_direct_fd_exact_pressure_matches_single_device(n_shards):
+    """Distributed mixed-BC exact pressure (padded eigenbasis + two
+    all_to_all transposes) matches the single-device pressure_mode='exact'
+    rollout elementwise."""
+    nx = ny = 48
+    cfg = direct_fd.DirectFDConfig(nt=4, nx=nx, ny=ny, dt=0.001, rho=1.0,
+                                   nu=0.1, pressure_mode="exact")
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    z = jnp.zeros((nx, ny), jnp.float64)
+
+    step = direct_fd.make_step(cfg, u_bc, v_bc, p_bc)
+    s = FlowState(u=z, v=z, p=z)
+    for _ in range(cfg.nt):
+        s = step(s)
+
+    mesh = make_mesh({"x": n_shards}, devices=jax.devices()[:n_shards])
+    sstep, sharding = direct_fd_sharded.make_sharded_step(
+        cfg, u_bc, v_bc, p_bc, mesh, axis="x")
+    zs = jax.device_put(z, sharding)
+    ss = FlowState(u=zs, v=zs, p=zs)
+    for _ in range(cfg.nt):
+        ss = sstep(ss)
+
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(s.u), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ss.v), np.asarray(s.v), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ss.p), np.asarray(s.p), atol=1e-9)
+
+
+def test_sharded_direct_fd_exact_rejects_2d_mesh():
+    cfg = direct_fd.DirectFDConfig(nx=16, ny=16, pressure_mode="exact")
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    mesh = make_mesh({"x": 2, "y": 2}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="1D row decomposition"):
+        direct_fd_sharded.make_sharded_step(cfg, u_bc, v_bc, p_bc, mesh,
+                                            axis="x", axis_y="y")
