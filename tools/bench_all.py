@@ -140,15 +140,20 @@ def main():
                      f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
 
     # --- chorin_fd ----------------------------------------------------------
-    for nx, nu, pallas in ((51, 0.1, False), (51, 0.1, True), (128, 0.005, False)):
+    for nx, nu, pallas, pmode in ((51, 0.1, False, "redblack"),
+                                  (51, 0.1, True, "redblack"),
+                                  (51, 0.1, False, "dst"),
+                                  (128, 0.005, False, "redblack"),
+                                  (128, 0.005, False, "dst")):
         u_bc, v_bc, p_bc = cavity(nx)
         z = np.zeros((nx, nx))
         s = chorin_fd.NavierStokesSystem(
             z, z, z, u_bc, v_bc, p_bc, nt=200, nit=200, nx=nx, ny=nx,
             dt=5e-4, rho=1, nu=nu, beta=1.25, method="semi_implicit",
-            use_pallas=pallas)
+            use_pallas=pallas, pressure_mode=pmode)
         el = timeit(lambda: s.simulate())
-        tag = " (pallas SOR)" if pallas else ""
+        tag = " (pallas SOR)" if pallas else (
+            " (dst direct pressure)" if pmode == "dst" else "")
         rows.append((f"chorin_fd {nx}^2 semi-implicit{tag}, 200 steps",
                      f"{200/el:.0f} steps/s",
                      f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
