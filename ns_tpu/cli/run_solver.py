@@ -66,6 +66,11 @@ def main(argv=None):
                    choices=["default", "high", "highest"],
                    help="matmul-DFT precision (default=bf16 ~5e-3, "
                         "high=bf16x3 ~3e-5, highest=f32)")
+    p.add_argument("--gemm-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="chorin_fd: precision of the ADI/dst/helmholtz "
+                        "GEMMs (default: highest-precision solves; see "
+                        "RESULTS.md precision menu)")
     p.add_argument("--compact", action="store_true",
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
@@ -117,7 +122,8 @@ def main(argv=None):
                                   nit=nit, nx=nx, ny=nx, dt=args.dt,
                                   rho=args.rho, nu=args.nu, beta=args.beta,
                                   method=args.method, dtype=dtype,
-                                  pressure_mode=args.pressure_mode)
+                                  pressure_mode=args.pressure_mode,
+                                  gemm_precision=args.gemm_precision)
         u, v, pr = sys_.simulate()
         default_out = f"data_{args.method}.npz"
     elif args.family == "chorin_spectral":

@@ -80,6 +80,13 @@ class ChorinFDConfig:
     # 2.3x faster than the XLA red-black path at 51^2 on TPU v5e
     # (0.80 ms vs 1.86 ms per pressure solve). redblack mode only.
     use_pallas: bool = False
+    # Precision of the solver's GEMMs (ADI sweeps, dst pressure,
+    # helmholtz solves). None = per-path defaults: dst/helmholtz run
+    # f32 'highest', the ADI matmuls run the jnp default (bf16 on TPU
+    # at f32 — same class as the spectral family's 'default' engine).
+    # Set 'default'|'high'|'highest' to force one precision everywhere;
+    # fidelity measurements in RESULTS.md.
+    gemm_precision: str | None = None
 
     def __post_init__(self):
         if self.method not in ("semi_implicit", "explicit", "helmholtz"):
@@ -89,6 +96,9 @@ class ChorinFDConfig:
                                       "multigrid", "cg", "dst"):
             raise ValueError("pressure_mode must be redblack|gauss_seidel|"
                              f"multigrid|cg|dst, got {self.pressure_mode!r}")
+        if self.gemm_precision not in (None, "default", "high", "highest"):
+            raise ValueError("gemm_precision must be None|default|high|"
+                             f"highest, got {self.gemm_precision!r}")
         if (self.method == "semi_implicit" and self.quirk_compat
                 and self.nx != self.ny):
             raise ValueError(
@@ -172,6 +182,10 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
     """AB advection + Crank-Nicolson ADI diffusion (ref :93-167), with the
     per-step dense solves replaced by matmuls against precomputed inverses."""
     dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
+    mm = partial(jnp.matmul,
+                 precision=(getattr(jax.lax.Precision,
+                                    cfg.gemm_precision.upper())
+                            if cfg.gemm_precision else None))
 
     def advect(f, g, h):
         # f * dh/dx + g * dh/dy, centered, axis0=x (ref :126-129)
@@ -194,16 +208,16 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
         C1 = sgn * dt / 2.0 * (3.0 * Hn - Hn1)
         C2 = dt * nu * lap(hn)
         C = 2.0 / nu * dx**2 * (C1 + C2)
-        ht = A_inv @ C
+        ht = mm(A_inv, C)
         # -- y-sweep (ref :157-159): B hi = S
         S = (2.0 / nu * dy**2 * (ht + hn[1:-1, 1:-1])
              - dt * (hn[1:-1, 2:] - 2 * hn[1:-1, 1:-1] + hn[1:-1, :-2]))
         if cfg.quirk_compat:
             # reference quirk: np.linalg.solve(B, S) applies the y operator
             # along the x axis (only meaningful for nx == ny; ref :157-165)
-            return B_inv @ S
+            return mm(B_inv, S)
         # corrected: solve B hi^T = S^T, i.e. the y operator acts along y
-        return S @ B_inv.T
+        return mm(S, B_inv.T)
 
     uHn, uHn1 = advect(un, vn, un), advect(un1, vn1, un1)
     vHn, vHn1 = advect(un, vn, vn), advect(un1, vn1, vn1)
@@ -259,16 +273,20 @@ def _correction(cfg: ChorinFDConfig, ui, vi, p):
 def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
               p_bc: Sequence[BC], dtype=jnp.float32):
     """Build the pure one-timestep function (ref step, :212-234)."""
+    prec = (getattr(jax.lax.Precision, cfg.gemm_precision.upper())
+            if cfg.gemm_precision else None)
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
     elif cfg.method == "helmholtz":
         from ns_tpu.ops.fast_poisson import make_dst_helmholtz
         hsolve = make_dst_helmholtz(cfg.nx, cfg.ny, cfg.dx, cfg.dy,
-                                    cfg.dt * cfg.nu / 2.0, dtype=dtype)
+                                    cfg.dt * cfg.nu / 2.0, dtype=dtype,
+                                    precision=prec or jax.lax.Precision.HIGHEST)
     if cfg.pressure_mode == "dst":
         from ns_tpu.ops.fast_poisson import make_dst_poisson
         dst_solve = make_dst_poisson(cfg.nx, cfg.ny, cfg.dx, cfg.dy,
-                                     dtype=dtype)
+                                     dtype=dtype,
+                                     precision=prec or jax.lax.Precision.HIGHEST)
 
     def step(state: FlowState) -> FlowState:
         un, vn, p = state.u, state.v, state.p
@@ -375,12 +393,14 @@ class NavierStokesSystem:
                  nt=200, nit=50, nx=50, ny=50, dt=0.001,
                  rho=1, nu=1, beta=1.25, method="semi_implicit",
                  dtype=jnp.float32, quirk_compat=True,
-                 pressure_mode="redblack", use_pallas=False, mg_cycles=6):
+                 pressure_mode="redblack", use_pallas=False, mg_cycles=6,
+                 gemm_precision=None):
         self.cfg = ChorinFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
                                   rho=rho, nu=nu, beta=beta, method=method,
                                   quirk_compat=quirk_compat,
                                   pressure_mode=pressure_mode,
-                                  use_pallas=use_pallas, mg_cycles=mg_cycles)
+                                  use_pallas=use_pallas, mg_cycles=mg_cycles,
+                                  gemm_precision=gemm_precision)
         self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, self.p_bc, dtype=dtype)
