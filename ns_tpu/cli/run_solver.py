@@ -38,6 +38,29 @@ def cavity_bcs(dx, dy):
     return u_bc, v_bc, p_bc
 
 
+def _run_cavity(sys_, args):
+    """Run a cavity-family wrapper's rollout, optionally under the
+    divergence guard (utils/guard.py: freeze at last good state, report
+    the first bad step instead of poisoning the rollout)."""
+    if not args.guard:
+        return sys_.simulate()
+    if not hasattr(sys_, "state0"):
+        # periodic spectral wrapper carries a spectral state, not a
+        # FlowState; its corrected scheme is unconditionally stable and
+        # ungated here
+        print("guard: not supported for the periodic families; running "
+              "unguarded")
+        return sys_.simulate()
+    import jax
+    from ns_tpu.utils.guard import guarded_rollout
+    final, states = jax.jit(lambda s0: guarded_rollout(
+        sys_._step, s0, args.nt, max_abs=args.guard_max_abs))(sys_.state0)
+    if bool(to_host(final.bad)):
+        print(f"guard: divergence at step {int(to_host(final.first_bad_step))}"
+              " — state frozen at the last good value")
+    return states.u, states.v, states.p
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("family", choices=["direct_fd", "chorin_fd",
@@ -79,6 +102,14 @@ def main(argv=None):
                         "memmapped .npy files in this directory instead of "
                         "materializing the stacked rollout (horizons larger "
                         "than device memory)")
+    p.add_argument("--guard", action="store_true",
+                   help="cavity families: run under the divergence guard "
+                        "(utils/guard.py) — on NaN/blow-up the state "
+                        "freezes at the last good step and the first bad "
+                        "step index is reported instead of poisoning the "
+                        "whole rollout")
+    p.add_argument("--guard-max-abs", type=float, default=1e6,
+                   help="guard trip threshold on any field magnitude")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--out", type=str, default=None)
@@ -106,7 +137,7 @@ def main(argv=None):
                                   pressure_mode=("exact" if
                                                  args.pressure_mode == "exact"
                                                  else "jacobi"))
-        u, v, pr = sys_.simulate()
+        u, v, pr = _run_cavity(sys_, args)
         default_out = "data.npz"
     elif args.family == "chorin_fd":
         from ns_tpu.solvers.chorin_fd import NavierStokesSystem
@@ -124,7 +155,7 @@ def main(argv=None):
                                   method=args.method, dtype=dtype,
                                   pressure_mode=args.pressure_mode,
                                   gemm_precision=args.gemm_precision)
-        u, v, pr = sys_.simulate()
+        u, v, pr = _run_cavity(sys_, args)
         default_out = f"data_{args.method}.npz"
     elif args.family == "chorin_spectral":
         from ns_tpu.solvers.chorin_spectral import NavierStokesSystem
@@ -137,7 +168,7 @@ def main(argv=None):
                                   dt=args.dt, rho=args.rho, nu=args.nu,
                                   beta=args.beta, dtype=dtype,
                                   quirk_compat=not args.corrected)
-        u, v, pr = sys_.simulate()
+        u, v, pr = _run_cavity(sys_, args)
         default_out = "data.npz"
     else:
         from ns_tpu.solvers import spectral_periodic as sp
@@ -180,7 +211,7 @@ def main(argv=None):
                   f"({args.nt / elapsed:.1f} steps/s)")
             return
         sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
-        u, v, pr = sys_.simulate()
+        u, v, pr = _run_cavity(sys_, args)
         default_out = f"{args.family}.npz"
 
     u, v, pr = to_host((u, v, pr))

@@ -137,3 +137,36 @@ def test_run_solver_cli_streaming_and_flags(tmp_path, monkeypatch):
               "--pressure-mode", "cg", "--out", str(tmp_path / "cg.npz")])
     d = np.load(tmp_path / "cg.npz")
     assert np.isfinite(d["u"]).all()
+
+
+def test_run_solver_cli_guard(tmp_path, capsys):
+    """--guard: an unstable config freezes at the last good step, reports
+    the first bad step index, and still writes a fully-finite npz."""
+    import numpy as np
+    from ns_tpu.cli.run_solver import main as run_main
+
+    out = tmp_path / "guarded.npz"
+    # explicit chorin at an unstable dt blows up within a few steps
+    run_main(["chorin_fd", "--nx", "33", "--nt", "30", "--nit", "50",
+              "--method", "explicit", "--dt", "0.2", "--guard",
+              "--out", str(out)])
+    captured = capsys.readouterr().out
+    assert "guard: divergence at step" in captured
+    d = np.load(out)
+    for k in ("u", "v", "p"):
+        assert d[k].shape == (30, 33, 33)
+        assert np.isfinite(d[k]).all(), k
+
+
+def test_run_solver_cli_guard_clean_run(tmp_path, capsys):
+    """--guard on a stable config is a no-op (no trip message, same
+    fields)."""
+    import numpy as np
+    from ns_tpu.cli.run_solver import main as run_main
+
+    out = tmp_path / "clean.npz"
+    run_main(["chorin_fd", "--nx", "17", "--nt", "3", "--nit", "50",
+              "--pressure-mode", "dst", "--guard", "--out", str(out)])
+    assert "guard: divergence" not in capsys.readouterr().out
+    d = np.load(out)
+    assert np.isfinite(d["u"]).all()
