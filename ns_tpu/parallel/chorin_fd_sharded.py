@@ -274,6 +274,13 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
                 if cfg.quirk_compat:
                     # reference y-sweep contracts axis 0 too (ref :157-165)
                     return B_inv @ S
+                # corrected boundary lift: +dt * u_boundary on the
+                # wall-adjacent interior columns (the reference's implicit
+                # y-solve drops this coupling — see
+                # solvers/chorin_fd.py::sweeps)
+                gji = gj[1:-1, :]
+                S = S + jnp.where(gji == 1, dt * hL[1:-1, :], 0.0) \
+                      + jnp.where(gji == ny - 2, dt * hR[1:-1, :], 0.0)
                 # corrected sweep contracts the sharded y axis: gather the
                 # full S row-block once (one all_gather per field), then
                 # keep only this shard's output columns

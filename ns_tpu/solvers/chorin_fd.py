@@ -208,6 +208,10 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
         C1 = sgn * dt / 2.0 * (3.0 * Hn - Hn1)
         C2 = dt * nu * lap(hn)
         C = 2.0 / nu * dx**2 * (C1 + C2)
+        # NOTE (x-sweep boundary): the zero-Dirichlet structure of A is
+        # EXACT here — the x-sweep's intermediate is (I - a Dyy)(hi - hn),
+        # which vanishes identically on the left/right boundaries for
+        # time-independent Dirichlet velocity BCs.
         ht = mm(A_inv, C)
         # -- y-sweep (ref :157-159): B hi = S
         S = (2.0 / nu * dy**2 * (ht + hn[1:-1, 1:-1])
@@ -216,6 +220,16 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
             # reference quirk: np.linalg.solve(B, S) applies the y operator
             # along the x axis (only meaningful for nx == ny; ref :157-165)
             return mm(B_inv, S)
+        # Reference defect: the implicit y-operator B has zero-Dirichlet
+        # structure but the y-sweep RHS never lifts the actual boundary
+        # values of hi (= the BC values) onto it — the solve behaves as if
+        # u* were 0 on the walls, an O(dt * u_wall) error concentrated on
+        # the wall-adjacent rows (0.038/step at the Re=100 lid; it shifts
+        # the cavity steady state visibly off the Ghia profile). Corrected
+        # mode adds the lift  +dt * u_boundary  (= (2 dy^2/nu)(a/dy^2) u_b
+        # in S's scaling), using hn's boundary rows (BCs already applied).
+        S = S.at[:, 0].add(dt * hn[1:-1, 0])
+        S = S.at[:, -1].add(dt * hn[1:-1, -1])
         # corrected: solve B hi^T = S^T, i.e. the y operator acts along y
         return mm(S, B_inv.T)
 
