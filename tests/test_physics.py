@@ -196,3 +196,52 @@ def test_corrected_adi_boundary_lift_matches_helmholtz():
     # O(a^2 DxDy) splitting term
     assert np.abs(np.asarray(ui_s) - np.asarray(ui_h)).max() < 5e-5
     assert np.abs(np.asarray(vi_s) - np.asarray(vi_h)).max() < 5e-5
+
+
+def test_chebyshev_spatial_convergence_is_spectral():
+    """Corrected chorin_spectral on a smooth decaying flow: error vs an
+    N=65 reference (evaluated at common physical points via Chebyshev
+    series) drops super-polynomially — 13->21 refinement cuts the error
+    >30x where a 2nd-order scheme would give <2.6x."""
+    import jax
+    import jax.numpy as jnp
+    from ns_tpu.core.bc import dirichlet
+    from ns_tpu.solvers import chorin_spectral as cs
+    from ns_tpu.ops import cheb
+
+    nt, dt = 200, 1e-4
+
+    def run(N):
+        bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+        x = cheb.gauss_lobatto(N)
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        u0 = 2 * (1 - X**2) ** 2 * (1 - Y**2) * (-2 * Y)
+        v0 = -2 * (1 - X**2) * (-2 * X) * (1 - Y**2) ** 2
+        cfg = cs.ChorinSpectralConfig(nt=nt, nx=N, ny=N, dt=dt, rho=1,
+                                      nu=0.1, quirk_compat=False)
+        s0 = cs.init_state(cfg, u0, v0, np.zeros((N, N)), bc0, bc0,
+                           dtype=jnp.float64)
+        step = cs.make_step(cfg, bc0, bc0, dtype=jnp.float64)
+
+        @jax.jit
+        def roll(s):
+            def body(s, _):
+                return step(s), None
+            s, _ = jax.lax.scan(body, s, None, length=nt)
+            return s
+
+        return np.asarray(roll(s0).u)
+
+    def eval_at(U, pts):
+        N = U.shape[0]
+        Tm = cheb.t_matrix(N)
+        a = np.linalg.solve(Tm, np.linalg.solve(Tm, U.T).T)
+        c = np.cos(np.outer(np.arccos(pts), np.arange(N)))
+        return c @ a @ c.T
+
+    pts = np.array([-0.6, -0.3, 0.0, 0.3, 0.6])
+    ref = eval_at(run(65), pts)
+    errs = {N: np.abs(eval_at(run(N), pts) - ref).max() for N in (13, 21)}
+    # measured: 7.4e-4 at N=13, 1.2e-5 at N=21 (63x)
+    assert errs[13] / errs[21] > 30, errs
+    assert errs[21] < 5e-5, errs
