@@ -56,35 +56,14 @@ def _col_masks(nx: int, ny: int, by: int, axis: str):
     return gi, gj, interior
 
 
-def _apply_bc_block_cols(a: Array, bc: BC, axis: str) -> Array:
-    """One BC on a column-sharded block (chorin axis convention: axis 0 = x).
-    'left'/'right' write global rows 0 / nx-1 — local on every shard;
-    'bottom'/'top' write global cols 0 / ny-1 — only the first/last shard.
-    Same edge semantics as the reference (boundary.py:34-86)."""
-    v = jnp.asarray(bc.value, a.dtype)
-    if bc.side == "left":
-        row = v if bc.kind == "dirichlet" else a[1, :] - bc.dx * v
-        return a.at[0, :].set(row)
-    if bc.side == "right":
-        row = v if bc.kind == "dirichlet" else a[-2, :] + bc.dx * v
-        return a.at[-1, :].set(row)
-    if bc.side == "bottom":
-        def fn(a):
-            col = v if bc.kind == "dirichlet" else a[:, 1] - bc.dy * v
-            return a.at[:, 0].set(col)
-        on_first = jax.lax.axis_index(axis) == 0
-        return jax.lax.cond(on_first, fn, lambda a: a, a)
-
-    def fn(a):
-        col = v if bc.kind == "dirichlet" else a[:, -2] + bc.dy * v
-        return a.at[:, -1].set(col)
-    on_last = jax.lax.axis_index(axis) == jax.lax.axis_size(axis) - 1
-    return jax.lax.cond(on_last, fn, lambda a: a, a)
-
-
 def _apply_bcs_block(a: Array, bcs: Sequence[BC], axis: str) -> Array:
+    """BCs on a column-sharded block (chorin axis convention: axis 0 = x,
+    unsharded, so 'left'/'right' rows are local on every shard;
+    'bottom'/'top' columns gate on the first/last shard). Reuses the
+    general row/col-sharded helper with the row axis unsharded."""
+    from ns_tpu.parallel.direct_fd_sharded import _apply_bc_block
     for bc in bcs:
-        a = _apply_bc_block_cols(a, bc, axis)
+        a = _apply_bc_block(a, bc, None, axis)
     return a
 
 
@@ -144,7 +123,12 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             a_cn = dt * nu / 2.0
             inv_den_helm = pad_inv_den(1.0 - a_cn * lam_sum)
         bx = nx // n
-        _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        _mm = partial(
+            jnp.matmul,
+            precision=(getattr(jax.lax.Precision,
+                               cfg.gemm_precision.upper())
+                       if cfg.gemm_precision
+                       else jax.lax.Precision.HIGHEST))
 
         def dst_apply(F_block, inv_den_full):
             """Padded-basis eigenbasis solve on a (nx, by) column block:
@@ -163,6 +147,12 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
 
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
+        # same precision policy as the single-device ADI matmuls
+        adi_mm = partial(
+            jnp.matmul,
+            precision=(getattr(jax.lax.Precision,
+                               cfg.gemm_precision.upper())
+                       if cfg.gemm_precision else None))
         # corrected y-sweep helper: B^-T with zero columns padded at the
         # global boundary positions, so slicing local columns out of the
         # (ny-2, ny) product aligns with the shard's global column range
@@ -228,7 +218,7 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
                 return (f * (jnp.roll(h, -1, 0) - jnp.roll(h, 1, 0))
                         / (2.0 * dx) + g * (hR - hL) / (2.0 * dy))
 
-            def helm_solve(hn, hn1, Hn, Hn1, hn_st):
+            def helm_solve(hn, Hn, Hn1, hn_st):
                 hL, hR = hn_st
                 lap_hn = ((jnp.roll(hn, -1, 0) - 2 * hn
                            + jnp.roll(hn, 1, 0)) / dx2
@@ -245,8 +235,8 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             uHn1 = advect_full(un1, vn1, un1, st_un1)
             vHn = advect_full(un, vn, vn, st_vn)
             vHn1 = advect_full(un1, vn1, vn1, st_vn1)
-            ui = helm_solve(un, un1, uHn, uHn1, st_un)
-            vi = helm_solve(vn, vn1, vHn, vHn1, st_vn)
+            ui = helm_solve(un, uHn, uHn1, st_un)
+            vi = helm_solve(vn, vHn, vHn1, st_vn)
         else:
             def advect(f, g, h):
                 # f * dh/dx + g * dh/dy on interior rows, all local columns
@@ -267,13 +257,13 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
                 C1 = sgn * dt / 2.0 * (3.0 * Hn - Hn1)
                 C2 = dt * nu * lap(hn)
                 C = 2.0 / nu * dx2 * (C1 + C2)
-                ht = A_inv @ C                       # (nx-2, by) local matmul
+                ht = adi_mm(A_inv, C)                # (nx-2, by) local matmul
                 hL, hR = ystencil(hn)
                 S = (2.0 / nu * dy2 * (ht + hn[1:-1, :])
                      - dt * ((hR - 2 * hn + hL)[1:-1, :]))
                 if cfg.quirk_compat:
                     # reference y-sweep contracts axis 0 too (ref :157-165)
-                    return B_inv @ S
+                    return adi_mm(B_inv, S)
                 # corrected boundary lift: +dt * u_boundary on the
                 # wall-adjacent interior columns (the reference's implicit
                 # y-solve drops this coupling — see
@@ -290,7 +280,7 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
                     Bt_pad, i * by, by, axis=1)   # (ny-2, by) local cols
                 # global interior cols are 1..ny-2 of the (nx-2, ny) gather;
                 # boundary output columns come out zero and are masked off
-                return S_full[:, 1:-1] @ Bt_cols
+                return adi_mm(S_full[:, 1:-1], Bt_cols)
 
             # NOTE: the single-device solver computes advection only on
             # interior columns; here all local columns are computed (the

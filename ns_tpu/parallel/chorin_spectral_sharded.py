@@ -276,7 +276,11 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
         v_int = jnp.where(interior_c, v_int, 0.0)
         u_next = assemble(u_int, u_ops)
         v_next = assemble(v_int, v_ops)
-        p_next = jnp.zeros((Nx, by), dtype).at[1:-1, :].set(Q)
+        # preserve p's boundary ring like the single-device
+        # p.at[1:-1, 1:-1].set(Q) (solvers/chorin_spectral.py:447): only
+        # interior rows AND interior global columns take Q
+        _, _, int_cols = col_masks()
+        p_next = p.at[1:-1, :].set(jnp.where(int_cols, Q, p[1:-1, :]))
         return u_next, v_next, p_next, un, vn
 
     spec = P(None, axis)

@@ -27,22 +27,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ns_tpu.core.bc import BC
 from ns_tpu.core.state import FlowState
-from ns_tpu.parallel.halo import exchange_halo_cols, exchange_halo_rows
+from ns_tpu.parallel.halo import (exchange_halo_cols, exchange_halo_rows,
+                                  is_first, is_last)
 from ns_tpu.solvers.direct_fd import DirectFDConfig
 
 Array = jnp.ndarray
 
 
 def _on_first(axis: Optional[str]) -> Array:
-    if axis is None:
-        return jnp.asarray(True)
-    return jax.lax.axis_index(axis) == 0
+    return jnp.asarray(True) if axis is None else is_first(axis)
 
 
 def _on_last(axis: Optional[str]) -> Array:
-    if axis is None:
-        return jnp.asarray(True)
-    return jax.lax.axis_index(axis) == jax.lax.axis_size(axis) - 1
+    return jnp.asarray(True) if axis is None else is_last(axis)
 
 
 def _apply_bc_block(a: Array, bc: BC, ax_r: str, ax_c: Optional[str]) -> Array:

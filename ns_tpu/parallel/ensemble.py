@@ -24,18 +24,14 @@ Array = jnp.ndarray
 
 def ensemble_init(cfg: sp.SpectralPeriodicConfig, w0_batch: Array,
                   mesh: Mesh, axis: str = "ensemble"):
-    """(B, nx, ny) physical vorticity batch -> sharded scan carry."""
+    """(B, nx, ny) physical vorticity batch -> sharded scan carry.
+
+    Delegates to carry_from_vorticity, which builds the right carry for
+    EVERY engine (fft / matmul / compact / real_gemm) and is
+    batch-polymorphic; rollout_final then dispatches on the same flags."""
     sharding = NamedSharding(mesh, P(axis, None, None))
     w0_batch = jax.device_put(jnp.asarray(w0_batch, cfg.real_dtype), sharding)
-    ops = sp.make_ops(cfg)
-    transforms = sp.make_transforms(cfg)  # batch-polymorphic (fft or matmul)
-
-    @jax.jit
-    def build(w0):
-        w_hat = transforms[0](w0)
-        return w_hat, sp.nonlinear_term(w_hat, ops, cfg, transforms)
-
-    return build(w0_batch)
+    return jax.jit(partial(sp.carry_from_vorticity, cfg))(w0_batch)
 
 
 def ensemble_rollout_final(cfg: sp.SpectralPeriodicConfig, carry):
@@ -45,18 +41,23 @@ def ensemble_rollout_final(cfg: sp.SpectralPeriodicConfig, carry):
     return roll(carry)
 
 
-def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_hat_batch: Array):
+def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_spec_batch: Array):
     """Mean kinetic energy across the ensemble — one psum-style reduction
-    over the sharded batch (XLA inserts the collective)."""
+    over the sharded batch (XLA inserts the collective). Accepts ANY
+    engine's carry spectrum (padded rfft2 / compact / real_gemm): the
+    carry is first mapped to physical vorticity, then to the padded
+    spectrum the velocity recovery expects."""
     ops = sp.make_ops(cfg)
 
     w = jnp.asarray(sp.hermitian_weights(cfg.ny), cfg.real_dtype)
 
     @jax.jit
-    def energy(w_hat):
+    def energy(w_spec):
+        w_phys = sp.physical_from_carry(cfg, w_spec)
+        w_hat = jnp.fft.rfft2(w_phys)
         u_hat, v_hat = sp.velocity_from_vorticity_hat(w_hat, ops)
         per = jnp.sum((jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2) * w,
                       axis=(-2, -1))
         return 0.5 * jnp.mean(per) / (cfg.nx * cfg.ny) ** 2
 
-    return energy(w_hat_batch)
+    return energy(w_spec_batch)

@@ -75,3 +75,35 @@ def test_sharded_rejects_quirk_mode():
     mesh = make_mesh({"x": 2}, devices=jax.devices()[:2])
     with pytest.raises(ValueError, match="corrected"):
         chorin_spectral_sharded.make_sharded_step(cfg, u_bc, u_bc, mesh)
+
+
+def test_sharded_preserves_pressure_boundary_ring():
+    """The single-device solver writes only p's interior each step
+    (p.at[1:-1,1:-1].set(Q)); the sharded step must preserve a nonzero
+    initial boundary ring identically (regression: it used to zero it)."""
+    nx = ny = 32
+    cfg = chorin_spectral.ChorinSpectralConfig(
+        nt=3, nx=nx, ny=ny, dt=1e-3, rho=1.0, nu=0.1,
+        quirk_compat=False, deflate_pressure_nullspace=True)
+    u_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    x = cheb.gauss_lobatto(nx)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    u0 = (1 - X**2) * (1 - Y**2)
+    v0 = np.zeros((nx, ny))
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(nx, ny))  # nonzero boundary ring
+
+    state0 = chorin_spectral.init_state(cfg, u0, v0, p0, u_bc, v_bc,
+                                        dtype=jnp.float64)
+    step = chorin_spectral.make_step(cfg, u_bc, v_bc, dtype=jnp.float64)
+    u_ref, v_ref, p_ref = chorin_spectral.simulate(cfg, state0,
+                                                   jax.jit(step))
+
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    u_s, v_s, p_s = chorin_spectral_sharded.simulate(
+        cfg, state0, u_bc, v_bc, mesh)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref),
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_ref),
+                               atol=ATOL)
