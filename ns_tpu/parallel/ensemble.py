@@ -61,3 +61,33 @@ def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_spec_batch: Array):
         return 0.5 * jnp.mean(per) / (cfg.nx * cfg.ny) ** 2
 
     return energy(w_spec_batch)
+
+
+def ensemble_fd_rollout(step_fn, state0_batch, nt: int, mesh: Mesh,
+                        axis: str = "ensemble"):
+    """Run a BATCH of independent FD solver rollouts in lockstep, sharded
+    over the ensemble mesh axis.
+
+    `step_fn` is any single-state pure step (e.g.
+    solvers.chorin_fd.make_step(...) — the FD steps are vmappable:
+    stencils, BC edge writes, and the dst/multigrid/redblack pressure
+    solves are all batch-polymorphic under vmap). `state0_batch` is a
+    FlowState whose leaves carry a leading ensemble axis. Zero collectives
+    in the hot loop (members are independent); returns the final batched
+    FlowState."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding) if x is not None else None
+
+    state0 = jax.tree_util.tree_map(put, state0_batch)
+    vstep = jax.vmap(step_fn)
+
+    @jax.jit
+    def roll(s):
+        def body(s, _):
+            return vstep(s), None
+        s, _ = jax.lax.scan(body, s, None, length=nt)
+        return s
+
+    return roll(state0)

@@ -140,3 +140,39 @@ def test_sharded_direct_fd_exact_rejects_2d_mesh():
     with pytest.raises(ValueError, match="1D row decomposition"):
         direct_fd_sharded.make_sharded_step(cfg, u_bc, v_bc, p_bc, mesh,
                                             axis="x", axis_y="y")
+
+
+def test_ensemble_fd_rollout_matches_members():
+    """A sharded vmapped batch of chorin_fd rollouts (dst pressure)
+    matches each member's single-state rollout elementwise."""
+    from ns_tpu.parallel.ensemble import ensemble_fd_rollout
+    from ns_tpu.solvers import chorin_fd
+
+    nx = ny = 24
+    cfg = chorin_fd.ChorinFDConfig(nt=4, nx=nx, ny=ny, dt=1e-3, rho=1.0,
+                                   nu=0.1, beta=1.25,
+                                   method="semi_implicit",
+                                   pressure_mode="dst")
+    u_bc, v_bc, p_bc = cavity_bcs(cfg.dx, cfg.dy)
+    step = chorin_fd.make_step(cfg, u_bc, v_bc, p_bc, dtype=jnp.float64)
+
+    rng = np.random.default_rng(0)
+    members = []
+    for i in range(4):
+        z = np.zeros((nx, ny))
+        u0 = 0.01 * rng.normal(size=(nx, ny))
+        members.append(chorin_fd.init_state(cfg, u0, z, z, u_bc, v_bc,
+                                            p_bc, dtype=jnp.float64))
+
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    mesh = make_mesh({"ensemble": 4}, devices=jax.devices()[:4])
+    out = ensemble_fd_rollout(step, batch, cfg.nt, mesh)
+
+    for i, m in enumerate(members):
+        s = m
+        for _ in range(cfg.nt):
+            s = step(s)
+        np.testing.assert_allclose(np.asarray(out.u[i]), np.asarray(s.u),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.p[i]), np.asarray(s.p),
+                                   atol=1e-12)
