@@ -38,7 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ns_tpu.core.bc import BC
 from ns_tpu.core.state import FlowState
 from ns_tpu.parallel.halo import exchange_halo_cols
-from ns_tpu.solvers.chorin_fd import ChorinFDConfig, _adi_inverses
+from ns_tpu.solvers.chorin_fd import (ChorinFDConfig, _adi_inverses,
+                                      resolve_precision)
 
 Array = jnp.ndarray
 
@@ -123,12 +124,9 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
             a_cn = dt * nu / 2.0
             inv_den_helm = pad_inv_den(1.0 - a_cn * lam_sum)
         bx = nx // n
-        _mm = partial(
-            jnp.matmul,
-            precision=(getattr(jax.lax.Precision,
-                               cfg.gemm_precision.upper())
-                       if cfg.gemm_precision
-                       else jax.lax.Precision.HIGHEST))
+        _mm = partial(jnp.matmul,
+                      precision=resolve_precision(
+                          cfg.gemm_precision, jax.lax.Precision.HIGHEST))
 
         def dst_apply(F_block, inv_den_full):
             """Padded-basis eigenbasis solve on a (nx, by) column block:
@@ -148,11 +146,8 @@ def make_sharded_step(cfg: ChorinFDConfig, u_bc, v_bc, p_bc,
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
         # same precision policy as the single-device ADI matmuls
-        adi_mm = partial(
-            jnp.matmul,
-            precision=(getattr(jax.lax.Precision,
-                               cfg.gemm_precision.upper())
-                       if cfg.gemm_precision else None))
+        adi_mm = partial(jnp.matmul,
+                         precision=resolve_precision(cfg.gemm_precision))
         # corrected y-sweep helper: B^-T with zero columns padded at the
         # global boundary positions, so slicing local columns out of the
         # (ny-2, ny) product aligns with the shard's global column range

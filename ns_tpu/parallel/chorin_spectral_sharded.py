@@ -279,8 +279,7 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
         # preserve p's boundary ring like the single-device
         # p.at[1:-1, 1:-1].set(Q) (solvers/chorin_spectral.py:447): only
         # interior rows AND interior global columns take Q
-        _, _, int_cols = col_masks()
-        p_next = p.at[1:-1, :].set(jnp.where(int_cols, Q, p[1:-1, :]))
+        p_next = p.at[1:-1, :].set(jnp.where(interior_c, Q, p[1:-1, :]))
         return u_next, v_next, p_next, un, vn
 
     spec = P(None, axis)

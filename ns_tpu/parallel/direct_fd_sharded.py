@@ -42,7 +42,8 @@ def _on_last(axis: Optional[str]) -> Array:
     return jnp.asarray(True) if axis is None else is_last(axis)
 
 
-def _apply_bc_block(a: Array, bc: BC, ax_r: str, ax_c: Optional[str]) -> Array:
+def _apply_bc_block(a: Array, bc: BC, ax_r: Optional[str],
+                    ax_c: Optional[str]) -> Array:
     """One BC on a sharded local block, preserving the reference's edge
     semantics (boundary.py:34-86): 'left'/'right' are global rows 0 / nx-1
     (first/last row-shard), 'bottom'/'top' are global cols 0 / ny-1

@@ -53,8 +53,10 @@ def ensemble_energy(cfg: sp.SpectralPeriodicConfig, w_spec_batch: Array):
 
     @jax.jit
     def energy(w_spec):
-        w_phys = sp.physical_from_carry(cfg, w_spec)
-        w_hat = jnp.fft.rfft2(w_phys)
+        if cfg.compact_spectrum or cfg.real_gemm:
+            w_hat = jnp.fft.rfft2(sp.physical_from_carry(cfg, w_spec))
+        else:
+            w_hat = w_spec  # padded engines: the carry IS the spectrum
         u_hat, v_hat = sp.velocity_from_vorticity_hat(w_hat, ops)
         per = jnp.sum((jnp.abs(u_hat) ** 2 + jnp.abs(v_hat) ** 2) * w,
                       axis=(-2, -1))

@@ -118,6 +118,16 @@ class ChorinFDConfig:
         return 2.0 / (self.ny - 1)
 
 
+def resolve_precision(spec, default=None):
+    """Map a ChorinFDConfig.gemm_precision string ('default'|'high'|
+    'highest' or None) to a lax.Precision, with `default` as the
+    unset-policy fallback — the single source of the precision policy for
+    the single-device AND sharded solvers."""
+    if spec:
+        return getattr(jax.lax.Precision, spec.upper())
+    return default
+
+
 def _adi_inverses(cfg: ChorinFDConfig, dtype) -> tuple[Array, Array]:
     """Precompute the Crank-Nicolson ADI operator inverses.
 
@@ -182,10 +192,7 @@ def _semi_implicit_predictor(cfg: ChorinFDConfig, A_inv, B_inv, un, vn, un1, vn1
     """AB advection + Crank-Nicolson ADI diffusion (ref :93-167), with the
     per-step dense solves replaced by matmuls against precomputed inverses."""
     dt, dx, dy, nu = cfg.dt, cfg.dx, cfg.dy, cfg.nu
-    mm = partial(jnp.matmul,
-                 precision=(getattr(jax.lax.Precision,
-                                    cfg.gemm_precision.upper())
-                            if cfg.gemm_precision else None))
+    mm = partial(jnp.matmul, precision=resolve_precision(cfg.gemm_precision))
 
     def advect(f, g, h):
         # f * dh/dx + g * dh/dy, centered, axis0=x (ref :126-129)
@@ -287,8 +294,7 @@ def _correction(cfg: ChorinFDConfig, ui, vi, p):
 def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
               p_bc: Sequence[BC], dtype=jnp.float32):
     """Build the pure one-timestep function (ref step, :212-234)."""
-    prec = (getattr(jax.lax.Precision, cfg.gemm_precision.upper())
-            if cfg.gemm_precision else None)
+    prec = resolve_precision(cfg.gemm_precision)
     if cfg.method == "semi_implicit":
         A_inv, B_inv = _adi_inverses(cfg, dtype)
     elif cfg.method == "helmholtz":
