@@ -71,3 +71,85 @@ def load_rollout_artifact(path: str) -> Callable:
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
     return lambda w0: exported.call(w0)
+
+
+# --- FD-family engines ------------------------------------------------------
+
+
+def _fd_rollout_fn(family: str, cfg, u_bc, v_bc, p_bc, dtype) -> Callable:
+    """(u0, v0, p0) physical ICs -> final (u, v, p) after cfg.nt steps of
+    the chosen FD family (chorin_fd incl. dst/helmholtz modes, direct_fd
+    incl. the exact mixed-BC pressure). BC application at init and the
+    whole rollout trace into ONE program."""
+    if family == "chorin_fd":
+        from ns_tpu.solvers import chorin_fd as m
+
+        step = m.make_step(cfg, u_bc, v_bc, p_bc, dtype=dtype)
+
+        def run(u0, v0, p0):
+            s = m.init_state(cfg, u0, v0, p0, u_bc, v_bc, p_bc, dtype=dtype)
+
+            def body(s, _):
+                return step(s), None
+
+            s, _ = jax.lax.scan(body, s, None, length=cfg.nt)
+            return s.u, s.v, s.p
+
+        return run
+    if family == "direct_fd":
+        from ns_tpu.core.state import FlowState
+        from ns_tpu.solvers import direct_fd as m
+
+        step = m.make_step(cfg, u_bc, v_bc, p_bc)
+
+        def run(u0, v0, p0):
+            s = FlowState(u=u0.astype(dtype), v=v0.astype(dtype),
+                          p=p0.astype(dtype))
+
+            def body(s, _):
+                return step(s), None
+
+            s, _ = jax.lax.scan(body, s, None, length=cfg.nt)
+            return s.u, s.v, s.p
+
+        return run
+    raise ValueError(f"family must be chorin_fd|direct_fd, got {family!r}")
+
+
+class FDRolloutEngine:
+    """AOT-compiled FD cavity rollout: build once, serve many (the FD
+    counterpart of RolloutEngine)."""
+
+    def __init__(self, family: str, cfg, u_bc, v_bc, p_bc,
+                 dtype=jnp.float32):
+        self.dtype = dtype
+        shape = jax.ShapeDtypeStruct((cfg.nx, cfg.ny), dtype)
+        fn = _fd_rollout_fn(family, cfg, u_bc, v_bc, p_bc, dtype)
+        self._compiled = jax.jit(fn).lower(shape, shape, shape).compile()
+
+    def __call__(self, u0, v0, p0):
+        a = lambda x: jnp.asarray(x, self.dtype)
+        return self._compiled(a(u0), a(v0), a(p0))
+
+    @property
+    def cost_analysis(self):
+        return self._compiled.cost_analysis()
+
+
+def export_fd_rollout(family: str, cfg, u_bc, v_bc, p_bc, path: str,
+                      dtype=jnp.float32) -> str:
+    """Serialize an FD-family nt-step rollout as a StableHLO artifact."""
+    shape = jax.ShapeDtypeStruct((cfg.nx, cfg.ny), dtype)
+    fn = _fd_rollout_fn(family, cfg, u_bc, v_bc, p_bc, dtype)
+    exported = jax_export.export(jax.jit(fn))(shape, shape, shape)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_fd_rollout_artifact(path: str) -> Callable:
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return lambda u0, v0, p0: exported.call(u0, v0, p0)

@@ -90,3 +90,71 @@ def test_rollout_engine_serves_all_spectral_engines():
     np.testing.assert_allclose(outs["compact"], outs["fft"], atol=1e-10)
     np.testing.assert_allclose(outs["real_gemm"], outs["compact"],
                                atol=1e-12)
+
+
+def test_fd_rollout_engine_matches_simulate(tmp_path):
+    """AOT FD engine == the library simulate path; the exported StableHLO
+    artifact reproduces it without the model-building code."""
+    import jax.numpy as jnp
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.runtime.engine import (FDRolloutEngine, export_fd_rollout,
+                                       load_fd_rollout_artifact)
+    from ns_tpu.solvers import chorin_fd
+
+    nx = ny = 17
+    dx = 2.0 / (nx - 1)
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dx),
+            neumann(0, "left", dx, dx), neumann(0, "right", dx, dx)]
+    cfg = chorin_fd.ChorinFDConfig(nt=4, nit=60, nx=nx, ny=ny, dt=1e-3,
+                                   nu=0.1, beta=1.25,
+                                   method="semi_implicit",
+                                   pressure_mode="dst")
+    z = np.zeros((nx, ny), np.float64)
+
+    ref = chorin_fd.NavierStokesSystem(
+        z, z, z, u_bc, v_bc, p_bc, nt=4, nit=60, nx=nx, ny=ny, dt=1e-3,
+        rho=1, nu=0.1, beta=1.25, method="semi_implicit",
+        pressure_mode="dst", dtype=jnp.float64)
+    u_ref, v_ref, p_ref = (np.asarray(a) for a in ref.simulate())
+
+    eng = FDRolloutEngine("chorin_fd", cfg, u_bc, v_bc, p_bc,
+                          dtype=jnp.float64)
+    u, v, p = eng(z, z, z)
+    np.testing.assert_allclose(np.asarray(u), u_ref[-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p), p_ref[-1], atol=1e-12)
+
+    path = export_fd_rollout("chorin_fd", cfg, u_bc, v_bc, p_bc,
+                             str(tmp_path / "fd.shlo"), dtype=jnp.float64)
+    run = load_fd_rollout_artifact(path)
+    u2, _, _ = run(jnp.asarray(z), jnp.asarray(z), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(u2), u_ref[-1], atol=1e-12)
+
+
+def test_fd_rollout_engine_direct_fd():
+    import jax.numpy as jnp
+    from ns_tpu.core.bc import dirichlet, neumann
+    from ns_tpu.runtime.engine import FDRolloutEngine
+    from ns_tpu.solvers import direct_fd
+
+    nx = ny = 16
+    dx = 2.0 / (nx - 1)
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dx),
+            neumann(0, "left", dx, dx), neumann(0, "right", dx, dx)]
+    cfg = direct_fd.DirectFDConfig(nt=3, nit=10, nx=nx, ny=ny, dt=1e-3,
+                                   nu=0.1, pressure_mode="exact")
+    z = np.zeros((nx, ny), np.float64)
+    ref = direct_fd.NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=3,
+                                       nit=10, nx=nx, ny=ny, dt=1e-3,
+                                       nu=0.1, dtype=jnp.float64,
+                                       pressure_mode="exact")
+    u_ref, _, _ = (np.asarray(a) for a in ref.simulate())
+    eng = FDRolloutEngine("direct_fd", cfg, u_bc, v_bc, p_bc,
+                          dtype=jnp.float64)
+    u, v, p = eng(z, z, z)
+    np.testing.assert_allclose(np.asarray(u), u_ref[-1], atol=1e-12)
