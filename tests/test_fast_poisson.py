@@ -305,3 +305,33 @@ def test_direct_fd_exact_pressure_mode_tracks_converged_jacobi():
     np.testing.assert_allclose(u_e, u_j, atol=1e-7)
     np.testing.assert_allclose(v_e, v_j, atol=1e-7)
     np.testing.assert_allclose(p_e, p_j, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mixed_poisson_random_bc_combinations_fixed_point(seed):
+    """Property test: for random per-side BC kinds/values/steps and random
+    rectangular grids, solve(b) is exactly invariant under one
+    (Jacobi sweep + apply_bcs) iteration."""
+    from ns_tpu.core.bc import BC, apply_bcs
+    from ns_tpu.ops.fast_poisson import make_mixed_poisson
+    from ns_tpu.ops.poisson import jacobi
+
+    rng = np.random.default_rng(seed)
+    nx = int(rng.integers(8, 30))
+    ny = int(rng.integers(8, 30))
+    dx = float(rng.uniform(0.05, 0.5))
+    dy = float(rng.uniform(0.05, 0.5))
+    sides = ["left", "right", "bottom", "top"]
+    kinds = [str(rng.choice(["dirichlet", "neumann"])) for _ in sides]
+    if all(k == "neumann" for k in kinds):
+        kinds[rng.integers(0, 4)] = "dirichlet"  # keep nonsingular
+    p_bc = [BC(k, float(rng.normal()), s, dx=dx, dy=dy)
+            for k, s in zip(kinds, sides)]
+    b = jnp.asarray(rng.normal(size=(nx, ny)))
+
+    # jacobi's axis convention: axis0 spacing h0, axis1 spacing h1 — the
+    # sweep divides axis1 diffs by its `dx` arg and axis0 by `dy`
+    p = make_mixed_poisson(nx, ny, dy, dx, p_bc)(b)
+    p_after = jacobi(p, b, dx, dy, 1, bc_fn=lambda q: apply_bcs(q, p_bc))
+    np.testing.assert_allclose(np.asarray(p_after), np.asarray(p),
+                               atol=1e-9)
