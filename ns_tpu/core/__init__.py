@@ -1,2 +1,4 @@
-from ns_tpu.core.bc import BC, dirichlet, neumann, apply_bcs
+from ns_tpu.core.bc import (BC, DirichletBoundaryCondition,
+                            NeumannBoundaryCondition, apply_bcs,
+                            dirichlet, neumann)
 from ns_tpu.core.state import FlowState

@@ -103,3 +103,18 @@ def apply_bcs(A: Array, bcs: Sequence[BC]) -> Array:
     for bc in bcs:
         A = apply_bc(A, bc)
     return A
+
+
+# --- reference-named constructors (migration aliases) -----------------------
+# The reference exposes BCs as classes (boundary.py:29,51) with signature
+# (value, boundary, dx, dy). These aliases let reference code construct
+# ns_tpu BCs unchanged; BC's .type/.boundary properties mirror the
+# attribute names reference code reads.
+
+
+def DirichletBoundaryCondition(value, boundary, dx=0.0, dy=0.0) -> BC:
+    return BC("dirichlet", value, boundary, float(dx), float(dy))
+
+
+def NeumannBoundaryCondition(value, boundary, dx, dy) -> BC:
+    return BC("neumann", value, boundary, float(dx), float(dy))

@@ -55,3 +55,21 @@ def test_invalid_side_raises():
         BC("dirichlet", 0.0, "middle")
     with pytest.raises(ValueError):
         BC("robin", 0.0, "left")
+
+
+def test_reference_named_constructors():
+    """Reference-style class constructors (boundary.py:29,51 signature
+    (value, boundary, dx, dy)) build the same BCs, and the attribute
+    mirrors reference code reads (.type, .boundary, .value, .dx, .dy)
+    all work."""
+    from ns_tpu.core.bc import (BC, DirichletBoundaryCondition,
+                                NeumannBoundaryCondition, apply_bc,
+                                dirichlet, neumann)
+
+    d = DirichletBoundaryCondition(1.0, "top", 0.1, 0.1)
+    assert d == dirichlet(1.0, "top", 0.1, 0.1)
+    assert d.type == "dirichlet" and d.boundary == "top"
+    n = NeumannBoundaryCondition(0.5, "left", 0.1, 0.2)
+    assert n == neumann(0.5, "left", 0.1, 0.2)
+    A = jnp.zeros((4, 4))
+    np.testing.assert_allclose(np.asarray(apply_bc(A, d))[:, -1], 1.0)
