@@ -73,3 +73,20 @@ def odeint_checkpoint(func: Callable, z0: Array, nt: int,
     recompute-adjoint semantics (adjoint.py:52-70)."""
     integrate = jax.checkpoint(lambda z: odeint(func, z, nt, method))
     return integrate(z0)
+
+
+# --- reference-named entry points (migration aliases) -----------------------
+
+
+def odesolver(func: Callable, z0: Array, options: dict) -> Array:
+    """Reference ANODE entry signature (anode/odesolver.py:21): options
+    carries {'Nt': nt, 'method': 'Euler'|'RK2'|'RK4'}."""
+    return odeint(func, z0, int(options["Nt"]),
+                  method=options.get("method", "RK4"))
+
+
+def odesolver_adjoint(func: Callable, z0: Array, options: dict) -> Array:
+    """Reference recompute-adjoint entry (anode/adjoint.py:73): same
+    contract, backward pass re-runs the integration (jax.checkpoint)."""
+    return odeint_checkpoint(func, z0, int(options["Nt"]),
+                             method=options.get("method", "RK4"))

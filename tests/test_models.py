@@ -99,3 +99,28 @@ def test_gru_cell_matches_torch():
     want = tcell(torch.from_numpy(x), torch.from_numpy(h)).detach().numpy()
     got = np.asarray(gru_cell(params, jnp.asarray(h), jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_reference_named_odesolver_entries():
+    """odesolver/odesolver_adjoint mirror the ANODE entry signatures
+    (options={'Nt':..,'method':..}) and agree with odeint, including the
+    adjoint's gradients."""
+    from ns_tpu.models.node import (odeint, odesolver, odesolver_adjoint)
+
+    def f(t, y):
+        return -y + jnp.sin(3.0 * t)
+
+    z0 = jnp.asarray([1.0, -0.5])
+    opts = {"Nt": 16, "method": "RK4"}
+    np.testing.assert_allclose(np.asarray(odesolver(f, z0, opts)),
+                               np.asarray(odeint(f, z0, 16)), atol=0)
+
+    def loss(z):
+        return jnp.sum(odesolver_adjoint(f, z, opts)[-1] ** 2)
+
+    def loss_plain(z):
+        return jnp.sum(odeint(f, z, 16)[-1] ** 2)
+
+    g1 = jax.grad(loss)(z0)
+    g2 = jax.grad(loss_plain)(z0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
