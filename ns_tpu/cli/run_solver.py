@@ -39,9 +39,17 @@ def cavity_bcs(dx, dy):
 
 
 def _run_cavity(sys_, args):
-    """Run a cavity-family wrapper's rollout, optionally under the
-    divergence guard (utils/guard.py: freeze at last good state, report
-    the first bad step instead of poisoning the rollout)."""
+    """Run a cavity-family wrapper's rollout, optionally streamed to disk
+    (--stream-dir: memmapped per-field .npy, horizons larger than device
+    memory) or under the divergence guard (utils/guard.py: freeze at last
+    good state, report the first bad step instead of poisoning the
+    rollout)."""
+    if args.stream_dir and hasattr(sys_, "state0"):
+        from ns_tpu.io.streaming import stream_rollout
+        stream_rollout(sys_._step, sys_.state0, args.nt,
+                       lambda s: {"u": s.u, "v": s.v, "p": s.p},
+                       args.stream_dir)
+        return None, None, None
     if not args.guard:
         return sys_.simulate()
     if not hasattr(sys_, "state0"):
@@ -98,10 +106,11 @@ def main(argv=None):
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
     p.add_argument("--stream-dir", type=str, default=None,
-                   help="periodic families: stream u/v/p/w frames to "
-                        "memmapped .npy files in this directory instead of "
-                        "materializing the stacked rollout (horizons larger "
-                        "than device memory)")
+                   help="stream frames to memmapped .npy files in this "
+                        "directory instead of materializing the stacked "
+                        "rollout (horizons larger than device memory): "
+                        "u/v/p for the cavity families, u/v/p/w for the "
+                        "periodic ones)")
     p.add_argument("--guard", action="store_true",
                    help="cavity families: run under the divergence guard "
                         "(utils/guard.py) — on NaN/blow-up the state "
@@ -214,6 +223,12 @@ def main(argv=None):
         u, v, pr = _run_cavity(sys_, args)
         default_out = f"{args.family}.npz"
 
+    if u is None:  # streamed FD rollout: frames already on disk
+        elapsed = time.perf_counter() - t0
+        print(f"{args.family}: nt={args.nt} streamed u/v/p to "
+              f"{args.stream_dir} in {elapsed:.2f}s "
+              f"({args.nt / elapsed:.1f} steps/s)")
+        return
     u, v, pr = to_host((u, v, pr))
     elapsed = time.perf_counter() - t0
     out = args.out or default_out

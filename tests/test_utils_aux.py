@@ -170,3 +170,21 @@ def test_run_solver_cli_guard_clean_run(tmp_path, capsys):
     assert "guard: divergence" not in capsys.readouterr().out
     d = np.load(out)
     assert np.isfinite(d["u"]).all()
+
+
+def test_run_solver_cli_streams_fd_families(tmp_path):
+    """--stream-dir also streams the cavity families' rollouts (u/v/p
+    memmaps matching the in-memory simulate output)."""
+    import numpy as np
+    from ns_tpu.cli.run_solver import main as run_main
+
+    out = tmp_path / "ref.npz"
+    run_main(["chorin_fd", "--nx", "17", "--nt", "6", "--nit", "50",
+              "--pressure-mode", "dst", "--out", str(out)])
+    ref = np.load(out)
+    run_main(["chorin_fd", "--nx", "17", "--nt", "6", "--nit", "50",
+              "--pressure-mode", "dst",
+              "--stream-dir", str(tmp_path / "stream")])
+    for k in ("u", "v", "p"):
+        a = np.load(tmp_path / "stream" / f"{k}.npy")
+        np.testing.assert_allclose(a, ref[k], atol=1e-6)
