@@ -45,6 +45,9 @@ def _run_cavity(sys_, args):
     good state, report the first bad step instead of poisoning the
     rollout)."""
     if args.stream_dir and hasattr(sys_, "state0"):
+        if args.guard:
+            print("note: --guard is ignored when streaming (the guard "
+                  "needs the scan carry; stream chunks run unguarded)")
         from ns_tpu.io.streaming import stream_rollout
         stream_rollout(sys_._step, sys_.state0, args.nt,
                        lambda s: {"u": s.u, "v": s.v, "p": s.p},
