@@ -103,8 +103,10 @@ def main(argv=None):
     p.add_argument("--gemm-precision", default=None,
                    choices=["default", "high", "highest"],
                    help="chorin_fd: precision of the ADI/dst/helmholtz "
-                        "GEMMs (default: highest-precision solves; see "
-                        "RESULTS.md precision menu)")
+                        "GEMMs (default: per-path policy — dst/helmholtz "
+                        "eigenbasis GEMMs run HIGHEST, ADI sweep matmuls "
+                        "keep the jnp default; see RESULTS.md precision "
+                        "menu)")
     p.add_argument("--compact", action="store_true",
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")

@@ -36,7 +36,7 @@ steady-state throughput.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -242,12 +242,20 @@ def make_mixed_poisson(nx: int, ny: int, h0: float, h1: float, p_bc,
     return solve
 
 
+@lru_cache(maxsize=32)
+def _cached_dst_solver(nx: int, ny: int, dx: float, dy: float,
+                       dtype_name: str, precision):
+    return make_dst_poisson(nx, ny, dx, dy,
+                            dtype=jnp.dtype(dtype_name), precision=precision)
+
+
 def poisson_dst(p: Array, f: Array, dx: float, dy: float,
                 precision=jax.lax.Precision.HIGHEST) -> Array:
     """One-shot convenience wrapper (same signature family as
-    `poisson_multigrid`). Builds the transform constants on each call —
-    inside jit they constant-fold, but prefer `make_dst_poisson` in hot
-    loops so setup runs once on host."""
-    solve = make_dst_poisson(p.shape[0], p.shape[1], dx, dy,
-                             dtype=p.dtype, precision=precision)
+    `poisson_multigrid`). The O(n^2) host-NumPy basis setup is memoized on
+    (shape, spacing, dtype, precision), so repeated eager calls in a loop
+    pay it once; inside jit the constants fold regardless. Prefer
+    `make_dst_poisson` when you control the call site."""
+    solve = _cached_dst_solver(p.shape[0], p.shape[1], float(dx), float(dy),
+                               jnp.dtype(p.dtype).name, precision)
     return solve(p, f)

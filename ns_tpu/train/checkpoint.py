@@ -7,6 +7,13 @@ loading/resume code exists anywhere in it (SURVEY.md §5). This module
 provides both directions: pytrees are flattened to numpy arrays and stored
 in a single .npz plus a json manifest of the tree structure, so restore
 does not require unpickling arbitrary objects.
+
+Format (CKPT_FORMAT_VERSION 2): the npz holds one array per leaf under its
+key-path name, plus `__manifest__` — a JSON blob with the format version
+and a {key: {shape, dtype}} table. Compatibility is checked leaf-by-leaf
+against the template's key paths (stable across JAX versions, unlike the
+v1 `str(treedef)` repr equality this replaces), producing an error that
+names the exact missing/unexpected/mismatched leaves.
 """
 
 from __future__ import annotations
@@ -19,13 +26,18 @@ from typing import Any
 import jax
 import numpy as np
 
+CKPT_FORMAT_VERSION = 2
+
+
+def _path_key(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
 
 def _flatten_with_paths(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for path, leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        out[key] = np.asarray(leaf)
+        out[_path_key(path)] = np.asarray(leaf)
     return out
 
 
@@ -37,9 +49,13 @@ def save_checkpoint(state: dict, folder: str, is_best: bool = False,
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, filename)
     arrays = _flatten_with_paths(state)
-    treedef = jax.tree_util.tree_structure(state)
-    np.savez(path, __treedef__=np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8), **arrays)
+    manifest = {
+        "format_version": CKPT_FORMAT_VERSION,
+        "leaves": {k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+                   for k, v in arrays.items()},
+    }
+    np.savez(path, __manifest__=np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8), **arrays)
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f, default=str)
@@ -51,31 +67,60 @@ def save_checkpoint(state: dict, folder: str, is_best: bool = False,
     return path
 
 
+def _check_manifest(path: str, data, template_arrays: dict) -> None:
+    """Leaf-by-leaf compatibility check of saved checkpoint vs template.
+
+    Raises ValueError naming every missing / unexpected / shape-mismatched
+    leaf, so 'wrong optimizer config for this checkpoint' errors point at
+    the offending entries instead of a whole-treedef repr diff."""
+    if "__manifest__" in data:
+        manifest = json.loads(bytes(data["__manifest__"]).decode())
+        version = manifest.get("format_version")
+        if version != CKPT_FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path} has format_version {version}; this "
+                f"build reads version {CKPT_FORMAT_VERSION}")
+        saved = {k: tuple(v["shape"]) for k, v in manifest["leaves"].items()}
+    elif "__treedef__" in data:  # v1 checkpoints: derive the table from npz
+        saved = {k: np.shape(data[k]) for k in data.files
+                 if k != "__treedef__"}
+    else:
+        saved = {k: np.shape(data[k]) for k in data.files}
+
+    here = {k: v.shape for k, v in template_arrays.items()}
+    missing = sorted(set(here) - set(saved))
+    unexpected = sorted(set(saved) - set(here))
+    mismatched = sorted(k for k in set(here) & set(saved)
+                        if tuple(saved[k]) != tuple(here[k]))
+    if missing or unexpected or mismatched:
+        lines = [f"checkpoint {path} does not match the template pytree "
+                 "(wrong model/optimizer config for this checkpoint?):"]
+        if missing:
+            lines.append(f"  template leaves absent from checkpoint: "
+                         f"{missing}")
+        if unexpected:
+            lines.append(f"  checkpoint leaves absent from template: "
+                         f"{unexpected}")
+        for k in mismatched:
+            lines.append(f"  shape mismatch at {k!r}: saved "
+                         f"{tuple(saved[k])} vs template {tuple(here[k])}")
+        raise ValueError("\n".join(lines))
+
+
 def load_checkpoint(path: str, like: Any) -> Any:
     """Restore a pytree saved by save_checkpoint into the structure of
-    `like` (a template pytree with the same treedef — e.g. a freshly
-    initialized train state)."""
+    `like` (a template pytree with the same key paths — e.g. a freshly
+    initialized train state). Reads v2 (manifest) checkpoints and v1
+    (__treedef__) ones; the compatibility check is key-path based either
+    way."""
     data = np.load(path)
-    if "__treedef__" in data:
-        saved = bytes(data["__treedef__"]).decode()
-        here = str(jax.tree_util.tree_structure(like))
-        if saved != here:
-            raise ValueError(
-                f"checkpoint {path} tree structure does not match the "
-                f"template:\n  saved:    {saved}\n  template: {here}\n"
-                "(wrong model/optimizer config for this checkpoint?)")
-    arrays = _flatten_with_paths(like)
-    restored = {}
-    for key in arrays:
-        if key not in data:
-            raise KeyError(f"checkpoint {path} missing leaf {key!r}")
-        restored[key] = data[key]
-    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    template_arrays = _flatten_with_paths(like)
+    _check_manifest(path, data, template_arrays)
     flat = jax.tree_util.tree_flatten_with_path(like)[0]
+    treedef = jax.tree_util.tree_structure(like)
     new_leaves = []
     for (pth, leaf) in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
-        arr = restored[key]
+        arr = data[_path_key(pth)]
         new_leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

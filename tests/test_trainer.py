@@ -71,6 +71,80 @@ def test_checkpoint_generic_pytree(tmp_path):
     assert os.path.exists(tmp_path / "model_best.npz")
 
 
+def test_checkpoint_mismatch_names_offending_leaves(tmp_path):
+    """A changed-optimizer template fails restore with an error that names
+    the exact missing/unexpected/mismatched leaves (VERDICT r2: str(treedef)
+    equality was brittle across JAX versions and uninformative)."""
+    state = {"params": {"w": np.ones((2, 3), np.float32)},
+             "opt": {"mu": np.zeros(5), "nu": np.zeros(5)}}
+    save_checkpoint(state, str(tmp_path))
+    path = str(tmp_path / "checkpoint.npz")
+
+    # different optimizer: extra leaf + missing leaf
+    bad = {"params": {"w": np.ones((2, 3), np.float32)},
+           "opt": {"mu": np.zeros(5), "trace": np.zeros(5)}}
+    with pytest.raises(ValueError) as ei:
+        load_checkpoint(path, bad)
+    msg = str(ei.value)
+    assert "opt/trace" in msg and "opt/nu" in msg
+
+    # same structure, wrong shape
+    bad2 = {"params": {"w": np.ones((4, 3), np.float32)},
+            "opt": {"mu": np.zeros(5), "nu": np.zeros(5)}}
+    with pytest.raises(ValueError, match="shape mismatch at 'params/w'"):
+        load_checkpoint(path, bad2)
+
+
+def test_checkpoint_manifest_version(tmp_path):
+    """Checkpoints carry an explicit format version the loader checks."""
+    import json
+    state = {"a": np.ones(3)}
+    save_checkpoint(state, str(tmp_path))
+    path = str(tmp_path / "checkpoint.npz")
+    data = np.load(path)
+    manifest = json.loads(bytes(data["__manifest__"]).decode())
+    assert manifest["format_version"] == 2
+    assert manifest["leaves"]["a"]["shape"] == [3]
+    # a future-version checkpoint is rejected up front
+    arrays = {k: data[k] for k in data.files if k != "__manifest__"}
+    manifest["format_version"] = 99
+    np.savez(path, __manifest__=np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8), **arrays)
+    with pytest.raises(ValueError, match="format_version 99"):
+        load_checkpoint(path, {"a": np.zeros(3)})
+
+
+def test_checkpoint_cross_process_roundtrip(tmp_path):
+    """Restore works in a fresh interpreter (true process-restart resume).
+
+    The writer is this process; the reader is a subprocess that rebuilds
+    the template independently and loads the checkpoint."""
+    import subprocess
+    import sys
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.asarray(7)}
+    save_checkpoint(state, str(tmp_path), meta={"iter": 7})
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from ns_tpu.train.checkpoint import load_checkpoint, load_meta
+path = {str(tmp_path / 'checkpoint.npz')!r}
+like = {{"params": {{"w": np.zeros((2, 3), np.float32)}},
+        "step": np.asarray(0)}}
+got = load_checkpoint(path, like)
+assert got["params"]["w"][1, 2] == 5.0
+assert int(got["step"]) == 7
+assert load_meta(path)["iter"] == 7
+print("RESTORED_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr
+    assert "RESTORED_OK" in r.stdout
+
+
 def test_npz_roundtrip(tmp_path):
     u = np.random.default_rng(0).normal(size=(3, 4, 4))
     path = save_rollout(str(tmp_path / "r.npz"), u, u + 1, u + 2)
