@@ -72,6 +72,84 @@ def _run_cavity(sys_, args):
     return states.u, states.v, states.p
 
 
+def _run_distributed(args):
+    """Multi-process periodic rollout: global row-sharded mesh, per-host
+    feeding via global arrays, per-host shard output, optional coordinator
+    reassembly into the reference npz format.
+
+    Launch (single host, N processes):
+      python -m ns_tpu.launch --nprocs 2 --devices-per-proc 2 -- \\
+          python -m ns_tpu.cli.run_solver decaying_turbulence --dist \\
+          --nx 256 --nt 100 --compact --transform matmul
+    On a TPU pod: run one copy per host (no launcher env needed —
+    jax.distributed auto-detects)."""
+    import jax
+
+    from ns_tpu.parallel import distributed as dist
+
+    dist.initialize_from_env()
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    pid, nproc = dist.process_index(), dist.process_count()
+    n_dev = len(jax.devices())
+    nx = args.nx or 256
+    cfg = sp.SpectralPeriodicConfig(nt=args.nt, nx=nx, ny=nx, dt=args.dt,
+                                    nu=args.nu, rho=args.rho,
+                                    dtype=args.dtype,
+                                    transform=args.transform,
+                                    matmul_precision=args.precision,
+                                    compact_spectrum=args.compact)
+    w0 = np.asarray(sp.taylor_green_vorticity(cfg)
+                    if args.family == "taylor_green"
+                    else sp.decaying_turbulence_vorticity(cfg,
+                                                          seed=args.seed))
+
+    mesh = dist.make_global_mesh({"x": n_dev})
+    if args.compact and args.transform == "matmul":
+        from ns_tpu.parallel.spectral_sharded import (
+            make_sharded_compact_simulate)
+        sim, sharding = make_sharded_compact_simulate(cfg, mesh,
+                                                      fields="uvp")
+        names = ("u", "v", "p")
+    else:
+        from ns_tpu.parallel.spectral_sharded import make_sharded_simulate
+        sim, sharding = make_sharded_simulate(cfg, mesh)
+        names = ("w",)
+
+    lo, hi = dist.process_local_rows(cfg.nx, mesh, "x")
+    w0_g = dist.global_array(sharding, w0[lo:hi])
+    t0 = time.perf_counter()
+    out = sim(w0_g)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    if len(names) == 1:
+        out = (out,)
+
+    out_dir = (args.stream_dir
+               or (args.out or f"{args.family}_dist.npz") + ".shards")
+    for name, arr in zip(names, out):
+        dist.save_array_shards(out_dir, name, arr)
+    dist.barrier("rollout_io")
+    print(f"p{pid}/{nproc}: {args.family} nt={args.nt} grid={nx}x{nx} on "
+          f"{n_dev} devices in {elapsed:.2f}s "
+          f"({args.nt / elapsed:.1f} steps/s) -> {out_dir}")
+
+    if dist.is_coordinator() and not args.no_assemble:
+        fields = {n: dist.assemble_shards(out_dir, n) for n in names}
+        out = args.out or f"{args.family}.npz"
+        if names == ("u", "v", "p"):
+            save_rollout(out, fields["u"], fields["v"], fields["p"])
+        else:
+            np.savez(out, **fields)
+        print(f"p0: assembled {'/'.join(names)} -> {out}")
+    dist.barrier("done")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("family", choices=["direct_fd", "chorin_fd",
@@ -124,11 +202,31 @@ def main(argv=None):
                         "whole rollout")
     p.add_argument("--guard-max-abs", type=float, default=1e6,
                    help="guard trip threshold on any field magnitude")
+    p.add_argument("--dist", action="store_true",
+                   help="periodic families: multi-process mode. Bootstrap "
+                        "jax.distributed from the NS_TPU_* env (set by "
+                        "`python -m ns_tpu.launch`, or TPU-pod "
+                        "auto-detection), shard the rollout row-wise over "
+                        "the GLOBAL device mesh, and write per-host shard "
+                        "files (no host ever holds the full rollout). The "
+                        "coordinator reassembles the standard npz at --out "
+                        "unless --no-assemble")
+    p.add_argument("--no-assemble", action="store_true",
+                   help="--dist: skip the coordinator's npz reassembly "
+                        "(leave only the per-host shard files)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.dist:
+        if args.family not in ("taylor_green", "decaying_turbulence"):
+            p.error("--dist currently supports the periodic families "
+                    "(taylor_green|decaying_turbulence); the cavity "
+                    "families' multi-process path is the sharded APIs in "
+                    "ns_tpu/parallel/ directly")
+        return _run_distributed(args)
 
     import jax.numpy as jnp
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32

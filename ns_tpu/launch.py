@@ -1,0 +1,154 @@
+"""Multi-process launcher: `python -m ns_tpu.launch`.
+
+Spawns N copies of a worker command with the NS_TPU_* bootstrap env vars
+set (coordinator address on a free local port, process ids, platform,
+local device count); each worker calls
+`ns_tpu.parallel.distributed.initialize_from_env()` as its first jax
+action and then sees the union of all processes' devices via
+`jax.devices()`. This is the single-host form (CI, CPU validation, one
+TPU host); on a multi-host pod slice, run one copy of your script per
+host under your pod launcher and call
+`ns_tpu.parallel.distributed.initialize()` with no args — JAX
+auto-detects the TPU topology (docs/scaling.md "Multi-process runtime").
+
+Usage:
+  # 4 processes x 2 fake CPU devices each = 8 global devices
+  python -m ns_tpu.launch --nprocs 4 --devices-per-proc 2 -- \
+      python my_worker.py --args...
+
+  # built-in end-to-end validation (distributed FFT, halos, psum,
+  # per-host sharded output):
+  python -m ns_tpu.launch --nprocs 2 --devices-per-proc 2 --selftest
+
+Child stdout/stderr are streamed with a `[p{i}]` prefix; the launcher
+exits with the first nonzero child return code (remaining children are
+terminated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import threading
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _pump(stream, prefix: str, out):
+    for line in iter(stream.readline, ""):
+        out.write(f"{prefix} {line}")
+        out.flush()
+    stream.close()
+
+
+def launch(cmd: list[str], nprocs: int, devices_per_proc: int | None = None,
+           platform: str | None = None, coordinator: str | None = None,
+           env_extra: dict | None = None, quiet: bool = False,
+           timeout: float | None = None) -> int:
+    """Run `cmd` nprocs times with bootstrap env; return max child rc."""
+    coordinator = coordinator or f"127.0.0.1:{_free_port()}"
+    procs = []
+    threads = []
+    for pid in range(nprocs):
+        env = dict(os.environ)
+        env.update({
+            "NS_TPU_COORDINATOR": coordinator,
+            "NS_TPU_NUM_PROCESSES": str(nprocs),
+            "NS_TPU_PROCESS_ID": str(pid),
+        })
+        if platform:
+            env["NS_TPU_PLATFORM"] = platform
+        if devices_per_proc is not None:
+            env["NS_TPU_LOCAL_DEVICES"] = str(devices_per_proc)
+        if env_extra:
+            env.update(env_extra)
+        p = subprocess.Popen(cmd, env=env, text=True,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT)
+        procs.append(p)
+        t = threading.Thread(
+            target=_pump, args=(p.stdout, f"[p{pid}]",
+                                open(os.devnull, "w") if quiet
+                                else sys.stdout),
+            daemon=True)
+        t.start()
+        threads.append(t)
+
+    rc = 0
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+            rc = max(rc, p.returncode)
+            if p.returncode != 0:
+                break
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+    for t in threads:
+        t.join(timeout=5)
+    return rc
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m ns_tpu.launch", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--nprocs", type=int, required=True,
+                    help="number of worker processes to spawn")
+    ap.add_argument("--devices-per-proc", type=int, default=None,
+                    help="fake CPU devices per process (CPU platform only; "
+                         "on TPU each process uses its local chips)")
+    ap.add_argument("--platform", default=None,
+                    choices=[None, "cpu", "tpu"],
+                    help="force the jax platform in workers (CPU runs on "
+                         "this harness MUST pass cpu: the platform is "
+                         "applied via jax.config in the worker, env vars "
+                         "alone cannot override it)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run the built-in multi-process validation "
+                         "worker instead of a user command")
+    ap.add_argument("--timeout", type=float, default=None,
+                    help="per-process wall-clock limit in seconds")
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="worker command (prefix with --)")
+    args = ap.parse_args(argv)
+
+    if args.selftest:
+        cmd = [sys.executable, "-m", "ns_tpu.cli.dist_selftest"]
+        if args.platform is None:
+            args.platform = "cpu"
+        if args.devices_per_proc is None:
+            args.devices_per_proc = 2
+    else:
+        cmd = args.cmd
+        if cmd and cmd[0] == "--":
+            cmd = cmd[1:]
+        if not cmd:
+            ap.error("no worker command given (and --selftest not set)")
+
+    rc = launch(cmd, args.nprocs, devices_per_proc=args.devices_per_proc,
+                platform=args.platform, timeout=args.timeout)
+    if rc == 0:
+        print(f"launch: all {args.nprocs} processes exited cleanly")
+    else:
+        print(f"launch: FAILED (rc={rc})", file=sys.stderr)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""True multi-process distribution tests (VERDICT r2 top item).
+
+The fake-device tests elsewhere validate SPMD math inside ONE process;
+these spawn real separate Python processes via `python -m ns_tpu.launch`
+and check cross-process collectives (Gloo on CPU), global-array feeding,
+and per-host sharded output. On a TPU pod the same code paths run over
+ICI with `jax.distributed.initialize()` auto-detection.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_launch_selftest_two_processes(tmp_path):
+    """2 processes x 2 devices: halo exchange, distributed matmul-DFT
+    rollout vs local oracle, psum, per-host shard IO — all across a real
+    process boundary."""
+    env = dict(os.environ)
+    env["NS_TPU_SELFTEST_DIR"] = str(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "ns_tpu.launch", "--nprocs", "2",
+         "--devices-per-proc", "2", "--selftest"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SELFTEST OK p0" in r.stdout
+    assert "SELFTEST OK p1" in r.stdout
+    # both processes wrote their own shard file
+    files = sorted(p.name for p in tmp_path.glob("w_final.proc*.npz"))
+    assert files == ["w_final.proc0000.npz", "w_final.proc0001.npz"]
+
+
+def test_distributed_run_solver_cli(tmp_path):
+    """The documented production path: launcher -> run_solver --dist ->
+    per-host shard files -> coordinator-assembled reference-format npz."""
+    out = str(tmp_path / "turb.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "ns_tpu.launch", "--nprocs", "2",
+         "--devices-per-proc", "2", "--platform", "cpu", "--",
+         sys.executable, "-m", "ns_tpu.cli.run_solver",
+         "decaying_turbulence", "--dist", "--nx", "32", "--nt", "5",
+         "--compact", "--transform", "matmul", "--dtype", "float64",
+         "--out", out],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    # per-host shards: 2 processes x 3 fields
+    shards = sorted(p.name for p in (tmp_path / "turb.npz.shards").iterdir())
+    assert len(shards) == 6, shards
+    d = np.load(out)
+    assert d["u"].shape == (5, 32, 32)
+    # physics sanity: fields finite, nontrivial
+    assert np.isfinite(d["u"]).all() and np.abs(d["u"]).max() > 0
+
+
+def test_launch_propagates_worker_failure():
+    r = subprocess.run(
+        [sys.executable, "-m", "ns_tpu.launch", "--nprocs", "2",
+         "--platform", "cpu", "--",
+         sys.executable, "-c", "import sys; sys.exit(3)"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert r.returncode != 0
+    assert "FAILED" in r.stderr
+
+
+# ---------------------------------------------------------------------------
+# In-process unit coverage of the distributed helpers (process_count == 1)
+# ---------------------------------------------------------------------------
+
+def test_shard_io_roundtrip_single_process(tmp_path):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ns_tpu.parallel import distributed as dist
+    from ns_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    g = jax.device_put(arr, NamedSharding(mesh, P("x", None)))
+    dist.save_array_shards(str(tmp_path), "field", g)
+    files = list(tmp_path.glob("field.proc*.npz"))
+    assert len(files) == 1  # one process
+    back = dist.assemble_shards(str(tmp_path), "field")
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_assemble_shards_detects_holes(tmp_path):
+    import json
+    from ns_tpu.parallel import distributed as dist
+    manifest = {"name": "x", "process": 0, "num_processes": 1,
+                "global_shape": [4, 4], "dtype": "float64",
+                "shards": [{"key": "shard0", "index": [[0, 2], [0, 4]]}]}
+    np.savez(tmp_path / "x.proc0000.npz",
+             __manifest__=np.frombuffer(json.dumps(manifest).encode(),
+                                        dtype=np.uint8),
+             shard0=np.ones((2, 4)))
+    with pytest.raises(ValueError, match="do not cover"):
+        dist.assemble_shards(str(tmp_path), "x")
+
+
+def test_process_local_rows_contiguous():
+    import jax
+    from ns_tpu.parallel import distributed as dist
+    from ns_tpu.parallel.mesh import make_mesh
+
+    # 2D mesh: the P('x') row sharding replicates over 'ensemble'; the
+    # dedupe logic must not flag that as non-contiguous
+    mesh = make_mesh({"ensemble": 2, "x": 4})
+    lo, hi = dist.process_local_rows(32, mesh, "x")
+    assert (lo, hi) == (0, 32)  # single process owns everything
+
+
+def test_global_array_matches_device_put():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ns_tpu.parallel import distributed as dist
+    from ns_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"x": 8})
+    arr = np.random.default_rng(0).normal(size=(16, 5))
+    sharding = NamedSharding(mesh, P("x", None))
+    a = dist.global_array(sharding, arr)  # single-process: local == global
+    b = jax.device_put(arr, sharding)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
