@@ -171,12 +171,59 @@ def run_chorin_spectral_deflated(nt):
              u=u, v=v, p=p)
 
 
+FULL_HORIZON_FRAMES = (0, 24, 49, 99, 149, 199)
+
+
+def run_direct_fd_snapshots(nt=200, keep=FULL_HORIZON_FRAMES):
+    """Full reference horizon (direct_fd/simulate.py:151-157 runs nt=200);
+    only `keep` frames are committed (the full stack is ~12 MB)."""
+    from src import boundary
+    from src.direct_fd.simulate import NavierStokesSystem
+
+    nx = ny = 50
+    dx = dy = 2.0 / (nx - 1.0)
+    u_bc, v_bc, p_bc = cavity_bcs(boundary, dx, dy)
+    sys_ = NavierStokesSystem(
+        np.zeros((nx, ny)), np.zeros((nx, ny)), np.zeros((nx, ny)),
+        u_bc, v_bc, p_bc, nt=nt, nit=50, nx=nx, ny=ny, dt=0.001, rho=1,
+        nu=0.1)
+    u, v, p = sys_.simulate()
+    idx = np.asarray(keep)
+    np.savez(os.path.join(GOLDEN, f"direct_fd_nt{nt}_snapshots.npz"),
+             frames=idx, u=u[idx], v=v[idx], p=p[idx])
+
+
+def run_chorin_fd_snapshots(nt=200, method="semi_implicit",
+                            keep=FULL_HORIZON_FRAMES):
+    """Full reference horizon (chorin_fd/simulate.py:278-287 runs nt=200
+    nit=200 semi_implicit); committed as probe frames only."""
+    from src import boundary
+    import src.chorin_fd.simulate as ref_mod
+    ref_mod.np = _RaggedNPShim()
+
+    nx = ny = 51
+    dx = dy = 2.0 / (nx - 1.0)
+    u_bc, v_bc, p_bc = cavity_bcs(boundary, dx, dy)
+    sys_ = ref_mod.NavierStokesSystem(
+        np.zeros((nx, ny)), np.zeros((nx, ny)), np.zeros((nx, ny)),
+        u_bc, v_bc, p_bc, nt=nt, nit=200, nx=nx, ny=ny, dt=0.001,
+        rho=1, nu=0.1, beta=1.25, method=method)
+    u, v, p = sys_.simulate()
+    idx = np.asarray(keep)
+    np.savez(os.path.join(GOLDEN,
+                          f"chorin_fd_{method}_nt{nt}_snapshots.npz"),
+             frames=idx, u=u[idx], v=v[idx], p=p[idx])
+
+
 if __name__ == "__main__":
     run_direct_fd(nt=20)
     run_chorin_fd(nt=12, method="semi_implicit")
     run_chorin_fd(nt=12, method="explicit")
     run_chorin_spectral(nt=3)
     run_chorin_spectral_deflated(nt=8)
+    run_direct_fd_snapshots(nt=200)
+    run_chorin_fd_snapshots(nt=200, method="semi_implicit")
+    run_chorin_fd_snapshots(nt=200, method="explicit")
     with open(os.path.join(GOLDEN, "timings.json"), "w") as f:
         json.dump(timings, f, indent=2)
     print(json.dumps(timings, indent=2))
