@@ -41,9 +41,20 @@ def cavity_bcs(dx, dy):
 def _run_cavity(sys_, args):
     """Run a cavity-family wrapper's rollout, optionally streamed to disk
     (--stream-dir: memmapped per-field .npy, horizons larger than device
-    memory) or under the divergence guard (utils/guard.py: freeze at last
+    memory), under the divergence guard (utils/guard.py: freeze at last
     good state, report the first bad step instead of poisoning the
-    rollout)."""
+    rollout), or with a per-chunk progress bar (--progress: the
+    reference-tqdm analogue, utils/progress.py)."""
+    if args.progress and not (args.stream_dir or args.guard):
+        if hasattr(sys_, "state0"):
+            from ns_tpu.utils.progress import chunked_simulate
+            outs, _ = chunked_simulate(
+                sys_._step, sys_.state0, args.nt,
+                lambda s: {"u": s.u, "v": s.v, "p": s.p},
+                chunk=args.chunk, desc=args.family)
+            return outs["u"], outs["v"], outs["p"]
+        print("progress: periodic wrapper exposes no FlowState; use "
+              "--stream-dir for chunked periodic rollouts")
     if args.stream_dir and hasattr(sys_, "state0"):
         if args.guard:
             print("note: --guard is ignored when streaming (the guard "
@@ -110,7 +121,7 @@ def _run_distributed(args):
                                                           seed=args.seed))
 
     mesh = dist.make_global_mesh({"x": n_dev})
-    if args.compact and args.transform == "matmul":
+    if cfg.transform == "matmul" and cfg.compact_spectrum:
         from ns_tpu.parallel.spectral_sharded import (
             make_sharded_compact_simulate)
         sim, sharding = make_sharded_compact_simulate(cfg, mesh,
@@ -172,8 +183,12 @@ def main(argv=None):
                    help="pressure solver: chorin_fd takes "
                         "redblack|gauss_seidel|multigrid|cg|dst; direct_fd "
                         "takes jacobi|exact (exact = direct mixed-BC solve)")
-    p.add_argument("--transform", default="fft", choices=["fft", "matmul"],
-                   help="periodic families: FFT or MXU matmul-DFT")
+    p.add_argument("--transform", default="auto",
+                   choices=["auto", "fft", "matmul"],
+                   help="periodic families: auto picks the measured-fastest "
+                        "engine for the grid (matmul-DFT + compact carry "
+                        "under the ~8k^2 FFT crossover, FFT beyond — "
+                        "RESULTS.md); fft/matmul force an engine")
     p.add_argument("--precision", default="high",
                    choices=["default", "high", "highest"],
                    help="matmul-DFT precision (default=bf16 ~5e-3, "
@@ -202,6 +217,12 @@ def main(argv=None):
                         "whole rollout")
     p.add_argument("--guard-max-abs", type=float, default=1e6,
                    help="guard trip threshold on any field magnitude")
+    p.add_argument("--progress", action="store_true",
+                   help="per-chunk tqdm progress bar for long rollouts "
+                        "(the reference's per-step tqdm analogue; runs "
+                        "the rollout in --chunk-step jitted scan chunks)")
+    p.add_argument("--chunk", type=int, default=25,
+                   help="steps per jitted chunk for --progress")
     p.add_argument("--dist", action="store_true",
                    help="periodic families: multi-process mode. Bootstrap "
                         "jax.distributed from the NS_TPU_* env (set by "
@@ -295,9 +316,7 @@ def main(argv=None):
             w0 = sp.taylor_green_vorticity(cfg)
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
-        if args.stream_dir:
-            from functools import partial
-            from ns_tpu.io.streaming import stream_rollout
+        if args.stream_dir or args.progress:
             carry0 = sp.init_from_vorticity(cfg, w0)
             step, _ = sp.make_step(cfg)
             step_fn = lambda c: step(c)[0]
@@ -315,15 +334,23 @@ def main(argv=None):
                 p = sp.pressure_from_hat(cfg, w_spec)
                 return {"u": u, "v": v, "p": p, "w": w}
 
-            paths = stream_rollout(step_fn, carry0, cfg.nt, extract,
-                                   args.stream_dir)
+        if args.stream_dir:
+            from ns_tpu.io.streaming import stream_rollout
+            stream_rollout(step_fn, carry0, cfg.nt, extract,
+                           args.stream_dir)
             elapsed = time.perf_counter() - t0
             print(f"{args.family}: nt={args.nt} grid={nx}x{nx} streamed "
                   f"u/v/p/w to {args.stream_dir} in {elapsed:.2f}s "
                   f"({args.nt / elapsed:.1f} steps/s)")
             return
-        sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
-        u, v, pr = _run_cavity(sys_, args)
+        if args.progress:
+            from ns_tpu.utils.progress import chunked_simulate
+            outs, _ = chunked_simulate(step_fn, carry0, cfg.nt, extract,
+                                       chunk=args.chunk, desc=args.family)
+            u, v, pr = outs["u"], outs["v"], outs["p"]
+        else:
+            sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
+            u, v, pr = _run_cavity(sys_, args)
         default_out = f"{args.family}.npz"
 
     if u is None:  # streamed FD rollout: frames already on disk

@@ -59,7 +59,12 @@ class SpectralPeriodicConfig:
     # 'fft': XLA FFT (default). 'matmul': DFT as MXU matmuls in the same
     # rfft2 half-spectrum layout — on TPU v5e the systolic array beats
     # XLA's FFT at every size measured (1024^2 rollouts: 1.30 Gcups fft vs
-    # 3.23 bf16 / 1.61 bf16x3 / 0.93 f32 matmul).
+    # 3.23 bf16 / 1.61 bf16x3 / 0.93 f32 matmul). 'auto': pick the engine
+    # from the measured crossover (RESULTS.md "Steady-state throughput"):
+    # matmul + compact carry while the grid is under the ~8k^2 extrapolated
+    # FFT crossover (the O(N^3) DFT work still beats the O(N^2 log N) FFT
+    # 4x at 2048^2), FFT beyond; resolved at construction so downstream
+    # code only ever sees a concrete engine.
     transform: str = "fft"
     # matmul-DFT precision: 'default' (bf16, ~5e-3 rel), 'high' (bf16x3,
     # ~3e-5 rel — the recommended speed/fidelity point), 'highest' (f32).
@@ -83,6 +88,26 @@ class SpectralPeriodicConfig:
     # complex dtype anywhere in the hot loop. Numerically identical modulo
     # summation order (validated elementwise in f64 in tests).
     real_gemm: bool = False
+
+    # grid size at which the matmul-DFT's O(N^3) transform work crosses
+    # the FFT's O(N^2 log N) on TPU (measured 4x matmul advantage at
+    # 2048^2 extrapolates to parity near 8k^2 — RESULTS.md)
+    AUTO_FFT_CROSSOVER = 8192
+
+    def __post_init__(self):
+        if self.transform == "auto":
+            if (max(self.nx, self.ny) < self.AUTO_FFT_CROSSOVER
+                    and self.dealias):
+                object.__setattr__(self, "transform", "matmul")
+                object.__setattr__(self, "compact_spectrum", True)
+            else:
+                # FFT wins past the crossover; without dealiasing the
+                # compact truncated layout doesn't exist either
+                object.__setattr__(self, "transform", "fft")
+                object.__setattr__(self, "compact_spectrum", False)
+        if self.transform not in ("fft", "matmul"):
+            raise ValueError(f"transform must be 'fft'|'matmul'|'auto', "
+                             f"got {self.transform!r}")
 
     @property
     def real_dtype(self):

@@ -188,3 +188,53 @@ def test_run_solver_cli_streams_fd_families(tmp_path):
     for k in ("u", "v", "p"):
         a = np.load(tmp_path / "stream" / f"{k}.npy")
         np.testing.assert_allclose(a, ref[k], atol=1e-6)
+
+
+def test_run_solver_cli_progress_matches_plain(tmp_path):
+    """--progress (chunked tqdm rollout) produces the same fields as the
+    fused one-scan rollout, for a cavity family and a periodic one."""
+    import numpy as np
+    from ns_tpu.cli.run_solver import main as run_main
+
+    ref = tmp_path / "plain.npz"
+    got = tmp_path / "prog.npz"
+    run_main(["chorin_fd", "--nx", "17", "--nt", "6", "--nit", "50",
+              "--pressure-mode", "dst", "--out", str(ref)])
+    run_main(["chorin_fd", "--nx", "17", "--nt", "6", "--nit", "50",
+              "--pressure-mode", "dst", "--progress", "--chunk", "4",
+              "--out", str(got)])
+    a, b = np.load(ref), np.load(got)
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(b[k], a[k], atol=1e-12)
+
+    refp = tmp_path / "tg.npz"
+    gotp = tmp_path / "tgp.npz"
+    run_main(["taylor_green", "--nx", "16", "--nt", "5",
+              "--transform", "fft", "--out", str(refp)])
+    run_main(["taylor_green", "--nx", "16", "--nt", "5",
+              "--transform", "fft", "--progress", "--chunk", "2",
+              "--out", str(gotp)])
+    a, b = np.load(refp), np.load(gotp)
+    for k in ("u", "v", "p"):
+        np.testing.assert_allclose(b[k], a[k], atol=1e-6)
+
+
+def test_transform_auto_resolves_by_crossover():
+    """transform='auto' picks the measured-fastest engine: compact
+    matmul-DFT under the ~8k^2 FFT crossover, FFT beyond (RESULTS.md)."""
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    small = sp.SpectralPeriodicConfig(nx=256, ny=256, transform="auto")
+    assert small.transform == "matmul" and small.compact_spectrum
+
+    big = sp.SpectralPeriodicConfig(nx=8192, ny=8192, transform="auto")
+    assert big.transform == "fft" and not big.compact_spectrum
+
+    # no dealiasing -> no compact truncated layout -> FFT
+    nod = sp.SpectralPeriodicConfig(nx=256, ny=256, transform="auto",
+                                    dealias=False)
+    assert nod.transform == "fft"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="transform"):
+        sp.SpectralPeriodicConfig(transform="typo")
