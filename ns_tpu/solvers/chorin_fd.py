@@ -80,6 +80,12 @@ class ChorinFDConfig:
     # 2.3x faster than the XLA red-black path at 51^2 on TPU v5e
     # (0.80 ms vs 1.86 ms per pressure solve). redblack mode only.
     use_pallas: bool = False
+    # Fused explicit-momentum Pallas kernel (advection + diffusion + BC
+    # edge writes for both velocity fields in one launch over overlapped
+    # row strips — ops/pallas/momentum_kernels.py). explicit method only;
+    # needs 128 | nx. Measured numbers in RESULTS.md ("Fused momentum
+    # kernel").
+    use_pallas_momentum: bool = False
     # Precision of the solver's GEMMs (ADI sweeps, dst pressure,
     # helmholtz solves). None = per-path defaults: dst/helmholtz run
     # f32 'highest', the ADI matmuls run the jnp default (bf16 on TPU
@@ -313,15 +319,26 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
         un1, vn1 = state.u_prev, state.v_prev
 
         with jax.named_scope("chorin_fd.predictor"):
-            if cfg.method == "explicit":
-                ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
-            elif cfg.method == "helmholtz":
-                ui, vi = _helmholtz_predictor(cfg, hsolve, un, vn, un1, vn1)
+            if cfg.method == "explicit" and cfg.use_pallas_momentum \
+                    and cfg.nx % 128 == 0:
+                from ns_tpu.ops.pallas.momentum_kernels import (
+                    momentum_explicit_fused_pallas)
+                # fused stencils + BC edge writes, one launch (BCs are
+                # part of the kernel, so no apply_bcs here)
+                ui, vi = momentum_explicit_fused_pallas(
+                    un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu,
+                    u_bc, v_bc, quirk_compat=cfg.quirk_compat)
             else:
-                ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv,
+                if cfg.method == "explicit":
+                    ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
+                elif cfg.method == "helmholtz":
+                    ui, vi = _helmholtz_predictor(cfg, hsolve,
                                                   un, vn, un1, vn1)
-            ui = apply_bcs(ui, u_bc)
-            vi = apply_bcs(vi, v_bc)
+                else:
+                    ui, vi = _semi_implicit_predictor(cfg, A_inv, B_inv,
+                                                      un, vn, un1, vn1)
+                ui = apply_bcs(ui, u_bc)
+                vi = apply_bcs(vi, v_bc)
 
         with jax.named_scope("chorin_fd.pressure"):
             rhs_c = _pressure_rhs(cfg, ui, vi)
@@ -414,13 +431,14 @@ class NavierStokesSystem:
                  rho=1, nu=1, beta=1.25, method="semi_implicit",
                  dtype=jnp.float32, quirk_compat=True,
                  pressure_mode="redblack", use_pallas=False, mg_cycles=6,
-                 gemm_precision=None):
+                 gemm_precision=None, use_pallas_momentum=False):
         self.cfg = ChorinFDConfig(nt=nt, nit=nit, nx=nx, ny=ny, dt=dt,
                                   rho=rho, nu=nu, beta=beta, method=method,
                                   quirk_compat=quirk_compat,
                                   pressure_mode=pressure_mode,
                                   use_pallas=use_pallas, mg_cycles=mg_cycles,
-                                  gemm_precision=gemm_precision)
+                                  gemm_precision=gemm_precision,
+                                  use_pallas_momentum=use_pallas_momentum)
         self.u_bc, self.v_bc, self.p_bc = list(u_bc), list(v_bc), list(p_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, self.p_bc, dtype=dtype)

@@ -133,3 +133,102 @@ def test_chorin_pallas_dispatch_falls_back_on_bad_geometry():
         rho=1, nu=0.01, use_pallas=True, dtype=jnp.float64)
     u, v, p = s.simulate()
     assert np.isfinite(np.asarray(u)).all()
+
+
+# ---------------------------------------------------------------------------
+# Fused explicit-momentum kernel (SURVEY §7 item 5)
+# ---------------------------------------------------------------------------
+
+def _cavity_uv_bcs():
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            dirichlet(0, "top"), dirichlet(0, "bottom")]
+    v_bc = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    return u_bc, v_bc
+
+
+def _momentum_twin(cfg, un, vn, un1, vn1, u_bc, v_bc):
+    from ns_tpu.solvers.chorin_fd import _explicit_predictor
+    ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)
+    return apply_bcs(ui, u_bc), apply_bcs(vi, v_bc)
+
+
+def test_momentum_fused_matches_xla_twin():
+    """Fused advection+diffusion+BC kernel vs _explicit_predictor +
+    apply_bcs, elementwise, both quirk and corrected stencils, across
+    strip boundaries (interpret mode)."""
+    import jax
+    from ns_tpu.ops.pallas.momentum_kernels import (
+        momentum_explicit_fused_pallas)
+    from ns_tpu.solvers.chorin_fd import ChorinFDConfig
+
+    nx = ny = 128
+    rng = np.random.default_rng(0)
+    un, vn, un1, vn1 = (jnp.asarray(rng.normal(size=(nx, ny)))
+                        for _ in range(4))
+    u_bc, v_bc = _cavity_uv_bcs()
+    for quirk in (True, False):
+        cfg = ChorinFDConfig(nx=nx, ny=ny, dt=1e-3, nu=0.1,
+                             method="explicit", quirk_compat=quirk)
+        ui_ref, vi_ref = _momentum_twin(cfg, un, vn, un1, vn1, u_bc, v_bc)
+        ui, vi = momentum_explicit_fused_pallas(
+            un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu, u_bc, v_bc,
+            quirk_compat=quirk, tile_rows=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(ui), np.asarray(ui_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(vi), np.asarray(vi_ref),
+                                   atol=1e-12)
+
+
+def test_momentum_fused_neumann_bcs():
+    """Neumann velocity BCs (roll-based neighbor pulls) match apply_bcs
+    across every edge, including edge rows adjacent to strip seams."""
+    from ns_tpu.ops.pallas.momentum_kernels import (
+        momentum_explicit_fused_pallas)
+    from ns_tpu.solvers.chorin_fd import ChorinFDConfig
+
+    nx = ny = 64
+    dx = dy = 2.0 / (nx - 1)
+    rng = np.random.default_rng(1)
+    un, vn, un1, vn1 = (jnp.asarray(rng.normal(size=(nx, ny)))
+                        for _ in range(4))
+    u_bc = [neumann(0.5, "left", dx, dy), dirichlet(1, "right"),
+            neumann(-0.25, "top", dx, dy), dirichlet(0, "bottom")]
+    v_bc = [neumann(0, "bottom", dx, dy), neumann(0, "top", dx, dy),
+            dirichlet(0, "left"), dirichlet(0, "right")]
+    cfg = ChorinFDConfig(nx=nx, ny=ny, dt=1e-3, nu=0.1, method="explicit")
+    ui_ref, vi_ref = _momentum_twin(cfg, un, vn, un1, vn1, u_bc, v_bc)
+    ui, vi = momentum_explicit_fused_pallas(
+        un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu, u_bc, v_bc,
+        tile_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(ui), np.asarray(ui_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vi), np.asarray(vi_ref),
+                               atol=1e-12)
+
+
+def test_chorin_explicit_pallas_momentum_rollout_matches():
+    """A full explicit rollout with use_pallas_momentum matches the XLA
+    path elementwise (the flag swaps only the predictor phase)."""
+    import numpy as np
+    from ns_tpu.solvers import chorin_fd
+
+    nx = 128
+    dx = dy = 2.0 / (nx - 1)
+    u_bc, v_bc = _cavity_uv_bcs()
+    p_bc = [dirichlet(0, "top"), neumann(0, "bottom", dx, dy),
+            neumann(0, "left", dx, dy), neumann(0, "right", dx, dy)]
+    z = np.zeros((nx, nx))
+    kw = dict(nt=3, nit=20, nx=nx, ny=nx, dt=1e-4, rho=1, nu=0.01,
+              method="explicit", pressure_mode="dst", dtype=jnp.float64)
+    ref = chorin_fd.NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, **kw)
+    u_r, v_r, p_r = ref.simulate()
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = chorin_fd.NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc,
+                                           use_pallas_momentum=True, **kw)
+        u_g, v_g, p_g = got.simulate()
+    np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_r), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_r), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(p_r), atol=1e-11)
