@@ -108,11 +108,17 @@ class FNO2D:
         out = jnp.moveaxis(out, -1, -3)
         return x + out
 
-    def rollout(self, params, x0: Array, n_steps: int) -> Array:
-        """Autoregressive extrapolation: (..., 3, nx, ny) -> stacked
-        (n_steps, ..., 3, nx, ny)."""
+    def rollout(self, params, x0: Array, n_steps: int,
+                post=None) -> Array:
+        """Autoregressive extrapolation: (..., C, nx, ny) -> stacked
+        (n_steps, ..., C, nx, ny). `post`, if given, maps each prediction
+        back onto a constraint manifold before it is fed forward (e.g.
+        divergence projection, dealias filtering — models/projection.py,
+        models/vorticity.py)."""
         def body(x, _):
             x = self.apply(params, x)
+            if post is not None:
+                x = post(x)
             return x, x
 
         _, xs = jax.lax.scan(body, x0, None, length=n_steps)

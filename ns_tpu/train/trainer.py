@@ -38,7 +38,7 @@ from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
 MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-          "rnn", "fno")
+          "rnn", "fno", "fno_w")
 
 
 @dataclasses.dataclass
@@ -66,6 +66,13 @@ class TrainConfig:
     # modes toward nx/3 for higher-wavenumber flows
     fno_modes: int = 12
     fno_width: int = 32
+    # fno (uvp) only: compose the training-free spectral divergence
+    # projection (models/projection.py) into the autoregressive rollout —
+    # every fed-back prediction is exactly incompressible
+    fno_project: bool = False
+    # fno_w only: dealias-filter each fed-back prediction onto the 2/3
+    # band the training data lives on (rollout stability filter)
+    fno_dealias: bool = True
 
     def __post_init__(self):
         if self.model not in MODELS:
@@ -98,14 +105,23 @@ class Trainer:
             self.model = BasisGRU(cfg.n_coeffs, self.nx, self.ny)
         elif cfg.model == "basis_ode_conv":
             self.model = BasisODEConv(cfg.n_coeffs, self.nx, self.ny)
-        elif cfg.model == "fno":
+        elif cfg.model in ("fno", "fno_w"):
             if not 1 <= cfg.fno_rollout_steps < self.nt:
                 raise ValueError(
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps} (a k >= n_frames leaves no "
                     "training windows and the loss is identically 0)")
+            channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
-                               modes=cfg.fno_modes)
+                               modes=cfg.fno_modes, channels=channels)
+            if cfg.model == "fno_w":
+                # vorticity-space surrogate: train on the scalar w derived
+                # exactly from (u, v); (u, v, p) recovered exactly at eval
+                # (models/vorticity.py — periodic data only)
+                from ns_tpu.models.vorticity import vorticity_from_uv
+                uv = self.obs[:, 0]                    # (nt, 3, nx, ny)
+                self.w_frames = vorticity_from_uv(
+                    uv[:, 0], uv[:, 1])[:, None]       # (nt, 1, nx, ny)
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 
@@ -138,8 +154,9 @@ class Trainer:
             obs_flat = self.obs.reshape(self.nt, -1)[None]  # (1, nt, D)
             pred = self.model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
-        if self.cfg.model == "fno":
-            frames = self.obs[:, 0]                    # (nt, 3, nx, ny)
+        if self.cfg.model in ("fno", "fno_w"):
+            frames = (self.w_frames if self.cfg.model == "fno_w"
+                      else self.obs[:, 0])             # (nt, C, nx, ny)
             k = self.cfg.fno_rollout_steps
             if k <= 1:
                 # teacher-forced next-step operator on field frames
@@ -247,8 +264,28 @@ class Trainer:
         rnn.py:116-134)."""
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
+        if self.cfg.model == "fno_w":
+            from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
+                                                 vorticity_from_uv)
+            uv0 = obs_full[0, 0]
+            w0 = vorticity_from_uv(uv0[0], uv0[1])[None]   # (1, nx, ny)
+            post = ((lambda x: dealias_field(x))
+                    if self.cfg.fno_dealias else None)
+            w_seq = self.model.rollout(self.params, w0, nt_full, post=post)
+            u, v, p = jax.vmap(uvp_from_w)(w_seq[:, 0])
+            return np.asarray(jnp.stack([u, v, p], axis=1))
         if self.cfg.model == "fno":
-            pred = self.model.rollout(self.params, obs_full[0, 0], nt_full)
+            post = None
+            if self.cfg.fno_project:
+                from ns_tpu.models.projection import project_periodic
+
+                def post(x):
+                    u_p, v_p = project_periodic(x[..., 0, :, :],
+                                                x[..., 1, :, :])
+                    return jnp.stack([u_p, v_p, x[..., 2, :, :]],
+                                     axis=-3)
+            pred = self.model.rollout(self.params, obs_full[0, 0], nt_full,
+                                      post=post)
             return np.asarray(pred)
         if self.cfg.model == "rnn":
             obs0 = obs_full[0].reshape(1, -1)

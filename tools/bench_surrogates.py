@@ -51,9 +51,23 @@ def main():
 
     rows = []
     modes = max(12, args.nx // 5)
+    # full dealiased band: the surrogate can represent every mode the
+    # solver keeps (|k| < nx/3)
+    full_modes = args.nx // 3 + 1
     jobs = [("fno (next-step)", dict(model="fno", fno_modes=modes)),
             ("fno (4-step rollout training)",
              dict(model="fno", fno_rollout_steps=4, fno_modes=modes)),
+            ("fno (4-step + rollout projection)",
+             dict(model="fno", fno_rollout_steps=4, fno_modes=modes,
+                  fno_project=True)),
+            ("fno_w (vorticity, next-step)",
+             dict(model="fno_w", fno_modes=full_modes)),
+            ("fno_w (vorticity, 4-step)",
+             dict(model="fno_w", fno_rollout_steps=4,
+                  fno_modes=full_modes)),
+            ("fno_w (vorticity, 8-step)",
+             dict(model="fno_w", fno_rollout_steps=8,
+                  fno_modes=full_modes)),
             ("basis_ode", dict(model="basis_ode"))]
     for name, kw in jobs:
         tc = TrainConfig(npz_path=npz, out_dir=os.path.join(tmp, name),
