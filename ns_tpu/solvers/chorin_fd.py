@@ -362,10 +362,15 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
             elif cfg.use_pallas:
                 from ns_tpu.ops.pallas import (sor_redblack_fused_pallas,
                                                sor_redblack_packed_tiled_pallas,
-                                               sor_redblack_tiled_pallas,
                                                vmem_fits)
-                if vmem_fits(cfg.nx, cfg.ny,
-                             bytes_per=jnp.dtype(dtype).itemsize):
+                if jax.default_backend() != "tpu":
+                    # Mosaic kernels need a TPU; on CPU/GPU backends the
+                    # flag degrades to the XLA path (kernel parity is
+                    # covered by the interpret-mode tests)
+                    p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
+                                     cfg.sor_tol, cfg.nit)
+                elif vmem_fits(cfg.nx, cfg.ny,
+                               bytes_per=jnp.dtype(dtype).itemsize):
                     # whole solve VMEM-resident, one launch (2.3x at 51^2)
                     p = sor_redblack_fused_pallas(p, rhs_c, cfg.dx, cfg.dy,
                                                   cfg.beta, cfg.sor_tol,
@@ -377,18 +382,14 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
                     p = sor_redblack_packed_tiled_pallas(
                         p, rhs_c, cfg.dx, cfg.dy, cfg.beta, cfg.sor_tol,
                         cfg.nit, k_per_launch=8, tile_rows=128)
-                elif cfg.nx % 128 == 0:
-                    # color-masked tiled variant for odd widths (1.2x)
-                    p = sor_redblack_tiled_pallas(p, rhs_c, cfg.dx, cfg.dy,
-                                                  cfg.beta, cfg.sor_tol,
-                                                  cfg.nit, k_per_launch=8,
-                                                  tile_rows=128)
                 else:
-                    # grid matches no kernel geometry (tiled strips need
-                    # 128 | nx): fall back to the XLA path rather than
-                    # failing at trace time
-                    p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
-                                     cfg.sor_tol, cfg.nit)
+                    # any other geometry (incl. odd 1025^2-class grids):
+                    # color-masked tiled strips with pad-and-mask
+                    from ns_tpu.ops.pallas import sor_redblack_tiled_any
+                    p = sor_redblack_tiled_any(p, rhs_c, cfg.dx, cfg.dy,
+                                               cfg.beta, cfg.sor_tol,
+                                               cfg.nit, k_per_launch=8,
+                                               tile_rows=128)
             else:
                 p = sor_redblack(p, rhs_c, cfg.dx, cfg.dy, cfg.beta,
                                  cfg.sor_tol, cfg.nit)

@@ -111,8 +111,9 @@ def test_packed_tiled_sor_matches_xla():
 
 
 def test_chorin_pallas_dispatch_falls_back_on_bad_geometry():
-    """use_pallas grids that fit no kernel geometry (128 does not divide
-    nx) silently use the XLA path instead of failing at trace time."""
+    """use_pallas on a non-TPU backend degrades to the XLA path (Mosaic
+    kernels need a TPU; odd geometries on TPU now go through the
+    pad-and-mask tiled kernel — see test_sor_tiled_any_odd_grid)."""
     import numpy as np
     from ns_tpu.core.bc import dirichlet, neumann
     from ns_tpu.solvers import chorin_fd
@@ -232,3 +233,23 @@ def test_chorin_explicit_pallas_momentum_rollout_matches():
     np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_r), atol=1e-12)
     np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_r), atol=1e-12)
     np.testing.assert_allclose(np.asarray(p_g), np.asarray(p_r), atol=1e-11)
+
+
+def test_sor_tiled_any_odd_grid():
+    """Pad-and-mask tiled SOR on an odd (non-128-multiple) grid matches
+    the XLA red-black iterate sequence exactly (interpret mode) — lifts
+    the `128 | nx` geometry constraint (VERDICT r2 #4)."""
+    from ns_tpu.ops.pallas import sor_redblack_tiled_any
+
+    nx, ny = 70, 90  # neither a tile_rows nor a lane multiple
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(rng.normal(size=(nx, ny)))
+    rhs = jnp.asarray(rng.normal(size=(nx, ny)))
+    dx, dy = 2.0 / (nx - 1), 2.0 / (ny - 1)
+    cap = 9  # multiple of k_per_launch+1 so both gates stop at one point
+    ref = poisson.sor_redblack(p0, rhs, dx, dy, 1.25, 0.0, cap)
+    got = sor_redblack_tiled_any(p0, rhs, dx, dy, 1.25, 0.0, cap,
+                                 k_per_launch=4, tile_rows=32,
+                                 interpret=True)
+    assert got.shape == (nx, ny)
+    assert float(jnp.abs(ref - got).max()) < 1e-9
