@@ -139,10 +139,11 @@ def test_compact_requires_matmul_dealias():
 
 
 def test_bad_transform_name():
+    """Invalid engine names are rejected at CONFIG CONSTRUCTION (the
+    'auto' resolver validates the final value in __post_init__)."""
     import pytest
-    cfg = sp.SpectralPeriodicConfig(transform="dct")
-    with pytest.raises(ValueError):
-        sp.make_transforms(cfg)
+    with pytest.raises(ValueError, match="transform"):
+        sp.SpectralPeriodicConfig(transform="dct")
 
 
 # ---------------------------------------------------------------------------
