@@ -40,6 +40,11 @@ def main(argv=None):
                    help="fno only: spectral modes kept per axis")
     p.add_argument("--fno-width", type=int, default=32,
                    help="fno only: channel width")
+    p.add_argument("--fno-project", action="store_true",
+                   help="fno only: compose the exact spectral divergence "
+                        "projection into the autoregressive rollout")
+    p.add_argument("--no-fno-dealias", action="store_true",
+                   help="fno_w only: disable the 2/3-band rollout filter")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n-models", type=int, default=1,
                    help=">1 trains an ensemble of independently-seeded "
@@ -63,6 +68,8 @@ def main(argv=None):
                       seed=args.seed, ckpt_every=args.ckpt_every,
                       fno_rollout_steps=args.fno_rollout_steps,
                       fno_modes=args.fno_modes, fno_width=args.fno_width,
+                      fno_project=args.fno_project,
+                      fno_dealias=not args.no_fno_dealias,
                       resume=args.resume)
     if args.n_models > 1:
         from ns_tpu.train.ensemble import EnsembleTrainer
