@@ -71,15 +71,20 @@ def main():
                     return (ui, vi, un, vn), None
 
                 c, _ = jax.lax.scan(body, fields, None, length=args.iters)
-                return c
+                # reduce to one scalar so the hard host readback (sync)
+                # costs ~nothing; the sum depends on the full iteration
+                # chain, so nothing is dead-code-eliminated
+                return sum(jnp.sum(f) for f in c)
 
-            out = loop(fields0)
-            jax.block_until_ready(out)
+            # timing through the axon tunnel MUST use hard host readbacks:
+            # block_until_ready on remote executables can return before
+            # the work runs (CLAUDE.md; same guard as bench.py)
+            from ns_tpu.utils.host import sync
+            sync(loop(fields0))
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                out = loop(fields0)
-                jax.block_until_ready(out)
+                sync(loop(fields0))
                 best = min(best, time.perf_counter() - t0)
             ms = best / args.iters * 1e3
             cups = n * n / (best / args.iters)
