@@ -47,8 +47,9 @@ def _apply_bcs_tiled(q: Array, bcs: Sequence[BC], rows: Array, cols: Array,
     GLOBAL row/col indices (the strip sees only part of the grid).
     Neumann pulls the inner neighbor via pltpu.roll — the 1-row/col
     neighbor is always inside the working strip for the edge rows that
-    are inside it."""
-    W = q.shape[0]
+    are inside it. nx/ny are the LOGICAL grid bounds (masks); roll
+    distances use the buffer's own shape (which may be padded)."""
+    W, Wc = q.shape
     for bc in bcs:
         v = jnp.asarray(bc.value, q.dtype)
         if bc.side == "left":
@@ -62,7 +63,7 @@ def _apply_bcs_tiled(q: Array, bcs: Sequence[BC], rows: Array, cols: Array,
         elif bc.side == "bottom":
             mask = cols == 0
             val = v if bc.kind == "dirichlet" else \
-                pltpu.roll(q, ny - 1, 1) - bc.dy * v
+                pltpu.roll(q, Wc - 1, 1) - bc.dy * v
         else:
             mask = cols == ny - 1
             val = v if bc.kind == "dirichlet" else \
@@ -76,13 +77,17 @@ def momentum_explicit_fused_pallas(
         dt: float, dx: float, dy: float, nu: float,
         u_bc: Sequence[BC], v_bc: Sequence[BC],
         quirk_compat: bool = True, tile_rows: int = 128,
-        interpret: bool = False) -> tuple[Array, Array]:
+        interpret: bool = False,
+        logical_shape: tuple | None = None) -> tuple[Array, Array]:
     """(u*, v*) = AB2 advection + diffusion + velocity BCs, one launch.
 
     Numerics identical to _explicit_predictor (incl. the reference's
     y-advection axis quirk under quirk_compat, ref :74,76,82-85) followed
-    by apply_bcs(u_bc)/apply_bcs(v_bc)."""
+    by apply_bcs(u_bc)/apply_bcs(v_bc). `logical_shape` supports the
+    pad-and-mask entry (`momentum_explicit_fused_any`): masks and BC
+    edges key on the logical grid, pad cells pass through untouched."""
     nx, ny = un.shape
+    nx_log, ny_log = logical_shape or (nx, ny)
     tm = tile_rows
     if nx % tm or tm % _H:
         raise ValueError(f"need tile_rows | nx and 8 | tile_rows; got "
@@ -102,8 +107,8 @@ def momentum_explicit_fused_pallas(
         g0 = i * tm - _H
         rows = g0 + jax.lax.broadcasted_iota(jnp.int32, (W, ny), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (W, ny), 1)
-        interior = ((rows >= 1) & (rows <= nx - 2)
-                    & (cols >= 1) & (cols <= ny - 2))
+        interior = ((rows >= 1) & (rows <= nx_log - 2)
+                    & (cols >= 1) & (cols <= ny_log - 2))
 
         def derivs(f):
             up = pltpu.roll(f, W - 1, 0)       # f[i+1, j]
@@ -133,8 +138,8 @@ def momentum_explicit_fused_pallas(
             + dt * nu * (1.5 * lap_v - 0.5 * lap_v1)
         ui = jnp.where(interior, ui, uw)
         vi = jnp.where(interior, vi, vw)
-        ui = _apply_bcs_tiled(ui, u_bc, rows, cols, nx, ny)
-        vi = _apply_bcs_tiled(vi, v_bc, rows, cols, nx, ny)
+        ui = _apply_bcs_tiled(ui, u_bc, rows, cols, nx_log, ny_log)
+        vi = _apply_bcs_tiled(vi, v_bc, rows, cols, nx_log, ny_log)
         uo[:, :] = ui[_H:_H + tm, :]
         vo[:, :] = vi[_H:_H + tm, :]
 
@@ -163,3 +168,27 @@ def momentum_explicit_fused_pallas(
         interpret=interpret,
     )
     return launch(un, un, un, vn, vn, vn, un1, un1, un1, vn1, vn1, vn1)
+
+
+def momentum_explicit_fused_any(
+        un: Array, vn: Array, un1: Array, vn1: Array,
+        dt: float, dx: float, dy: float, nu: float,
+        u_bc, v_bc, quirk_compat: bool = True, tile_rows: int = 128,
+        interpret: bool = False) -> tuple[Array, Array]:
+    """Pad-and-mask entry for ARBITRARY grid shapes (same scheme as
+    poisson_kernels.sor_redblack_tiled_any): rows pad to a tile_rows
+    multiple, columns to a lane (128) multiple; masks and BC edges key on
+    the logical shape, pad cells pass through and are sliced away."""
+    nx, ny = un.shape
+    nxp = -(-nx // tile_rows) * tile_rows
+    nyp = -(-ny // 128) * 128
+    if (nxp, nyp) == (nx, ny):
+        return momentum_explicit_fused_pallas(
+            un, vn, un1, vn1, dt, dx, dy, nu, u_bc, v_bc,
+            quirk_compat, tile_rows, interpret)
+    pad = ((0, nxp - nx), (0, nyp - ny))
+    ui, vi = momentum_explicit_fused_pallas(
+        jnp.pad(un, pad), jnp.pad(vn, pad), jnp.pad(un1, pad),
+        jnp.pad(vn1, pad), dt, dx, dy, nu, u_bc, v_bc,
+        quirk_compat, tile_rows, interpret, logical_shape=(nx, ny))
+    return ui[:nx, :ny], vi[:nx, :ny]

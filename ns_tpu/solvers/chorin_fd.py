@@ -319,13 +319,14 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
         un1, vn1 = state.u_prev, state.v_prev
 
         with jax.named_scope("chorin_fd.predictor"):
-            if cfg.method == "explicit" and cfg.use_pallas_momentum \
-                    and cfg.nx % 128 == 0:
+            if cfg.method == "explicit" and cfg.use_pallas_momentum:
                 from ns_tpu.ops.pallas.momentum_kernels import (
-                    momentum_explicit_fused_pallas)
+                    momentum_explicit_fused_any)
                 # fused stencils + BC edge writes, one launch (BCs are
-                # part of the kernel, so no apply_bcs here)
-                ui, vi = momentum_explicit_fused_pallas(
+                # part of the kernel, so no apply_bcs here); any geometry
+                # via pad-and-mask. Opt-in flag; needs a TPU (or
+                # pltpu.force_tpu_interpret_mode for CPU validation)
+                ui, vi = momentum_explicit_fused_any(
                     un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu,
                     u_bc, v_bc, quirk_compat=cfg.quirk_compat)
             else:

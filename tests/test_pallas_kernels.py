@@ -253,3 +253,31 @@ def test_sor_tiled_any_odd_grid():
                                  interpret=True)
     assert got.shape == (nx, ny)
     assert float(jnp.abs(ref - got).max()) < 1e-9
+
+
+def test_momentum_fused_any_odd_grid():
+    """Pad-and-mask momentum entry on odd grids matches the XLA twin,
+    including Neumann edges adjacent to the pad region."""
+    from ns_tpu.ops.pallas.momentum_kernels import (
+        momentum_explicit_fused_any)
+    from ns_tpu.solvers.chorin_fd import ChorinFDConfig
+
+    nx, ny = 51, 51  # the reference's own grid: no alignment anywhere
+    dx = dy = 2.0 / (nx - 1)
+    rng = np.random.default_rng(2)
+    un, vn, un1, vn1 = (jnp.asarray(rng.normal(size=(nx, ny)))
+                        for _ in range(4))
+    u_bc = [dirichlet(0, "left"), dirichlet(1, "right"),
+            neumann(0.5, "top", dx, dy), dirichlet(0, "bottom")]
+    v_bc = [neumann(0, "bottom", dx, dy), dirichlet(0, "top"),
+            dirichlet(0, "left"), neumann(-1.0, "right", dx, dy)]
+    cfg = ChorinFDConfig(nx=nx, ny=ny, dt=1e-3, nu=0.1, method="explicit")
+    ui_ref, vi_ref = _momentum_twin(cfg, un, vn, un1, vn1, u_bc, v_bc)
+    ui, vi = momentum_explicit_fused_any(
+        un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu, u_bc, v_bc,
+        tile_rows=16, interpret=True)
+    assert ui.shape == (nx, ny)
+    np.testing.assert_allclose(np.asarray(ui), np.asarray(ui_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vi), np.asarray(vi_ref),
+                               atol=1e-12)
