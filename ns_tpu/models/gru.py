@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ns_tpu.models.layers import dense, dense_init, gru_cell, gru_init
+from ns_tpu.models.layers import (dense, dense_init, gru_cell,
+                                  gru_cell_pre, gru_init)
 
 Array = jnp.ndarray
 
@@ -42,11 +43,16 @@ class FullFieldGRU:
         mb = obs_seq.shape[0]
         h0 = jnp.zeros((mb, self.hidden_dim), obs_seq.dtype)
 
-        def body(h, x):
-            h = gru_cell(params["gru"], h, x)
+        # hoist the input projection out of the recurrence: one
+        # (nt*mb, D) GEMM instead of nt sequential reads of the large
+        # w_ih (see layers.gru_cell_pre)
+        gi = obs_seq @ params["gru"]["w_ih"] + params["gru"]["b_ih"]
+
+        def body(h, gi_t):
+            h = gru_cell_pre(params["gru"], h, gi_t)
             return h, h
 
-        _, hs = jax.lax.scan(body, h0, jnp.swapaxes(obs_seq, 0, 1))
+        _, hs = jax.lax.scan(body, h0, jnp.swapaxes(gi, 0, 1))
         out = self._head(params, hs)  # (nt, mb, D)
         return jnp.swapaxes(out, 0, 1)
 

@@ -58,8 +58,22 @@ def gru_init(key, in_dim: int, hidden: int, dtype=jnp.float32):
 
 def gru_cell(params, h: Array, x: Array) -> Array:
     """One GRU step; h (..., H), x (..., in_dim) -> h' (..., H)."""
-    H = params["w_hh"].shape[0]
     gi = x @ params["w_ih"] + params["b_ih"]
+    return gru_cell_pre(params, h, gi)
+
+
+def gru_cell_pre(params, h: Array, gi: Array) -> Array:
+    """GRU step from a PRECOMPUTED input projection gi = x@w_ih + b_ih.
+
+    The input projection is independent of the recurrence, so a
+    teacher-forced pass can hoist it out of the scan as ONE batched
+    (nt*mb, in)x(in, 3H) GEMM — the w_ih weight (48 MB at the rnn
+    baseline's 7803x1536 f32) is then read from HBM once instead of
+    once per sequential step. The recurrent body left inside the scan
+    touches only the (H, 3H) w_hh. Numerics are the same matmul on the
+    same operands, merely batched.
+    """
+    H = params["w_hh"].shape[0]
     gh = h @ params["w_hh"] + params["b_hh"]
     i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
     h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
