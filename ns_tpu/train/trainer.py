@@ -261,7 +261,14 @@ class Trainer:
     def extrapolate(self, npz_path: Optional[str] = None) -> np.ndarray:
         """Full-horizon rollout -> (nt, 3, nx, ny), written to
         extrapolation.npy by the CLI (ref spectral_ode.py:208-224,
-        rnn.py:116-134)."""
+        rnn.py:116-134).
+
+        Alignment: out[t] corresponds to obs[t]. The ODE/basis families
+        return the solve from t=0 (initial state included); the fno
+        families emit the exact initial frame followed by nt-1
+        autoregressive steps. The rnn family keeps the reference's own
+        convention (nt predictions from obs[0], i.e. out[t] ~ obs[t+1])
+        for parity with rnn.py:116-134."""
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
         if self.cfg.model == "fno_w":
@@ -271,7 +278,12 @@ class Trainer:
             w0 = vorticity_from_uv(uv0[0], uv0[1])[None]   # (1, nx, ny)
             post = ((lambda x: dealias_field(x))
                     if self.cfg.fno_dealias else None)
-            w_seq = self.model.rollout(self.params, w0, nt_full, post=post)
+            # frame-aligned output (out[t] ~ obs[t], like the ODE
+            # families whose solve includes the initial state): frame 0
+            # is the exact initial condition, then nt-1 rollout steps
+            w_seq = self.model.rollout(self.params, w0, nt_full - 1,
+                                       post=post)
+            w_seq = jnp.concatenate([w0[None], w_seq], axis=0)
             u, v, p = jax.vmap(uvp_from_w)(w_seq[:, 0])
             return np.asarray(jnp.stack([u, v, p], axis=1))
         if self.cfg.model == "fno":
@@ -284,9 +296,10 @@ class Trainer:
                                                 x[..., 1, :, :])
                     return jnp.stack([u_p, v_p, x[..., 2, :, :]],
                                      axis=-3)
-            pred = self.model.rollout(self.params, obs_full[0, 0], nt_full,
-                                      post=post)
-            return np.asarray(pred)
+            pred = self.model.rollout(self.params, obs_full[0, 0],
+                                      nt_full - 1, post=post)
+            return np.asarray(jnp.concatenate([obs_full[:1, 0], pred],
+                                              axis=0))
         if self.cfg.model == "rnn":
             obs0 = obs_full[0].reshape(1, -1)
             pred = self.model.extrapolate(self.params, obs0, nt_full)

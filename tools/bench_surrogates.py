@@ -7,7 +7,19 @@ teacher-forced protocol, spectral_ode.py:158-167), then run the
 full-horizon autoregressive extrapolation and report relative L2 errors on
 the train horizon and the full horizon.
 
+The `--frame-stride` knob sets how many solver steps separate saved
+frames. At stride 1 (the raw reference protocol) the 200-frame horizon
+spans only 0.2 time units and the flow barely evolves: the PERSISTENCE
+baseline (predict frame 0 forever) scores rel err 0.015 — every
+surrogate must be read against that. The default stride 100 makes the
+200-frame horizon span 20 time units (~6 eddy turnovers at the
+initial w_rms ~0.29; measured persistence 0.62 train / 1.06 full at
+64^2) — a task where beating the baseline means modeling dynamics, not
+reproducing a near-identity map. The persistence row is always printed
+first.
+
 Usage: python tools/bench_surrogates.py [--nx 64] [--n-iters 400]
+       [--frame-stride 100]
 """
 
 import argparse
@@ -27,6 +39,9 @@ def main():
     ap.add_argument("--nt", type=int, default=200)
     ap.add_argument("--n-iters", type=int, default=400)
     ap.add_argument("--n-coeffs", type=int, default=10)
+    ap.add_argument("--frame-stride", type=int, default=100,
+                    help="solver steps per saved frame (1 = the raw "
+                         "near-static protocol)")
     args = ap.parse_args()
 
     import jax
@@ -34,13 +49,15 @@ def main():
     from ns_tpu.solvers import spectral_periodic as sp
     from ns_tpu.train.trainer import TrainConfig, Trainer
 
-    cfg = sp.SpectralPeriodicConfig(nt=args.nt, nx=args.nx, ny=args.nx,
+    stride = args.frame_stride
+    nsteps = args.nt * stride
+    cfg = sp.SpectralPeriodicConfig(nt=nsteps, nx=args.nx, ny=args.nx,
                                     dt=1e-3, nu=1e-3, dtype="float32")
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0,
                                           k_peak=max(4.0, args.nx / 12))
-    sys_ = sp.NavierStokesSystem(w0, nt=args.nt, nx=args.nx, ny=args.nx,
+    sys_ = sp.NavierStokesSystem(w0, nt=nsteps, nx=args.nx, ny=args.nx,
                                  dt=1e-3, nu=1e-3)
-    u, v, p = (np.asarray(a) for a in sys_.simulate())
+    u, v, p = (np.asarray(a)[::stride] for a in sys_.simulate())
     tmp = tempfile.mkdtemp()
     npz = os.path.join(tmp, "data.npz")
     save_rollout(npz, u, v, p)
@@ -48,6 +65,12 @@ def main():
 
     def rel(pred, target):
         return float(np.linalg.norm(pred - target) / np.linalg.norm(target))
+
+    # the do-nothing calibration every row must beat to mean anything
+    persist = np.repeat(obs_full[:1], obs_full.shape[0], axis=0)
+    print(f"| persistence (predict frame 0) | "
+          f"{rel(persist[:100], obs_full[:100]):.2f} | "
+          f"{rel(persist, obs_full):.2f} | 0 s |", flush=True)
 
     rows = []
     modes = max(12, args.nx // 5)
