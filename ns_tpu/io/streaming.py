@@ -28,24 +28,39 @@ Array = jnp.ndarray
 
 def stream_rollout(step_fn: Callable, state0, nt: int,
                    extract: Callable, out_dir: str,
-                   chunk: int = 64, dtype=np.float32) -> Dict[str, str]:
+                   chunk: int = 64, dtype=np.float32,
+                   writer: str = "auto") -> Dict[str, str]:
     """Roll `state0` forward nt steps with `step_fn`, streaming the
     per-step outputs of `extract(state) -> {name: array}` into
-    `out_dir/<name>.npy` memmaps of shape (nt, *array.shape).
+    `out_dir/<name>.npy` files of shape (nt, *array.shape).
 
     Returns {name: path}. The rollout runs in ceil(nt/chunk) jitted scan
     chunks (two compiled programs at most: full chunk + remainder).
+
+    `writer` selects the host IO path: 'auto'/'native'/'thread'/'sync'
+    use the async frame writer (io/native_writer.py — file IO overlaps
+    the next chunk's device compute; 'auto' prefers the C++ backend),
+    'memmap' keeps the synchronous np memmap store.
     """
     # shapes only — jax.eval_shape keeps the (complex) extract math out of
     # eager dispatch (CLAUDE.md: eager complex dispatch flakes on axon)
     probe = jax.eval_shape(extract, state0)
     os.makedirs(out_dir, exist_ok=True)
-    outs = {
-        name: np.lib.format.open_memmap(
-            os.path.join(out_dir, f"{name}.npy"), mode="w+", dtype=dtype,
-            shape=(nt,) + tuple(a.shape))
-        for name, a in probe.items()
-    }
+    if writer == "memmap":
+        outs = {
+            name: np.lib.format.open_memmap(
+                os.path.join(out_dir, f"{name}.npy"), mode="w+",
+                dtype=dtype, shape=(nt,) + tuple(a.shape))
+            for name, a in probe.items()
+        }
+    else:
+        from ns_tpu.io.native_writer import AsyncNpyWriter
+        outs = {
+            name: AsyncNpyWriter(os.path.join(out_dir, f"{name}.npy"),
+                                 (nt,) + tuple(a.shape), dtype=dtype,
+                                 backend=writer)
+            for name, a in probe.items()
+        }
 
     def make_chunk(n):
         @jax.jit
@@ -68,8 +83,13 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
         # tunnel cannot read back directly (ns_tpu/utils/host.py)
         host = to_host(frames)
         for name, arr in host.items():
-            outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
+            if writer == "memmap":
+                outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
+            else:
+                # returns immediately; the disk write overlaps the next
+                # chunk's device compute
+                outs[name].write(t, np.asarray(arr))
         t += n
     for m in outs.values():
-        m.flush()
+        m.flush() if writer == "memmap" else m.close()
     return {name: os.path.join(out_dir, f"{name}.npy") for name in outs}

@@ -1,0 +1,100 @@
+"""Async .npy writer (io/native_writer.py + runtime/native) tests.
+
+Every backend must produce byte-identical, np.load-compatible files; the
+native backend is the C++ ring writer (lazily g++-built), 'thread' the
+pure-Python fallback, 'sync' the in-line oracle.
+"""
+
+import numpy as np
+import pytest
+
+from ns_tpu.io.native_writer import AsyncNpyWriter
+from ns_tpu.runtime.native.build import load as load_native
+
+BACKENDS = ["thread", "sync"]
+if load_native() is not None:
+    BACKENDS.insert(0, "native")
+
+
+def test_native_library_builds():
+    """The C++ backend must actually be available in this image (g++ is
+    baked in); if this fails the fallback still works but the native
+    path has regressed."""
+    assert load_native() is not None
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_round_trip(tmp_path, backend):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((13, 5, 7)).astype(np.float32)
+    path = str(tmp_path / f"{backend}.npy")
+    with AsyncNpyWriter(path, data.shape, np.float32, backend=backend) as w:
+        # out-of-order, variable-size ranges
+        w.write(6, data[6:13])
+        w.write(0, data[0:4])
+        w.write(4, data[4:6])
+    out = np.load(path)
+    np.testing.assert_array_equal(out, data)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_dtype_cast_and_many_chunks(tmp_path, backend):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((64, 33)).astype(np.float64)
+    path = str(tmp_path / "cast.npy")
+    with AsyncNpyWriter(path, data.shape, np.float32, backend=backend) as w:
+        for t in range(0, 64, 8):
+            w.write(t, data[t:t + 8])
+    np.testing.assert_array_equal(np.load(path),
+                                  data.astype(np.float32))
+
+
+def test_shape_and_range_validation(tmp_path):
+    w = AsyncNpyWriter(str(tmp_path / "v.npy"), (4, 3), backend="sync")
+    with pytest.raises(ValueError):
+        w.write(0, np.zeros((2, 5), np.float32))
+    with pytest.raises(IndexError):
+        w.write(3, np.zeros((2, 3), np.float32))
+    w.close()
+    np.testing.assert_array_equal(np.load(str(tmp_path / "v.npy")),
+                                  np.zeros((4, 3), np.float32))
+
+
+@pytest.mark.parametrize("writer", BACKENDS + ["memmap"])
+def test_stream_rollout_writer_parity(tmp_path, writer):
+    """stream_rollout output is writer-independent (async paths match
+    the synchronous memmap oracle bit-for-bit)."""
+    import jax.numpy as jnp
+
+    from ns_tpu.io.streaming import stream_rollout
+
+    def step(s):
+        return {"x": s["x"] * 1.5 + 1.0}
+
+    def extract(s):
+        return {"u": s["x"], "usq": s["x"] ** 2}
+
+    state0 = {"x": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    paths = stream_rollout(step, state0, nt=11, extract=extract,
+                           out_dir=str(tmp_path / writer), chunk=4,
+                           writer=writer)
+    ref = stream_rollout(step, state0, nt=11, extract=extract,
+                         out_dir=str(tmp_path / "ref"), chunk=4,
+                         writer="memmap")
+    for name in ("u", "usq"):
+        np.testing.assert_array_equal(np.load(paths[name]),
+                                      np.load(ref[name]))
+
+
+def test_large_backpressure(tmp_path):
+    """Submitting far more than the ring bound must block-and-drain, not
+    fail or reorder."""
+    if load_native() is None:
+        pytest.skip("native backend unavailable")
+    data = np.arange(32 * 1024, dtype=np.float32).reshape(32, 1024)
+    path = str(tmp_path / "bp.npy")
+    with AsyncNpyWriter(path, data.shape, np.float32, backend="native",
+                        max_buffer_bytes=8 * 1024) as w:
+        for t in range(32):
+            w.write(t, data[t:t + 1])
+    np.testing.assert_array_equal(np.load(path), data)
