@@ -200,6 +200,11 @@ def main(argv=None):
                         "eigenbasis GEMMs run HIGHEST, ADI sweep matmuls "
                         "keep the jnp default; see RESULTS.md precision "
                         "menu)")
+    p.add_argument("--pallas-momentum", action="store_true",
+                   help="chorin_fd --method explicit: run the fused "
+                        "advection+diffusion+BC predictor as one Pallas "
+                        "launch (1.4-1.8x the XLA stencils at 1024-2048^2, "
+                        "RESULTS.md; TPU only)")
     p.add_argument("--compact", action="store_true",
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
@@ -277,6 +282,8 @@ def main(argv=None):
         if args.pressure_mode in ("jacobi", "exact"):
             p.error("chorin_fd supports --pressure-mode redblack|"
                     f"gauss_seidel|multigrid|cg|dst, got {args.pressure_mode!r}")
+        if args.pallas_momentum and args.method != "explicit":
+            p.error("--pallas-momentum requires --method explicit")
         nx = args.nx or 51
         nit = args.nit or 200
         dx = dy = 2.0 / (nx - 1)
@@ -287,7 +294,8 @@ def main(argv=None):
                                   rho=args.rho, nu=args.nu, beta=args.beta,
                                   method=args.method, dtype=dtype,
                                   pressure_mode=args.pressure_mode,
-                                  gemm_precision=args.gemm_precision)
+                                  gemm_precision=args.gemm_precision,
+                                  use_pallas_momentum=args.pallas_momentum)
         u, v, pr = _run_cavity(sys_, args)
         default_out = f"data_{args.method}.npz"
     elif args.family == "chorin_spectral":

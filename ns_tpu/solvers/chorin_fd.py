@@ -82,9 +82,9 @@ class ChorinFDConfig:
     use_pallas: bool = False
     # Fused explicit-momentum Pallas kernel (advection + diffusion + BC
     # edge writes for both velocity fields in one launch over overlapped
-    # row strips — ops/pallas/momentum_kernels.py). explicit method only;
-    # needs 128 | nx. Measured numbers in RESULTS.md ("Fused momentum
-    # kernel").
+    # row strips — ops/pallas/momentum_kernels.py). explicit method
+    # only; any geometry (pad-and-mask under the hood). Measured numbers
+    # in RESULTS.md ("Fused momentum kernel").
     use_pallas_momentum: bool = False
     # Precision of the solver's GEMMs (ADI sweeps, dst pressure,
     # helmholtz solves). None = per-path defaults: dst/helmholtz run

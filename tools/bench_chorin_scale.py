@@ -27,7 +27,7 @@ def main():
                                           make_step)
     from ns_tpu.utils.host import sync
 
-    def bench(nx, method, pressure_mode, n1=64, n2=512):
+    def bench(nx, method, pressure_mode, n1=64, n2=512, pallas=False):
         ny = nx
         dx = 2.0 / (nx - 1)
         u_bc = [dirichlet(0, "left"), dirichlet(0, "right"),
@@ -38,7 +38,8 @@ def main():
         cfg = ChorinFDConfig(nt=n2, nit=200, nx=nx, ny=ny, dt=1e-5,
                              rho=1.0, nu=0.1, beta=1.25, method=method,
                              quirk_compat=(method != "helmholtz"),
-                             pressure_mode=pressure_mode)
+                             pressure_mode=pressure_mode,
+                             use_pallas_momentum=pallas)
         z = np.zeros((nx, ny), np.float32)
         state0 = init_state(cfg, z, z, z, u_bc, v_bc, p_bc)
         step = make_step(cfg, u_bc, v_bc, p_bc)
@@ -70,6 +71,11 @@ def main():
                          else ("dst",)):
                 t, g = bench(nx, method, mode)
                 print(f"| {nx}^2 | {method} | {mode} | {t*1e3:.3f} | "
+                      f"{g:.2f} |", flush=True)
+            if method == "explicit" and jax.devices()[0].platform == "tpu":
+                # end-to-end effect of the fused momentum kernel
+                t, g = bench(nx, method, "dst", pallas=True)
+                print(f"| {nx}^2 | explicit+pallas | dst | {t*1e3:.3f} | "
                       f"{g:.2f} |", flush=True)
 
 
