@@ -40,6 +40,14 @@ def main(argv=None):
                    help="fno only: spectral modes kept per axis")
     p.add_argument("--fno-width", type=int, default=32,
                    help="fno only: channel width")
+    p.add_argument("--input-noise", type=float, default=0.0,
+                   help="fno/fno_w: train-time Gaussian input noise, as a "
+                        "fraction of the data std (autoregressive "
+                        "stabilizer); 0 disables")
+    p.add_argument("--fno-remat", action="store_true",
+                   help="fno/fno_w: rematerialize each k-step unroll step "
+                        "(trades ~2x recompute for O(k) less activation "
+                        "memory; use when rollout training OOMs)")
     p.add_argument("--fno-project", action="store_true",
                    help="fno only: compose the exact spectral divergence "
                         "projection into the autoregressive rollout")
@@ -69,6 +77,8 @@ def main(argv=None):
                       fno_rollout_steps=args.fno_rollout_steps,
                       fno_modes=args.fno_modes, fno_width=args.fno_width,
                       fno_project=args.fno_project,
+                      input_noise=args.input_noise,
+                      fno_remat=args.fno_remat,
                       fno_dealias=not args.no_fno_dealias,
                       resume=args.resume)
     if args.n_models > 1:

@@ -24,12 +24,18 @@ def init_ensemble(model, n_models: int, seed: int = 0):
     return jax.vmap(model.init)(keys)
 
 
-def raw_ensemble_step(model, tx, obs, nt: int):
+def raw_ensemble_step(model, tx, obs, nt: int, forward=None):
     """The unjitted vmapped N-model train step — the single definition
-    shared by make_ensemble_train_step and EnsembleTrainer's scan chunks."""
+    shared by make_ensemble_train_step and EnsembleTrainer's scan chunks.
+
+    forward(params) -> (pred, target) overrides the default basis-family
+    objective (trainer.build_forward supplies the fno variants)."""
     obs0 = obs[0]
 
     def one_loss(params):
+        if forward is not None:
+            pred, target = forward(params)
+            return l2_loss(pred, target)
         pred = model.apply(params, obs0, nt)
         return l2_loss(pred, obs)
 
@@ -85,7 +91,8 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
 # Product surface: ensemble trainer (CLI-reachable via train.py --n-models)
 # ---------------------------------------------------------------------------
 
-ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv")
+ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
+                   "fno", "fno_w")
 
 
 def ensemble_mesh(n_models: int) -> Optional[Mesh]:
@@ -106,8 +113,9 @@ class EnsembleTrainer:
     the model axis is vmapped through the jitted train step and (optionally)
     sharded data-parallel over an 'ensemble' mesh axis. Mirrors
     ns_tpu.train.trainer.Trainer's protocol (chunked dispatch, checkpoint
-    every ckpt_every with resume, loss history) for the basis families —
-    the reference's diversity-ensemble context (spectral_ode.py:90-97)
+    every ckpt_every with resume, loss history) for the basis AND fno
+    families (objective shared via trainer.build_forward) — the
+    reference's diversity-ensemble context (spectral_ode.py:90-97)
     generalized from 1 seed to N.
     """
 
@@ -120,13 +128,39 @@ class EnsembleTrainer:
                              f"got {cfg.model!r}")
         if n_models < 2:
             raise ValueError("n_models must be >= 2 for ensemble training")
+        if getattr(cfg, "input_noise", 0.0):
+            raise ValueError(
+                "input_noise is not supported for ensemble training (the "
+                "vmapped step does not thread per-model noise keys); train "
+                "single models with noise, or drop the flag")
         self.cfg, self.n_models = cfg, n_models
         obs = load_obs(cfg.npz_path, cfg.n_frames)
         self.obs = obs
         self.nt, _, _, self.nx, self.ny = obs.shape
-        cls = {"basis_ode": BasisODE, "basis_ode2": BasisODE2,
-               "basis_gru": BasisGRU, "basis_ode_conv": BasisODEConv}[cfg.model]
-        self.model = cls(cfg.n_coeffs, self.nx, self.ny)
+        self._forward = None
+        if cfg.model in ("fno", "fno_w"):
+            from ns_tpu.models.fno import FNO2D
+            from ns_tpu.train.trainer import build_forward
+            if not 1 <= cfg.fno_rollout_steps < self.nt:
+                raise ValueError(
+                    f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
+                    f"got {cfg.fno_rollout_steps}")
+            channels = 1 if cfg.model == "fno_w" else 3
+            self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
+                               modes=cfg.fno_modes, channels=channels)
+            self.w_frames = None
+            if cfg.model == "fno_w":
+                from ns_tpu.models.vorticity import vorticity_from_uv
+                uv = self.obs[:, 0]
+                self.w_frames = vorticity_from_uv(
+                    uv[:, 0], uv[:, 1])[:, None]       # (nt, 1, nx, ny)
+            self._forward = build_forward(cfg, self.model, self.obs,
+                                          self.w_frames)
+        else:
+            cls = {"basis_ode": BasisODE, "basis_ode2": BasisODE2,
+                   "basis_gru": BasisGRU,
+                   "basis_ode_conv": BasisODEConv}[cfg.model]
+            self.model = cls(cfg.n_coeffs, self.nx, self.ny)
         self.mesh = ensemble_mesh(n_models) if mesh == "auto" else mesh
         self.tx = optax.adam(cfg.lr)
         self.params = init_ensemble(self.model, n_models, cfg.seed)
@@ -153,7 +187,8 @@ class EnsembleTrainer:
 
     def _train_chunk(self, n: int):
         if n not in self._chunk_cache:
-            raw = raw_ensemble_step(self.model, self.tx, self.obs, self.nt)
+            raw = raw_ensemble_step(self.model, self.tx, self.obs, self.nt,
+                                    forward=self._forward)
 
             @jax.jit
             def chunk(params, opt_state):
@@ -199,11 +234,55 @@ class EnsembleTrainer:
         return save_checkpoint(state, self.cfg.out_dir, meta=meta)
 
     def extrapolate(self, npz_path: Optional[str] = None):
-        """(n_models, nt_full, 3, nx, ny) full-horizon rollouts."""
+        """(n_models, nt_full, 3, nx, ny) full-horizon rollouts — closed
+        loop from frame 0 only, frame-aligned like Trainer.extrapolate
+        (out[:, t] ~ obs[t]). Reduce over axis 0 for the ensemble mean /
+        spread."""
         import numpy as _np
         from ns_tpu.train.trainer import load_obs
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
+
+        if self.cfg.model == "fno_w":
+            from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
+                                                 vorticity_from_uv)
+            uv0 = obs_full[0, 0]
+            w0 = vorticity_from_uv(uv0[0], uv0[1])[None]   # (1, nx, ny)
+            post = ((lambda x: dealias_field(x))
+                    if self.cfg.fno_dealias else None)
+
+            @jax.jit
+            def roll_w(params):
+                def one(p):
+                    w_seq = self.model.rollout(p, w0, nt_full - 1, post=post)
+                    w_seq = jnp.concatenate([w0[None], w_seq], axis=0)
+                    u, v, pr = jax.vmap(uvp_from_w)(w_seq[:, 0])
+                    return jnp.stack([u, v, pr], axis=1)
+
+                return jax.vmap(one)(params)
+
+            return _np.asarray(roll_w(self.params))
+
+        if self.cfg.model == "fno":
+            post = None
+            if self.cfg.fno_project:
+                from ns_tpu.models.projection import project_periodic
+
+                def post(x):
+                    u_p, v_p = project_periodic(x[..., 0, :, :],
+                                                x[..., 1, :, :])
+                    return jnp.stack([u_p, v_p, x[..., 2, :, :]], axis=-3)
+
+            @jax.jit
+            def roll_uvp(params):
+                def one(p):
+                    pred = self.model.rollout(p, obs_full[0, 0],
+                                              nt_full - 1, post=post)
+                    return jnp.concatenate([obs_full[:1, 0], pred], axis=0)
+
+                return jax.vmap(one)(params)
+
+            return _np.asarray(roll_uvp(self.params))
 
         @jax.jit
         def roll(params):

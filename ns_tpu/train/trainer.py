@@ -70,6 +70,17 @@ class TrainConfig:
     # projection (models/projection.py) into the autoregressive rollout —
     # every fed-back prediction is exactly incompressible
     fno_project: bool = False
+    # fno/fno_w only: train-time Gaussian noise injected into the input
+    # frames (std = input_noise * std(data)) — the standard stabilizer for
+    # autoregressive surrogates (makes the operator robust to its own
+    # prediction-error distribution at rollout time; composes with
+    # fno_rollout_steps). 0 disables.
+    input_noise: float = 0.0
+    # fno/fno_w only: rematerialize each unroll step of the k-step rollout
+    # objective (jax.checkpoint) — activation memory drops from O(k *
+    # layer internals) to O(k * field), the standard trade for deep
+    # unrolls that OOM (e.g. 8-step at 128^2); ~2x forward recompute
+    fno_remat: bool = False
     # fno_w only: dealias-filter each fed-back prediction onto the 2/3
     # band the training data lives on (rollout stability filter)
     fno_dealias: bool = True
@@ -87,6 +98,59 @@ def load_obs(npz_path: str, n_frames: Optional[int]):
         u, v, p = u[:n_frames], v[:n_frames], p[:n_frames]
     obs = np.stack([u, v, p], axis=1).astype(np.float32)  # (nt, 3, nx, ny)
     return jnp.asarray(obs[:, None])  # (nt, 1, 3, nx, ny)
+
+
+def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
+    """forward(params, key=None) -> (pred, target): the per-family training
+    objective on a fixed observation tensor. The single definition shared
+    by Trainer (one model) and EnsembleTrainer (vmapped over a leading
+    model axis — the objective itself is per-model identical).
+
+    obs is (nt, 1, 3, nx, ny); w_frames (fno_w only) is (nt, 1, nx, ny);
+    data_scale sets the absolute std of cfg.input_noise's perturbation.
+    """
+    nt = obs.shape[0]
+    obs0 = obs[0]
+
+    def forward(params, key=None):
+        if cfg.model == "rnn":
+            # teacher-forced next-frame prediction (ref rnn.py:86-99)
+            obs_flat = obs.reshape(nt, -1)[None]       # (1, nt, D)
+            pred = model.apply(params, obs_flat[:, :-1])
+            return pred, obs_flat[:, 1:]
+        if cfg.model in ("fno", "fno_w"):
+            frames = (w_frames if cfg.model == "fno_w"
+                      else obs[:, 0])                  # (nt, C, nx, ny)
+            k = cfg.fno_rollout_steps
+            sigma = cfg.input_noise
+            if k <= 1:
+                # teacher-forced next-step operator on field frames
+                x = frames[:-1]
+                if sigma > 0 and key is not None:
+                    x = x + sigma * data_scale * jax.random.normal(
+                        key, x.shape, x.dtype)
+                pred = model.apply(params, x)
+                return pred, frames[1:]
+            # k-step autoregressive training: predict frames j..j+k from
+            # frame j, batched over all window starts; noise perturbs only
+            # the initial input — later steps already see the model's own
+            # (imperfect) outputs, which is the perturbation that matters
+            x = frames[:-k]
+            if sigma > 0 and key is not None:
+                x = x + sigma * data_scale * jax.random.normal(
+                    key, x.shape, x.dtype)
+            apply = (jax.checkpoint(model.apply) if cfg.fno_remat
+                     else model.apply)
+            preds, targets = [], []
+            for j in range(1, k + 1):
+                x = apply(params, x)
+                preds.append(x)
+                targets.append(frames[j:nt - k + j])
+            return jnp.stack(preds), jnp.stack(targets)
+        pred = model.apply(params, obs0, nt)
+        return pred, obs
+
+    return forward
 
 
 class Trainer:
@@ -111,6 +175,9 @@ class Trainer:
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps} (a k >= n_frames leaves no "
                     "training windows and the loss is identically 0)")
+            if cfg.input_noise < 0:
+                raise ValueError(
+                    f"input_noise must be >= 0; got {cfg.input_noise}")
             channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
                                modes=cfg.fno_modes, channels=channels)
@@ -122,11 +189,19 @@ class Trainer:
                 uv = self.obs[:, 0]                    # (nt, 3, nx, ny)
                 self.w_frames = vorticity_from_uv(
                     uv[:, 0], uv[:, 1])[:, None]       # (nt, 1, nx, ny)
+            # noise std is relative to the data scale so one input_noise
+            # value transfers across resolutions/field spaces
+            self._data_scale = float(jnp.std(
+                self.w_frames if cfg.model == "fno_w" else self.obs[:, 0]))
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.params = self.model.init(key)
+        # independent stream for train-time input noise (model init above
+        # consumes `key` itself, so fold rather than split to keep params
+        # bitwise-identical to pre-noise checkpoints)
+        self._noise_key = jax.random.fold_in(key, 0x6E5E)
         self.tx = optax.adam(cfg.lr)
         self.opt_state = self.tx.init(self.params)
         self.losses: list = []
@@ -148,39 +223,23 @@ class Trainer:
 
     # -- loss ---------------------------------------------------------------
 
-    def _forward(self, params, nt):
-        if self.cfg.model == "rnn":
-            # teacher-forced next-frame prediction (ref rnn.py:86-99)
-            obs_flat = self.obs.reshape(self.nt, -1)[None]  # (1, nt, D)
-            pred = self.model.apply(params, obs_flat[:, :-1])
-            return pred, obs_flat[:, 1:]
-        if self.cfg.model in ("fno", "fno_w"):
-            frames = (self.w_frames if self.cfg.model == "fno_w"
-                      else self.obs[:, 0])             # (nt, C, nx, ny)
-            k = self.cfg.fno_rollout_steps
-            if k <= 1:
-                # teacher-forced next-step operator on field frames
-                pred = self.model.apply(params, frames[:-1])
-                return pred, frames[1:]
-            # k-step autoregressive training: predict frames j..j+k from
-            # frame j, batched over all window starts
-            x = frames[:-k]
-            preds, targets = [], []
-            for j in range(1, k + 1):
-                x = self.model.apply(params, x)
-                preds.append(x)
-                targets.append(frames[j:self.nt - k + j])
-            return jnp.stack(preds), jnp.stack(targets)
-        pred = self.model.apply(params, self.obs0, nt)
-        return pred, self.obs
+    def _forward(self, params, nt, key=None):
+        del nt  # fixed at construction (obs.shape[0])
+        return build_forward(self.cfg, self.model, self.obs,
+                             getattr(self, "w_frames", None),
+                             getattr(self, "_data_scale", 1.0))(params, key)
 
     def _make_train_step(self):
-        def loss_fn(params):
-            pred, target = self._forward(params, self.nt)
+        fwd = build_forward(self.cfg, self.model, self.obs,
+                            getattr(self, "w_frames", None),
+                            getattr(self, "_data_scale", 1.0))
+
+        def loss_fn(params, key):
+            pred, target = fwd(params, key)
             return l2_loss(pred, target)
 
-        def step(params, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -196,15 +255,16 @@ class Trainer:
             raw = self._make_train_step()
 
             @jax.jit
-            def chunk(params, opt_state):
+            def chunk(params, opt_state, key):
                 def body(carry, _):
-                    params, opt_state = carry
-                    params, opt_state, loss = raw(params, opt_state)
-                    return (params, opt_state), loss
+                    params, opt_state, key = carry
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss = raw(params, opt_state, sub)
+                    return (params, opt_state, key), loss
 
-                (params, opt_state), losses = jax.lax.scan(
-                    body, (params, opt_state), None, length=n)
-                return params, opt_state, losses
+                (params, opt_state, key), losses = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=n)
+                return params, opt_state, key, losses
 
             self._chunk_cache[n] = chunk
         return self._chunk_cache[n]
@@ -222,8 +282,8 @@ class Trainer:
             while it < cfg.n_iters:
                 n = min(cfg.ckpt_every - it % cfg.ckpt_every, cfg.n_iters - it)
                 step_chunk = self._train_chunk(n)
-                self.params, self.opt_state, losses = step_chunk(
-                    self.params, self.opt_state)
+                self.params, self.opt_state, self._noise_key, losses = (
+                    step_chunk(self.params, self.opt_state, self._noise_key))
                 # one bulk device->host transfer (per-scalar reads cost a
                 # full tunnel round trip each)
                 vals = [float(x) for x in np.asarray(losses)]

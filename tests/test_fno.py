@@ -60,3 +60,59 @@ def test_fno_trains_on_rollout(tmp_path):
     assert losses[-1] < losses[0]
     out = tr.extrapolate()
     assert out.shape == (12, 3, 13, 13)
+
+
+def test_fno_input_noise_trains_and_perturbs(tmp_path):
+    """input_noise: loss still decreases; the noise stream actually changes
+    the training trajectory (same seed, sigma=0 vs sigma>0 diverge), and
+    sigma=0 stays bitwise on the pre-noise path (key threading is inert)."""
+    g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
+    path = tmp_path / "d.npz"
+    np.savez(path, u=g["u"][:, ::4, ::4], v=g["v"][:, ::4, ::4],
+             p=g["p"][:, ::4, ::4])
+
+    def run(sigma, out):
+        cfg = TrainConfig(model="fno", npz_path=str(path),
+                          out_dir=str(tmp_path / out), n_iters=12,
+                          n_frames=10, ckpt_every=12, fno_rollout_steps=2,
+                          input_noise=sigma)
+        tr = Trainer(cfg)
+        return np.asarray(tr.train(progress=False))
+
+    clean = run(0.0, "clean")
+    clean2 = run(0.0, "clean2")
+    noisy = run(0.05, "noisy")
+    np.testing.assert_array_equal(clean, clean2)
+    assert np.isfinite(noisy).all()
+    assert noisy[-1] < noisy[0]
+    assert not np.array_equal(clean, noisy)
+
+
+def test_input_noise_rejects_negative(tmp_path):
+    g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
+    path = tmp_path / "d.npz"
+    np.savez(path, u=g["u"][:, ::4, ::4], v=g["v"][:, ::4, ::4],
+             p=g["p"][:, ::4, ::4])
+    cfg = TrainConfig(model="fno", npz_path=str(path),
+                      out_dir=str(tmp_path / "neg"), input_noise=-0.1)
+    import pytest
+    with pytest.raises(ValueError, match="input_noise"):
+        Trainer(cfg)
+
+
+def test_fno_remat_matches_nonremat(tmp_path):
+    """jax.checkpoint on the k-step unroll changes memory, not values."""
+    g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
+    path = tmp_path / "d.npz"
+    np.savez(path, u=g["u"][:, ::4, ::4], v=g["v"][:, ::4, ::4],
+             p=g["p"][:, ::4, ::4])
+
+    def run(remat, out):
+        cfg = TrainConfig(model="fno", npz_path=str(path),
+                          out_dir=str(tmp_path / out), n_iters=8,
+                          n_frames=10, ckpt_every=8, fno_rollout_steps=3,
+                          fno_remat=remat)
+        tr = Trainer(cfg)
+        return np.asarray(tr.train(progress=False))
+
+    np.testing.assert_allclose(run(False, "a"), run(True, "b"), rtol=1e-6)

@@ -254,7 +254,36 @@ def test_ensemble_trainer_rejects_bad_model(tmp_path):
     from ns_tpu.train.ensemble import EnsembleTrainer
     from ns_tpu.train.trainer import TrainConfig
     npz, nt, nx, ny = _toy_npz(tmp_path)
-    cfg = TrainConfig(model="fno", npz_path=npz,
+    cfg = TrainConfig(model="rnn", npz_path=npz,
                       out_dir=str(tmp_path / "x"), n_frames=nt)
     with _pytest.raises(ValueError, match="ensemble"):
         EnsembleTrainer(cfg, n_models=2)
+    # noise keys are not threaded through the vmapped step
+    cfg2 = TrainConfig(model="fno", npz_path=npz,
+                       out_dir=str(tmp_path / "x2"), n_frames=nt,
+                       input_noise=0.1)
+    with _pytest.raises(ValueError, match="input_noise"):
+        EnsembleTrainer(cfg2, n_models=2)
+
+
+def test_ensemble_trainer_fno_w(tmp_path):
+    """fno ensembles: per-model losses decrease, seeds differ, and the
+    vmapped closed-loop extrapolation returns per-model uvp rollouts."""
+    import numpy as np
+    from ns_tpu.train.ensemble import EnsembleTrainer
+    from ns_tpu.train.trainer import TrainConfig
+
+    npz, nt, nx, ny = _toy_npz(tmp_path)
+    cfg = TrainConfig(model="fno_w", npz_path=npz,
+                      out_dir=str(tmp_path / "ensw"), n_iters=8,
+                      n_frames=nt, ckpt_every=4, fno_modes=3, fno_width=6,
+                      fno_rollout_steps=2)
+    tr = EnsembleTrainer(cfg, n_models=2)
+    losses = tr.train(progress=False)
+    arr = np.asarray(losses)
+    assert arr.shape == (8, 2)
+    assert (arr[-1] < arr[0]).all()
+    assert np.std(arr[0]) > 0
+    extrap = tr.extrapolate()
+    assert extrap.shape == (2, nt, 3, nx, ny)
+    assert np.isfinite(extrap).all()

@@ -31,7 +31,18 @@ def main():
     ap.add_argument("--nx", type=int, default=1024)
     ap.add_argument("--nt", type=int, default=512)
     ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the producer on CPU. Over the axon TPU "
+                         "tunnel the device->host readback (~20 MB/s) "
+                         "dwarfs any disk-write cost, so writer backends "
+                         "are indistinguishable there; on CPU the frames "
+                         "are host-resident and the disk write is the "
+                         "real denominator")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ns_tpu.io.streaming import stream_rollout
     from ns_tpu.solvers import spectral_periodic as sp

@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--frame-stride", type=int, default=100,
                     help="solver steps per saved frame (1 = the raw "
                          "near-static protocol)")
+    ap.add_argument("--fno-width", type=int, default=32,
+                    help="channel width applied to every fno job")
+    ap.add_argument("--fno-remat", action="store_true",
+                    help="remat the k-step unroll (large-grid rollouts)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filter on job names (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -55,9 +61,38 @@ def main():
                                     dt=1e-3, nu=1e-3, dtype="float32")
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0,
                                           k_peak=max(4.0, args.nx / 12))
-    sys_ = sp.NavierStokesSystem(w0, nt=nsteps, nx=args.nx, ny=args.nx,
-                                 dt=1e-3, nu=1e-3)
-    u, v, p = (np.asarray(a)[::stride] for a in sys_.simulate())
+
+    # strided rollout that materializes ONLY the saved frames (a full
+    # simulate() stack of nt*stride frames OOMs the chip past 64^2).
+    # Frame i = state after step 1 + i*stride, identical to
+    # simulate()[::stride]'s selection (simulate's frame 0 is post-step-1).
+    state0 = sp.init_from_vorticity(cfg, w0)
+    _step, _ = sp.make_step(cfg)
+
+    def emit(c):
+        uu, vv, _w = sp.fields_from_hat(cfg, c[0])
+        return uu, vv, sp.pressure_from_hat(cfg, c[0])
+
+    def advance(c, n):
+        c, _ = jax.lax.scan(lambda cc, _: (_step(cc)[0], None), c, None,
+                            length=n)
+        return c
+
+    @jax.jit
+    def strided_rollout(state):
+        state = advance(state, 1)
+        first = emit(state)
+
+        def outer(c, _):
+            c = advance(c, stride)
+            return c, emit(c)
+
+        _, rest = jax.lax.scan(outer, state, None, length=args.nt - 1)
+        return first, rest
+
+    first, rest = strided_rollout(state0)
+    u, v, p = (np.concatenate([np.asarray(f)[None], np.asarray(r)])
+               for f, r in zip(first, rest))
     tmp = tempfile.mkdtemp()
     npz = os.path.join(tmp, "data.npz")
     save_rollout(npz, u, v, p)
@@ -91,16 +126,38 @@ def main():
             ("fno_w (vorticity, 8-step)",
              dict(model="fno_w", fno_rollout_steps=8,
                   fno_modes=full_modes)),
+            ("fno (4-step + noise 0.02)",
+             dict(model="fno", fno_rollout_steps=4, fno_modes=modes,
+                  input_noise=0.02)),
+            ("fno_w (vorticity, next-step + noise 0.02)",
+             dict(model="fno_w", fno_modes=full_modes, input_noise=0.02)),
+            ("fno_w (8-member vmapped ensemble, mean)",
+             dict(model="fno_w", fno_modes=full_modes, n_models=8)),
             ("basis_ode", dict(model="basis_ode"))]
+    if args.only:
+        jobs = [(n, kw) for n, kw in jobs
+                if any(s in n for s in args.only)]
     for name, kw in jobs:
+        kw = dict(kw)
+        n_models = kw.pop("n_models", 1)
+        if kw.get("model", "").startswith("fno"):
+            kw.setdefault("fno_width", args.fno_width)
+            kw.setdefault("fno_remat", args.fno_remat)
         tc = TrainConfig(npz_path=npz, out_dir=os.path.join(tmp, name),
                          n_iters=args.n_iters, n_coeffs=args.n_coeffs,
                          n_frames=100, ckpt_every=50, **kw)
         t0 = time.perf_counter()
-        tr = Trainer(tc)
-        tr.train(progress=False)
-        train_s = time.perf_counter() - t0
-        ex = tr.extrapolate()
+        if n_models > 1:
+            from ns_tpu.train.ensemble import EnsembleTrainer
+            tr = EnsembleTrainer(tc, n_models)
+            tr.train(progress=False)
+            train_s = time.perf_counter() - t0
+            ex = tr.extrapolate().mean(axis=0)  # ensemble-mean rollout
+        else:
+            tr = Trainer(tc)
+            tr.train(progress=False)
+            train_s = time.perf_counter() - t0
+            ex = tr.extrapolate()
         rows.append((name, rel(ex[:100], obs_full[:100]),
                      rel(ex, obs_full), train_s))
         print(f"| {name} | {rows[-1][1]:.2f} | {rows[-1][2]:.2f} "

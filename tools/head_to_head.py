@@ -271,6 +271,17 @@ def main(argv=None):
                 json.dump(rec, open(cache, "w"), indent=1)
             results.append(rec)
 
+    # aggregate EVERY cached result (not just this invocation's selection)
+    # so partial re-runs refresh rows without dropping the rest
+    order = {}
+    for i, (ref_name, ours_name) in enumerate(PAIRS.items()):
+        order[ref_name] = i
+        order[ours_name] = i
+    sides = {"reference": 0, "ns_tpu_cpu": 1, "ns_tpu_tpu": 2}
+    results = sorted(
+        (json.load(open(os.path.join(OUT, f)))
+         for f in os.listdir(OUT) if f.startswith("result_")),
+        key=lambda r: (order.get(r["model"], 99), sides.get(r["side"], 9)))
     agg = os.path.join(REPO, "experiments", "head_to_head.json")
     json.dump(results, open(agg, "w"), indent=1)
     print(f"\nwrote {agg}\n")
