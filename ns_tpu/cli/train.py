@@ -40,6 +40,12 @@ def main(argv=None):
                    help="fno only: spectral modes kept per axis")
     p.add_argument("--fno-width", type=int, default=32,
                    help="fno only: channel width")
+    p.add_argument("--fno-transform", default="auto",
+                   choices=["auto", "fft", "matmul"],
+                   help="fno/fno_w: spectral-transform engine (matmul = "
+                        "retained-mode DFT GEMMs on the MXU, faster at "
+                        "small/medium grids; engines agree to fp "
+                        "rounding)")
     p.add_argument("--input-noise", type=float, default=0.0,
                    help="fno/fno_w: train-time Gaussian input noise, as a "
                         "fraction of the data std (autoregressive "
@@ -75,6 +81,7 @@ def main(argv=None):
                       hidden_dim=args.hidden_dim, n_frames=args.n_frames,
                       seed=args.seed, ckpt_every=args.ckpt_every,
                       fno_rollout_steps=args.fno_rollout_steps,
+                      fno_transform=args.fno_transform,
                       fno_modes=args.fno_modes, fno_width=args.fno_width,
                       fno_project=args.fno_project,
                       input_noise=args.input_noise,

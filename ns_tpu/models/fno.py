@@ -4,7 +4,12 @@ Paper-inspired fifth surrogate family (PAPERS.md: Factorized Fourier Neural
 Operators): instead of the reference's global basis expansion in time, an
 FNO learns the one-step evolution operator (u,v,p)_t -> (u,v,p)_{t+1} with
 spectral convolutions — truncated per-mode complex mixing of channels —
-which on TPU is a batched einsum between rfft2 transforms (MXU work).
+which on TPU is a batched einsum between spectral transforms (MXU work).
+Two transform engines compute the identical layer: 'fft' (rfft2 + mode
+truncation) and 'matmul' (truncated-mode DFT GEMMs that compute ONLY the
+retained block — the solver's matmul-DFT insight applied to the operator;
+small TPU FFTs run far off the roofline, docs/roofline.md). 'auto' picks
+by grid size; checkpoints transfer between engines unchanged.
 
 Layout: lift (1x1 conv) -> L x [spectral conv + pointwise bypass, GELU]
 -> project. Complex spectral weights are stored as real/imag pairs (the
@@ -14,12 +19,47 @@ lax.scan gives full-horizon extrapolation like the reference drivers.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ns_tpu.models.layers import dense, dense_init
 
 Array = jnp.ndarray
+
+# grids at or below this size use the matmul-DFT spectral engine under
+# transform='auto': XLA's native TPU FFT runs far off the MXU roofline at
+# these sizes (docs/roofline.md measures 1.36 vs 10.4 Gcups for the
+# solver's transforms; tools/bench_fno_transform.py measures the FNO
+# layer itself), while the truncated-mode DFT is pure GEMM work AND
+# computes only the retained (2*mx x my) block instead of the full
+# spectrum
+_MATMUL_MAX_SIDE = 512
+
+
+@lru_cache(maxsize=16)
+def _dft_mats(nx: int, ny: int, mx: int, my: int):
+    """Host-built (float64 -> float32 real/imag pairs) truncated DFT
+    matrices for the retained FNO mode block. Row set = the rfft2 rows the
+    FFT path keeps (kx in [0, mx) and [nx-mx, nx)); column set = ky in
+    [0, my). Inverse weights replicate irfft's half-spectrum semantics
+    (w=2 for interior ky columns, 1 for ky=0 and the Nyquist column).
+    Complex values are stored as separate real arrays — only real
+    constants transfer to the device (utils/host.py rationale); they are
+    recombined with jax.lax.complex inside the jitted layer."""
+    k_rows = np.concatenate([np.arange(mx), np.arange(nx - mx, nx)])
+    a = np.arange(nx)
+    j = np.arange(my)
+    b = np.arange(ny)
+    fr = np.exp(-2j * np.pi * np.outer(k_rows, a) / nx)        # (2mx, nx)
+    fc = np.exp(-2j * np.pi * np.outer(b, j) / ny)             # (ny, my)
+    gr = np.exp(2j * np.pi * np.outer(a, k_rows) / nx) / nx    # (nx, 2mx)
+    w = np.where((j == 0) | ((ny % 2 == 0) & (j == ny // 2)), 1.0, 2.0)
+    gc = (w[:, None] * np.exp(2j * np.pi * np.outer(j, b) / ny)) / ny
+    ri = lambda M: (M.real.astype(np.float32), M.imag.astype(np.float32))
+    return ri(fr), ri(fc), ri(gr), ri(gc)                      # gc (my, ny)
 
 
 def _spectral_init(key, c_in, c_out, mx, my, scale):
@@ -34,7 +74,12 @@ def _spectral_init(key, c_in, c_out, mx, my, scale):
             "hi_im": scale * jax.random.normal(ks[3], shape)}
 
 
-def _spectral_conv(wts, x: Array, mx: int, my: int) -> Array:
+def _mix(block, Wb):
+    # block (..., C, mx, my) x Wb (C, C_out, mx, my) -> (..., C_out, mx, my)
+    return jnp.einsum("...ixy,ioxy->...oxy", block, Wb)
+
+
+def _spectral_conv_fft(wts, x: Array, mx: int, my: int) -> Array:
     """x (..., C, nx, ny) -> (..., C_out, nx, ny): per-retained-mode complex
     channel mixing; all other modes are zeroed (spectral truncation)."""
     nx, ny = x.shape[-2], x.shape[-1]
@@ -43,27 +88,71 @@ def _spectral_conv(wts, x: Array, mx: int, my: int) -> Array:
     W_hi = jax.lax.complex(wts["hi_re"], wts["hi_im"]).astype(xh.dtype)
     c_out = W_lo.shape[1]
 
-    def mix(block, Wb):
-        # block (..., C, mx, my) x Wb (C, C_out, mx, my) -> (..., C_out, mx, my)
-        return jnp.einsum("...ixy,ioxy->...oxy", block, Wb)
-
-    lo = mix(xh[..., :, :mx, :my], W_lo)
-    hi = mix(xh[..., :, nx - mx:, :my], W_hi)
+    lo = _mix(xh[..., :, :mx, :my], W_lo)
+    hi = _mix(xh[..., :, nx - mx:, :my], W_hi)
     out = jnp.zeros(x.shape[:-3] + (c_out, nx, ny // 2 + 1), xh.dtype)
     out = out.at[..., :, :mx, :my].set(lo)
     out = out.at[..., :, nx - mx:, :my].set(hi)
     return jnp.fft.irfft2(out, s=(nx, ny))
 
 
+def _spectral_conv_matmul(wts, x: Array, mx: int, my: int) -> Array:
+    """Mathematically identical to _spectral_conv_fft, but the transforms
+    are truncated-mode DFT GEMMs on the MXU instead of XLA's (slow on
+    TPU) FFT: forward computes ONLY the retained (2mx, my) coefficient
+    block — fr @ x @ fc — and the inverse reconstructs the grid from that
+    block alone — Re(gr @ Z @ gc), with gc carrying the irfft
+    half-spectrum weights. Same per-mode channel mixing between them, so
+    checkpoints transfer between engines unchanged (tested to fp
+    tolerance in tests/test_fno.py)."""
+    nx, ny = x.shape[-2], x.shape[-1]
+    (frr, fri), (fcr, fci), (grr, gri), (gcr, gci) = _dft_mats(nx, ny,
+                                                               mx, my)
+    fr = jax.lax.complex(jnp.asarray(frr), jnp.asarray(fri))
+    fc = jax.lax.complex(jnp.asarray(fcr), jnp.asarray(fci))
+    gr = jax.lax.complex(jnp.asarray(grr), jnp.asarray(gri))
+
+    # forward: rows (real input -> two real GEMMs), then columns
+    tr = jnp.einsum("ka,...ay->...ky", jnp.asarray(frr), x)
+    ti = jnp.einsum("ka,...ay->...ky", jnp.asarray(fri), x)
+    t = jax.lax.complex(tr, ti)                 # (..., C, 2mx, ny)
+    xh = jnp.einsum("...ky,yj->...kj", t, fc)   # (..., C, 2mx, my)
+
+    W_lo = jax.lax.complex(wts["lo_re"], wts["lo_im"]).astype(xh.dtype)
+    W_hi = jax.lax.complex(wts["hi_re"], wts["hi_im"]).astype(xh.dtype)
+    mixed = jnp.concatenate([_mix(xh[..., :, :mx, :], W_lo),
+                             _mix(xh[..., :, mx:, :], W_hi)], axis=-2)
+
+    # inverse: rows back to the grid, then real part of the column stage
+    z = jnp.einsum("ak,...kj->...aj", gr, mixed)   # (..., C_out, nx, my)
+    return (jnp.einsum("...aj,jb->...ab", z.real, jnp.asarray(gcr))
+            - jnp.einsum("...aj,jb->...ab", z.imag, jnp.asarray(gci)))
+
+
+def _spectral_conv(wts, x: Array, mx: int, my: int,
+                   engine: str = "fft") -> Array:
+    if engine == "matmul":
+        return _spectral_conv_matmul(wts, x, mx, my)
+    return _spectral_conv_fft(wts, x, mx, my)
+
+
 class FNO2D:
     """Next-step operator on (..., 3, nx, ny) fields."""
 
     def __init__(self, nx: int, ny: int, width: int = 32, modes: int = 12,
-                 depth: int = 4, channels: int = 3):
+                 depth: int = 4, channels: int = 3,
+                 transform: str = "auto"):
+        if transform not in ("auto", "fft", "matmul"):
+            raise ValueError(f"transform must be auto|fft|matmul, got "
+                             f"{transform!r}")
         self.nx, self.ny = nx, ny
         self.width, self.depth, self.channels = width, depth, channels
         self.mx = min(modes, nx // 2)
         self.my = min(modes, ny // 2 + 1)
+        if transform == "auto":
+            transform = ("matmul" if max(nx, ny) <= _MATMUL_MAX_SIDE
+                         else "fft")
+        self.transform = transform
 
     def init(self, key) -> dict:
         n_layers = self.depth
@@ -100,7 +189,7 @@ class FNO2D:
         h = dense(params["lift"], h)
         h = jnp.moveaxis(h, -1, -3)                   # (..., W, nx, ny)
         for wts, byp in zip(params["spectral"], params["bypass"]):
-            s = _spectral_conv(wts, h, self.mx, self.my)
+            s = _spectral_conv(wts, h, self.mx, self.my, self.transform)
             b = jnp.moveaxis(dense(byp, jnp.moveaxis(h, -3, -1)), -1, -3)
             h = jax.nn.gelu(s + b)
         h = jnp.moveaxis(h, -3, -1)

@@ -19,6 +19,8 @@ conventions (2*pi-periodic domain, integer wavenumbers, rfft2 layout).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from ns_tpu.solvers.spectral_periodic import (
@@ -57,15 +59,58 @@ def uvp_from_w(w: Array, rho: float = 1.0,
     return u, v, p
 
 
-def dealias_field(w: Array) -> Array:
+def dealias_field(w: Array, engine: str = "auto") -> Array:
     """Project a physical field onto the solver's 2/3-rule band — the
     rollout stability filter: keeps autoregressive predictions on the
-    band-limited manifold the training data lives on."""
-    import numpy as np
+    band-limited manifold the training data lives on.
+
+    engine: 'fft' masks the rfft2 spectrum; 'matmul' applies the same
+    projection as two small REAL GEMMs (the band is +/- symmetric, so the
+    composed DFT->mask->inverse row/column operators are real cosine
+    kernels) — the per-step FFT cost dominated fno_w serving latency on
+    TPU, where small FFTs run far off the roofline (docs/roofline.md).
+    'auto' picks matmul at/below the fno matmul crossover. Engines agree
+    to fp rounding (tests/test_fno.py)."""
     nx, ny = w.shape[-2], w.shape[-1]
+    if engine == "auto":
+        from ns_tpu.models.fno import _MATMUL_MAX_SIDE
+        engine = "matmul" if max(nx, ny) <= _MATMUL_MAX_SIDE else "fft"
+    if engine == "matmul":
+        pr, pc = _dealias_projectors(nx, ny)
+        return jnp.einsum("ab,...by->...ay", jnp.asarray(pr),
+                          jnp.einsum("...xy,yc->...xc", w, jnp.asarray(pc)))
+    import numpy as np
     kx = np.fft.fftfreq(nx, d=1.0 / nx)
     ky = np.fft.rfftfreq(ny, d=1.0 / ny)
     mask = jnp.asarray((np.abs(kx)[:, None] < nx / 3.0)
                        & (np.abs(ky)[None, :] < ny / 3.0))
     return jnp.fft.irfft2(jnp.where(mask, jnp.fft.rfft2(w), 0.0),
                           s=(nx, ny))
+
+
+@lru_cache(maxsize=16)
+def _dealias_projectors(nx: int, ny: int):
+    """Real (nx, nx) row and (ny, ny) column projection kernels equal to
+    the masked-rfft2 round trip. Row kernel: (1/nx) sum over the
+    +/-symmetric retained kx of exp(2i pi kx (a-a')/nx) — real by
+    symmetry. Column kernel carries irfft's half-spectrum weights (1 for
+    ky=0/Nyquist, 2 otherwise) over retained non-negative ky, then the
+    real part. Host-built float64, cached, cast to float32."""
+    import numpy as np
+    kx = np.fft.fftfreq(nx, d=1.0 / nx)
+    keep_x = np.where(np.abs(kx) < nx / 3.0)[0]
+    a = np.arange(nx)
+    pr = np.zeros((nx, nx))
+    for k in kx[keep_x]:
+        pr += np.real(np.exp(2j * np.pi * k * (a[:, None] - a[None, :])
+                             / nx)) / nx
+    ky = np.fft.rfftfreq(ny, d=1.0 / ny)
+    keep_y = np.where(ky < ny / 3.0)[0]
+    b = np.arange(ny)
+    w = np.where((keep_y == 0) | ((ny % 2 == 0) & (keep_y == ny // 2)),
+                 1.0, 2.0)
+    pc = np.zeros((ny, ny))
+    for j, wj in zip(ky[keep_y], w):
+        pc += wj * np.cos(2 * np.pi * j * (b[:, None] - b[None, :])
+                          / ny) / ny
+    return pr.astype(np.float32), pc.T.astype(np.float32)

@@ -1,0 +1,139 @@
+"""Stdlib HTTP rollout service around serve.engine.InferenceEngine.
+
+Zero extra dependencies (http.server + numpy's .npy wire format). The
+device is a single serialized resource: requests may arrive on many
+threads (ThreadingHTTPServer) but engine calls run under one lock, so
+concurrent clients queue rather than interleave device programs.
+
+Protocol (all bodies are raw `.npy` bytes — `np.save`/`np.load` on a
+buffer, allow_pickle always off):
+
+  GET  /health           -> {"ok": true, "model": ..., "grid": [nx, ny],
+                             "n_models": M}
+  GET  /stats            -> serve.engine.InferenceEngine.stats() JSON
+  POST /rollout?steps=N[&reduce=members|mean|spread]
+       body:  frame0 .npy, (3, nx, ny) or (B, 3, nx, ny) float32
+       reply: frames .npy per the engine contract; for ensemble
+              checkpoints `reduce` collapses the member axis (default
+              mean; `members` returns all, `spread` the per-cell std).
+
+Errors return JSON {"error": ...} with a 4xx/5xx status.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ns_tpu.serve.engine import InferenceEngine
+
+MAX_BODY_BYTES = 1 << 30
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _npy_parse(raw: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(raw), allow_pickle=False)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # engine + lock injected by make_server via a subclass attribute
+    engine: InferenceEngine = None
+    lock: threading.Lock = None
+    quiet: bool = True
+
+    def log_message(self, fmt, *args):  # default stderr spam off
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path == "/health":
+            self._reply_json(200, {
+                "ok": True, "model": self.engine.cfg.model,
+                "grid": [self.engine.nx, self.engine.ny],
+                "n_models": self.engine.n_models})
+        elif path == "/stats":
+            self._reply_json(200, self.engine.stats())
+        else:
+            self._reply_json(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/rollout":
+            self._reply_json(404, {"error": f"unknown path {url.path}"})
+            return
+        q = parse_qs(url.query)
+        try:
+            steps = int(q.get("steps", ["1"])[0])
+            reduce = q.get("reduce", ["mean"])[0]
+            if reduce not in ("members", "mean", "spread"):
+                raise ValueError(f"reduce must be members|mean|spread, "
+                                 f"got {reduce!r}")
+            length = int(self.headers.get("Content-Length", 0))
+            if not 0 < length <= MAX_BODY_BYTES:
+                raise ValueError(f"body length {length} out of range")
+            frame0 = _npy_parse(self.rfile.read(length))
+        except (ValueError, OSError) as e:
+            self._reply_json(400, {"error": str(e)})
+            return
+        try:
+            with self.lock:
+                out = self.engine.predict(frame0, steps)
+            if self.engine.n_models > 1 and reduce != "members":
+                out = out.mean(axis=0) if reduce == "mean" else \
+                    out.std(axis=0)
+        except ValueError as e:   # bad shape/steps — client error
+            self._reply_json(400, {"error": str(e)})
+            return
+        except Exception as e:    # engine/device failure — server error
+            self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._reply(200, _npy_bytes(out), "application/octet-stream")
+
+
+def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
+                port: int = 8765, quiet: bool = True) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() or drive
+    it from a thread (tests)."""
+
+    class Handler(_Handler):
+        pass
+
+    Handler.engine = engine
+    Handler.lock = threading.Lock()
+    Handler.quiet = quiet
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(engine: InferenceEngine, host: str = "127.0.0.1",
+          port: int = 8765, quiet: bool = False) -> None:
+    httpd = make_server(engine, host, port, quiet=quiet)
+    print(f"serving {engine.cfg.model} ({engine.nx}x{engine.ny}"
+          f"{f', {engine.n_models} members' if engine.n_models > 1 else ''})"
+          f" on http://{host}:{httpd.server_address[1]}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

@@ -147,7 +147,8 @@ class EnsembleTrainer:
                     f"got {cfg.fno_rollout_steps}")
             channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
-                               modes=cfg.fno_modes, channels=channels)
+                               modes=cfg.fno_modes, channels=channels,
+                               transform=cfg.fno_transform)
             self.w_frames = None
             if cfg.model == "fno_w":
                 from ns_tpu.models.vorticity import vorticity_from_uv
@@ -230,6 +231,7 @@ class EnsembleTrainer:
         from ns_tpu.train.checkpoint import save_checkpoint
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
+                "grid": [self.nx, self.ny],  # lets serve/ rebuild the model
                 "n_models": self.n_models, "config": _dc.asdict(self.cfg)}
         return save_checkpoint(state, self.cfg.out_dir, meta=meta)
 

@@ -84,10 +84,19 @@ class TrainConfig:
     # fno_w only: dealias-filter each fed-back prediction onto the 2/3
     # band the training data lives on (rollout stability filter)
     fno_dealias: bool = True
+    # fno/fno_w: spectral-transform engine for the FNO layers — 'matmul'
+    # computes only the retained mode block as MXU GEMMs (faster at small
+    # /medium grids where XLA's TPU FFT runs off the roofline), 'fft' is
+    # the classic path, 'auto' picks by grid size. Engines agree to fp
+    # rounding, so checkpoints transfer between them.
+    fno_transform: str = "auto"
 
     def __post_init__(self):
         if self.model not in MODELS:
             raise ValueError(f"model must be one of {MODELS}, got {self.model!r}")
+        if self.fno_transform not in ("auto", "fft", "matmul"):
+            raise ValueError(f"fno_transform must be auto|fft|matmul, "
+                             f"got {self.fno_transform!r}")
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):
@@ -180,7 +189,8 @@ class Trainer:
                     f"input_noise must be >= 0; got {cfg.input_noise}")
             channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
-                               modes=cfg.fno_modes, channels=channels)
+                               modes=cfg.fno_modes, channels=channels,
+                               transform=cfg.fno_transform)
             if cfg.model == "fno_w":
                 # vorticity-space surrogate: train on the scalar w derived
                 # exactly from (u, v); (u, v, p) recovered exactly at eval
@@ -312,6 +322,7 @@ class Trainer:
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
                 "penalties": self.penalties,
+                "grid": [self.nx, self.ny],  # lets serve/ rebuild the model
                 "config": dataclasses.asdict(self.cfg)}
         return save_checkpoint(state, self.cfg.out_dir, is_best=is_best,
                                meta=meta)

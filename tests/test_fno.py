@@ -116,3 +116,66 @@ def test_fno_remat_matches_nonremat(tmp_path):
         return np.asarray(tr.train(progress=False))
 
     np.testing.assert_allclose(run(False, "a"), run(True, "b"), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Transform engines: matmul-DFT twin of the fft spectral layer
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_engines_agree():
+    """The matmul-DFT engine computes the identical layer to the fft one
+    (retained-mode DFT GEMMs vs rfft2+mask), across even/odd grids and
+    the Nyquist-column edge (my == ny//2 + 1)."""
+    from ns_tpu.models.fno import (_spectral_conv_fft,
+                                   _spectral_conv_matmul, _spectral_init)
+    for nx, ny, modes in [(16, 16, 5), (17, 15, 5), (16, 18, 8),
+                          (16, 16, 9), (32, 32, 16)]:
+        mx, my = min(modes, nx // 2), min(modes, ny // 2 + 1)
+        wts = _spectral_init(jax.random.PRNGKey(0), 4, 4, mx, my, 0.1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, nx, ny),
+                              jnp.float32)
+        a = jax.jit(lambda w, x: _spectral_conv_fft(w, x, mx, my))(wts, x)
+        b = jax.jit(lambda w, x: _spectral_conv_matmul(w, x, mx, my))(wts, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fno_apply_engines_agree_and_checkpoints_transfer():
+    """Same params through both engines -> same operator; a model built
+    with transform='fft' serves a 'matmul' rollout and vice versa (the
+    transform is an execution detail, not part of the checkpoint)."""
+    m_f = FNO2D(24, 24, width=8, modes=10, transform="fft")
+    m_m = FNO2D(24, 24, width=8, modes=10, transform="matmul")
+    p = m_f.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 24, 24),
+                          jnp.float32)
+    ya = jax.jit(m_f.apply)(p, x)
+    yb = jax.jit(m_m.apply)(p, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=2e-4, atol=1e-5)
+    ra = jax.jit(lambda p, x: m_f.rollout(p, x, 4))(p, x[:1])
+    rb = jax.jit(lambda p, x: m_m.rollout(p, x, 4))(p, x[:1])
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fno_rejects_bad_transform():
+    import pytest
+    with pytest.raises(ValueError, match="transform"):
+        FNO2D(16, 16, transform="dft")
+    with pytest.raises(ValueError, match="fno_transform"):
+        TrainConfig(model="fno", fno_transform="dft")
+
+
+def test_dealias_engines_agree():
+    """matmul dealias (two real cosine-kernel GEMMs) == masked-rfft2
+    round trip, including odd grids."""
+    from ns_tpu.models.vorticity import dealias_field
+    for nx, ny in [(16, 16), (17, 15), (32, 48)]:
+        w = jax.random.normal(jax.random.PRNGKey(0), (2, nx, ny),
+                              jnp.float32)
+        a = jax.jit(lambda w: dealias_field(w, engine="fft"))(w)
+        b = jax.jit(lambda w: dealias_field(w, engine="matmul"))(w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

@@ -1,0 +1,225 @@
+"""Serving layer tests: checkpoint -> engine round trips for every model
+family, chunked-rollout equivalence, batching/bucketing correctness,
+ensemble member serving, and the HTTP server end-to-end on a loopback
+socket. The reference has no serving story at all (its models are only
+exercised by the training scripts' eval tails, ref spectral_ode.py:208-224)
+— this layer is new production surface, so the tests define its contract.
+"""
+
+import http.client
+import io
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from ns_tpu.serve.engine import InferenceEngine
+from ns_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _toy_npz(tmp_path, nt=8, nx=8, ny=8, name="sdata.npz"):
+    rng = np.random.default_rng(3)
+    path = tmp_path / name
+    np.savez(path, u=rng.normal(size=(nt, nx, ny)),
+             v=rng.normal(size=(nt, nx, ny)),
+             p=rng.normal(size=(nt, nx, ny)))
+    return str(path), nt, nx, ny
+
+
+def _train(tmp_path, model, name, **kw):
+    npz, nt, nx, ny = _toy_npz(tmp_path, name=f"{name}.npz")
+    cfg = TrainConfig(model=model, npz_path=npz,
+                      out_dir=str(tmp_path / name), n_iters=4,
+                      n_coeffs=2, n_frames=nt, ckpt_every=4,
+                      fno_modes=3, fno_width=6, **kw)
+    tr = Trainer(cfg)
+    tr.train(progress=False)
+    return tr, os.path.join(cfg.out_dir, "checkpoint.npz"), nt, nx, ny
+
+
+def test_engine_fno_roundtrip_and_chunk_equivalence(tmp_path):
+    """from_checkpoint rebuilds the trained model exactly: the engine's
+    chunked rollout equals the Trainer's in-memory extrapolation, for any
+    chunk size (chunking must not change values)."""
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fno")
+    want = tr.extrapolate()                       # (nt, 3, nx, ny)
+    frame0 = want[0]
+    for chunk in (2, 64):
+        eng = InferenceEngine.from_checkpoint(ckpt, chunk=chunk)
+        got = eng.predict(frame0, nt - 1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_engine_fno_w_roundtrip(tmp_path):
+    """Engine equals Trainer.extrapolate when both start from the same
+    RAW data frame (both derive w with the same adapter; feeding a
+    reconstructed frame instead would band-limit the initial w)."""
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno_w", "fnow")
+    want = tr.extrapolate()
+    obs = np.load(tr.cfg.npz_path)
+    frame0 = np.stack([obs["u"][0], obs["v"][0], obs["p"][0]]).astype(
+        np.float32)
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=3)
+    got = eng.predict(frame0, nt - 1)
+    assert got.shape == (nt, 3, nx, ny)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("model", ["basis_ode", "basis_gru", "rnn"])
+def test_engine_other_families(tmp_path, model):
+    tr, ckpt, nt, nx, ny = _train(tmp_path, model, model)
+    eng = InferenceEngine.from_checkpoint(ckpt)
+    obs = np.load(tr.cfg.npz_path)
+    frame0 = np.stack([obs["u"][0], obs["v"][0], obs["p"][0]]).astype(
+        np.float32)
+    out = eng.predict(frame0, 5)
+    assert out.shape == (6, 3, nx, ny)
+    assert np.isfinite(out).all()
+    if model == "rnn":  # frame 0 is the echoed input
+        np.testing.assert_array_equal(out[0], frame0)
+
+
+def test_engine_batched_matches_single(tmp_path):
+    """A batch row must equal the same request served alone (bucket
+    padding is invisible), and a 3-row batch exercises pad-to-4."""
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnob")
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(3, 3, nx, ny)).astype(np.float32)
+    batch = eng.predict(frames, 4)
+    assert batch.shape == (3, 5, 3, nx, ny)
+    for i in range(3):
+        single = eng.predict(frames[i], 4)
+        np.testing.assert_allclose(batch[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_ensemble_members(tmp_path):
+    """EnsembleTrainer checkpoints serve member-stacked rollouts; members
+    differ (distinct seeds) and the member axis reduces to a mean."""
+    from ns_tpu.train.ensemble import EnsembleTrainer
+
+    npz, nt, nx, ny = _toy_npz(tmp_path, name="ens.npz")
+    cfg = TrainConfig(model="fno_w", npz_path=npz,
+                      out_dir=str(tmp_path / "ens"), n_iters=4,
+                      n_frames=nt, ckpt_every=4, fno_modes=3, fno_width=6)
+    etr = EnsembleTrainer(cfg, n_models=2)
+    etr.train(progress=False)
+    eng = InferenceEngine.from_checkpoint(str(tmp_path / "ens"), chunk=3)
+    assert eng.n_models == 2
+    obs = np.load(npz)
+    frame0 = np.stack([obs["u"][0], obs["v"][0], obs["p"][0]]).astype(
+        np.float32)
+    out = eng.predict(frame0, 4)
+    assert out.shape == (2, 5, 3, nx, ny)
+    assert np.isfinite(out).all()
+    assert not np.allclose(out[0][1:], out[1][1:])  # member diversity
+    # both members echo the identical input state (the w-space
+    # reconstruction of frame0 — band-limited, so not frame0 bitwise)
+    np.testing.assert_array_equal(out[0][0], out[1][0])
+
+
+def test_engine_validation_errors(tmp_path):
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnov")
+    eng = InferenceEngine.from_checkpoint(ckpt)
+    with pytest.raises(ValueError, match="frame0"):
+        eng.predict(np.zeros((3, nx + 1, ny), np.float32), 1)
+    with pytest.raises(ValueError, match="n_steps"):
+        eng.predict(np.zeros((3, nx, ny), np.float32), -1)
+    # wrong model config for this checkpoint -> named leaf error
+    meta_path = ckpt + ".meta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["config"]["fno_width"] = 12
+    alt = str(tmp_path / "wrongcfg")
+    os.makedirs(alt)
+    import shutil
+    shutil.copyfile(ckpt, os.path.join(alt, "checkpoint.npz"))
+    with open(os.path.join(alt, "checkpoint.npz.meta.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="shape|missing"):
+        InferenceEngine.from_checkpoint(alt)
+
+
+def test_engine_stats(tmp_path):
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnos")
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
+    eng.warmup(2)
+    eng.predict(np.zeros((3, nx, ny), np.float32), 6)
+    s = eng.stats()
+    assert s["requests"] == 2
+    assert s["steps_served"] == 8
+    assert s["latency_s"]["p50"] is not None
+    assert s["compiled_programs"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP server end-to-end (loopback)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def running_server(tmp_path):
+    from ns_tpu.serve.server import make_server
+
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnosrv")
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
+    httpd = make_server(eng, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield httpd.server_address[1], eng, nx, ny
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def _post_npy(port, path, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, body=buf.getvalue(),
+                 headers={"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, body
+
+
+def test_server_end_to_end(running_server):
+    port, eng, nx, ny = running_server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/health")
+    resp = json.loads(conn.getresponse().read())
+    assert resp["ok"] and resp["grid"] == [nx, ny]
+    conn.close()
+
+    frame0 = np.zeros((3, nx, ny), np.float32)
+    status, body = _post_npy(port, "/rollout?steps=5", frame0)
+    assert status == 200
+    out = np.load(io.BytesIO(body), allow_pickle=False)
+    assert out.shape == (6, 3, nx, ny)
+    # the HTTP path returns exactly what the engine returns
+    np.testing.assert_array_equal(out, eng.predict(frame0, 5))
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/stats")
+    stats = json.loads(conn.getresponse().read())
+    assert stats["requests"] >= 1
+    conn.close()
+
+
+def test_server_client_errors(running_server):
+    port, eng, nx, ny = running_server
+    # wrong shape -> 400 with the engine's message
+    status, body = _post_npy(port, "/rollout?steps=2",
+                             np.zeros((3, nx + 1, ny), np.float32))
+    assert status == 400 and b"frame0" in body
+    # bad reduce -> 400
+    status, body = _post_npy(port, "/rollout?steps=2&reduce=median",
+                             np.zeros((3, nx, ny), np.float32))
+    assert status == 400
+    # unknown path -> 404
+    status, body = _post_npy(port, "/nope", np.zeros(1, np.float32))
+    assert status == 404
