@@ -27,8 +27,9 @@ def bench_spectral(nx=1024, nt=5000):
     # rollouts run thousands of steps, so the steady-state number is the
     # honest one; docs/roofline.md has the phase-level breakdown.
     # compact dealias-truncated matmul-DFT (MXU path) at bf16 'default'
-    # matmul precision: ~4.0 Gcups at 1024^2 (vs 2.4 at bf16x3 'high',
-    # 1.3 for the XLA-FFT path). Documented fidelity: 'default' ~5e-3
+    # matmul precision: ~10.5 Gcups steady-state at 1024^2 (vs ~2.4 at
+    # bf16x3 'high'; the XLA-FFT path is ~8x slower — RESULTS.md engine
+    # table). Documented fidelity: 'default' ~5e-3
     # relative on the vorticity field, 'high' ~3e-5 (RESULTS.md fidelity
     # table); divergence-free-ness is exact in all modes (streamfunction
     # form), so the speed/precision trade never violates incompressibility.

@@ -17,8 +17,23 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ckpt", required=True,
-                   help="checkpoint.npz path or its directory")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--ckpt",
+                     help="surrogate checkpoint.npz path or its directory")
+    src.add_argument("--solver", action="store_true",
+                     help="serve the classical periodic spectral solver "
+                          "instead of a surrogate — the ORACLE behind the "
+                          "same request contract, for on-demand ground "
+                          "truth / A-B against a surrogate endpoint")
+    p.add_argument("--nx", type=int, default=64,
+                   help="solver mode: grid size")
+    p.add_argument("--dt", type=float, default=1e-3,
+                   help="solver mode: time step")
+    p.add_argument("--nu", type=float, default=1e-3,
+                   help="solver mode: viscosity")
+    p.add_argument("--stride", type=int, default=1,
+                   help="solver mode: solver steps per served frame "
+                        "(match a surrogate trained on strided frames)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--chunk", type=int, default=64,
@@ -33,10 +48,16 @@ def main(argv=None):
                    help="suppress per-request access logs")
     args = p.parse_args(argv)
 
-    from ns_tpu.serve.engine import InferenceEngine
     from ns_tpu.serve.server import serve
 
-    engine = InferenceEngine.from_checkpoint(args.ckpt, chunk=args.chunk)
+    if args.solver:
+        from ns_tpu.serve.solver import SolverEngine
+        engine = SolverEngine(args.nx, args.nx, dt=args.dt, nu=args.nu,
+                              stride=args.stride, chunk=args.chunk)
+    else:
+        from ns_tpu.serve.engine import InferenceEngine
+        engine = InferenceEngine.from_checkpoint(args.ckpt,
+                                                 chunk=args.chunk)
     if args.warmup_steps:
         print(f"warmup: compiling {args.warmup_steps}-step rollout ...",
               flush=True)

@@ -14,6 +14,8 @@ The classical-solver counterpart lives in ns_tpu.runtime.engine
 is the checkpoint-driven surrogate half.
 """
 
+from ns_tpu.serve.client import ServeClient, ServeError
 from ns_tpu.serve.engine import InferenceEngine
+from ns_tpu.serve.solver import SolverEngine
 
-__all__ = ["InferenceEngine"]
+__all__ = ["InferenceEngine", "SolverEngine", "ServeClient", "ServeError"]

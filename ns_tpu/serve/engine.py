@@ -35,6 +35,11 @@ import numpy as np
 
 from ns_tpu.train.checkpoint import load_meta
 from ns_tpu.train.trainer import TrainConfig
+# to_host, not np.asarray, for rollout readbacks: the fno_w adapters and
+# the fft transform engine put complex ops in the compiled programs, and
+# the axon TPU transfer layer cannot read such executables' outputs back
+# directly (utils/host.py).
+from ns_tpu.utils.host import to_host
 
 
 def _next_pow2(n: int) -> int:
@@ -241,7 +246,7 @@ class InferenceEngine:
             state = jnp.broadcast_to(state[None], (m,) + state.shape)
         # frame 0 is the input state echoed in (u, v, p) space; pieces
         # entries are (take, [M,] B, 3, nx, ny), time leading
-        pieces = [np.asarray(self._echo_uvp()(state))[None]]
+        pieces = [to_host(self._echo_uvp()(state))[None]]
         done = 0
         while done < n_steps:
             # short tails run a smaller pow2-bucketed scan instead of a
@@ -251,7 +256,7 @@ class InferenceEngine:
             # frames already uvp; last feeds the next chunk in model space
             frames, last = run(self.params, state)
             take = min(length, n_steps - done)
-            fr = np.asarray(frames)        # ([M,] length, B, 3, nx, ny)
+            fr = to_host(frames)           # ([M,] length, B, 3, nx, ny)
             piece = (np.moveaxis(fr[:, :take], 1, 0) if m > 1
                      else fr[:take])       # (take, [M,] B, 3, nx, ny)
             pieces.append(piece)
@@ -285,7 +290,7 @@ class InferenceEngine:
             return jax.jit(run)
 
         run = self._program(("basis", nt, bucket), build)
-        pred = np.asarray(run(self.params, x))   # ([M,] nt, B, 3, nx, ny)
+        pred = to_host(run(self.params, x))      # ([M,] nt, B, 3, nx, ny)
         if m > 1:
             out = np.moveaxis(pred, 1, 2)[:, :b]   # (M, B, nt, 3, nx, ny)
             return out if batched else out[:, 0]
@@ -312,7 +317,7 @@ class InferenceEngine:
             return jax.jit(run)
 
         run = self._program(("rnn", n_steps, bucket), build)
-        pred = np.asarray(run(self.params, flat))   # ([M,] B, n, D)
+        pred = to_host(run(self.params, flat))      # ([M,] B, n, D)
         if m > 1:
             pred = pred[:, :b].reshape(m, b, n_steps, 3, self.nx, self.ny)
             out = np.concatenate(

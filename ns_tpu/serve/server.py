@@ -68,8 +68,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         path = urlparse(self.path).path
         if path == "/health":
+            model = getattr(self.engine, "model_name", None) or \
+                self.engine.cfg.model
             self._reply_json(200, {
-                "ok": True, "model": self.engine.cfg.model,
+                "ok": True, "model": model,
                 "grid": [self.engine.nx, self.engine.ny],
                 "n_models": self.engine.n_models})
         elif path == "/stats":
@@ -128,7 +130,8 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
 def serve(engine: InferenceEngine, host: str = "127.0.0.1",
           port: int = 8765, quiet: bool = False) -> None:
     httpd = make_server(engine, host, port, quiet=quiet)
-    print(f"serving {engine.cfg.model} ({engine.nx}x{engine.ny}"
+    model = getattr(engine, "model_name", None) or engine.cfg.model
+    print(f"serving {model} ({engine.nx}x{engine.ny}"
           f"{f', {engine.n_models} members' if engine.n_models > 1 else ''})"
           f" on http://{host}:{httpd.server_address[1]}", flush=True)
     try:

@@ -1,0 +1,173 @@
+"""Simulation-as-a-service: the classical solver behind the SAME request
+contract as the surrogate engine.
+
+A SolverEngine serves the periodic spectral solver (the TPU showcase
+family, solvers/spectral_periodic.py) through the identical
+predict(frame0, n_steps) -> (n_steps+1, 3, nx, ny) surface and HTTP
+protocol as serve.engine.InferenceEngine. Because the contracts match, a
+client can point the same code at a surrogate endpoint or at the oracle
+endpoint — on-demand ground truth for A/B evaluation, or physics serving
+where model error is unacceptable. `stride` (solver steps per served
+frame) aligns the solver's cadence with a surrogate trained on strided
+frames (tools/bench_surrogates.py --frame-stride).
+
+Rollouts are chunked scans compiled once per pow2-bucketed tail length,
+exactly like the surrogate path; the (u, v, p) recovery from the
+spectral state runs inside the chunk program.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_tpu.serve.engine import _next_pow2
+from ns_tpu.utils.host import to_host
+
+
+class SolverEngine:
+    """Serve spectral-solver rollouts from physical (u, v, p) states.
+
+    predict(frame0, n_steps) -> frames:
+      frame0  (3, nx, ny) float32 — (u, v, p); vorticity is derived
+              exactly and p is recomputed from it, so only the velocity
+              carries information (as in the physics). An arbitrary
+              input is implicitly projected onto the solenoidal,
+              2/3-dealiased manifold the solver evolves (solver- or
+              surrogate-produced frames already live there and round-trip
+              exactly — tests/test_serve.py).
+      frames  (n_steps + 1, 3, nx, ny); frames[0] echoes the (projected)
+              input state, frames[i] is the state after i * stride
+              solver steps.
+    """
+
+    model_name = "solver:spectral_periodic"
+    n_models = 1
+
+    def __init__(self, nx: int, ny: int, dt: float = 1e-3,
+                 nu: float = 1e-3, stride: int = 1, chunk: int = 64,
+                 dtype: str = "float32"):
+        from ns_tpu.solvers import spectral_periodic as sp
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        self.nx, self.ny, self.stride, self.chunk = nx, ny, stride, chunk
+        self._sp = sp
+        self.cfg = sp.SpectralPeriodicConfig(nt=1, nx=nx, ny=ny, dt=dt,
+                                             nu=nu, dtype=dtype)
+        self._step, _ = sp.make_step(self.cfg)
+        self._programs: dict = {}
+        self._stats_lock = threading.Lock()
+        self._latencies: list[float] = []
+        self._requests = 0
+        self._steps_served = 0
+
+    # -- compiled programs ---------------------------------------------------
+
+    def _program(self, key, build):
+        if key not in self._programs:
+            self._programs[key] = build()
+        return self._programs[key]
+
+    def _emit(self, carry):
+        sp, cfg = self._sp, self.cfg
+        u, v, _w = sp.fields_from_hat(cfg, carry[0])
+        return jnp.stack([u, v, sp.pressure_from_hat(cfg, carry[0])])
+
+    def _init_program(self):
+        sp, cfg = self._sp, self.cfg
+
+        def build():
+            @jax.jit
+            def init(frame0):                    # (3, nx, ny) -> carry+echo
+                from ns_tpu.models.vorticity import vorticity_from_uv
+                w0 = vorticity_from_uv(frame0[0], frame0[1],
+                                       dtype=cfg.dtype)
+                carry = sp.init_from_vorticity(cfg, w0)
+                return carry, self._emit(carry)
+
+            return init
+
+        return self._program(("init",), build)
+
+    def _chunk_program(self, length: int):
+        def build():
+            @jax.jit
+            def run(carry):
+                def advance(c, n):
+                    c, _ = jax.lax.scan(
+                        lambda cc, _: (self._step(cc)[0], None), c, None,
+                        length=n)
+                    return c
+
+                def body(c, _):
+                    c = advance(c, self.stride)
+                    return c, self._emit(c)
+
+                carry, frames = jax.lax.scan(body, carry, None,
+                                             length=length)
+                return frames, carry             # (length, 3, nx, ny)
+
+            return run
+
+        return self._program(("chunk", length), build)
+
+    # -- public API ----------------------------------------------------------
+
+    def predict(self, frame0: np.ndarray, n_steps: int) -> np.ndarray:
+        frame0 = np.asarray(frame0, dtype=np.float32)
+        if frame0.shape != (3, self.nx, self.ny):
+            raise ValueError(
+                f"frame0 must be (3, {self.nx}, {self.ny}); got "
+                f"{frame0.shape} (solver serving is single-state)")
+        if n_steps < 0:
+            raise ValueError(f"n_steps must be >= 0, got {n_steps}")
+        t0 = time.perf_counter()
+        # to_host, not np.asarray: these programs contain complex (spectral)
+        # ops, and the axon TPU transfer layer cannot read their real
+        # outputs back directly (utils/host.py).
+        carry, echo = self._init_program()(jnp.asarray(frame0))
+        pieces = [to_host(echo)[None]]
+        done = 0
+        while done < n_steps:
+            length = min(self.chunk, _next_pow2(n_steps - done))
+            frames, carry = self._chunk_program(length)(carry)
+            take = min(length, n_steps - done)
+            pieces.append(to_host(frames)[:take])
+            done += take
+        out = np.concatenate(pieces)             # (n_steps+1, 3, nx, ny)
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self._requests += 1
+            self._steps_served += n_steps
+            self._latencies.append(dt)
+            if len(self._latencies) > 4096:
+                del self._latencies[:2048]
+        return out
+
+    def warmup(self, n_steps: int = 1) -> None:
+        self.predict(np.zeros((3, self.nx, self.ny), np.float32), n_steps)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            pct = (lambda q: lat[min(n - 1, int(q * n))]) if n else (
+                lambda q: None)
+            return {
+                "model": self.model_name,
+                "grid": [self.nx, self.ny],
+                "stride": self.stride,
+                "chunk": self.chunk,
+                "requests": self._requests,
+                "steps_served": self._steps_served,
+                "compiled_programs": len(self._programs),
+                "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
+                              "p99": pct(0.99),
+                              "max": lat[-1] if n else None},
+            }

@@ -719,21 +719,27 @@ class NavierStokesSystem:
             return expand_compact(cfg, z)
 
         self._expand = expand
+        # jitted here, NOT vmapped eagerly in simulate(): un-jitted vmap
+        # dispatches the complex FFT ops one by one, which the axon TPU
+        # transfer layer handles unreliably (see module docstring hazards)
+        self._fields = jax.jit(jax.vmap(partial(fields_from_hat, cfg)))
+        self._pressure = jax.jit(jax.vmap(partial(pressure_from_hat, cfg)))
+        self._w_phys = jax.jit(jax.vmap(
+            lambda h: jnp.fft.irfft2(h, s=(cfg.nx, cfg.ny))))
 
     def simulate(self):
         w_hats = self._simulate_hat(self.carry0)
         if self.cfg.compact_spectrum:
             w_hats = self._expand(w_hats)
-        u, v, w = jax.vmap(partial(fields_from_hat, self.cfg))(w_hats)
-        p = jax.vmap(partial(pressure_from_hat, self.cfg))(w_hats)
+        u, v, w = self._fields(w_hats)
+        p = self._pressure(w_hats)
         return u, v, p
 
     def simulate_vorticity(self):
         w_hats = self._simulate_hat(self.carry0)
         if self.cfg.compact_spectrum:
             w_hats = self._expand(w_hats)
-        return jax.vmap(
-            lambda h: jnp.fft.irfft2(h, s=(self.cfg.nx, self.cfg.ny)))(w_hats)
+        return self._w_phys(w_hats)
 
     def final_state(self):
         return self._final(self.carry0)

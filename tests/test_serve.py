@@ -223,3 +223,138 @@ def test_server_client_errors(running_server):
     # unknown path -> 404
     status, body = _post_npy(port, "/nope", np.zeros(1, np.float32))
     assert status == 404
+
+
+# ---------------------------------------------------------------------------
+# Solver serving: the oracle behind the same contract
+# ---------------------------------------------------------------------------
+
+
+def test_solver_engine_matches_simulate():
+    """Served frames equal the solver's own rollout: frames[i] is the
+    state after i solver steps (simulate()'s frame k is the state after
+    k+1 steps), and chunking must not change values."""
+    import jax.numpy as jnp
+    from ns_tpu.serve.solver import SolverEngine
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    import jax as _jax
+    from ns_tpu.models.vorticity import dealias_field
+
+    nx = 32
+    cfg = sp.SpectralPeriodicConfig(nt=6, nx=nx, ny=nx, dt=1e-3, nu=1e-3,
+                                    dtype="float32")
+    # the (u,v) -> w round trip is exact only on the dealiased band the
+    # solver itself evolves; start from a band-limited state (what any
+    # solver- or surrogate-produced frame is)
+    w0 = np.asarray(_jax.jit(dealias_field)(
+        sp.decaying_turbulence_vorticity(cfg, seed=0)))
+    u, v, p = (np.asarray(a) for a in sp.NavierStokesSystem(
+        w0, nt=6, nx=nx, ny=nx, dt=1e-3, nu=1e-3).simulate())
+
+    # initial physical state reconstructed from w0 (what a client holds)
+    state0 = sp.init_from_vorticity(cfg, w0)
+    uu, vv, _w = sp.fields_from_hat(cfg, state0[0])
+    pp = sp.pressure_from_hat(cfg, state0[0])
+    frame0 = np.stack([np.asarray(uu), np.asarray(vv), np.asarray(pp)])
+
+    for chunk in (2, 64):
+        eng = SolverEngine(nx, nx, dt=1e-3, nu=1e-3, chunk=chunk)
+        out = eng.predict(frame0, 6)
+        assert out.shape == (7, 3, nx, nx)
+        # frames[k+1] == simulate()'s frame k (state after k+1 steps)
+        np.testing.assert_allclose(out[1:, 0], u, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out[1:, 1], v, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out[1:, 2], p, rtol=2e-4, atol=1e-4)
+        # frame 0 echoes the input state
+        np.testing.assert_allclose(out[0], frame0, rtol=1e-5, atol=1e-6)
+
+
+def test_solver_engine_stride():
+    """stride=k serves every k-th solver state (surrogate cadence)."""
+    from ns_tpu.serve.solver import SolverEngine
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    import jax as _jax
+    from ns_tpu.models.vorticity import dealias_field
+
+    nx = 32
+    cfg = sp.SpectralPeriodicConfig(nt=8, nx=nx, ny=nx, dt=1e-3, nu=1e-3,
+                                    dtype="float32")
+    w0 = np.asarray(_jax.jit(dealias_field)(
+        sp.decaying_turbulence_vorticity(cfg, seed=1)))
+    state0 = sp.init_from_vorticity(cfg, w0)
+    uu, vv, _w = sp.fields_from_hat(cfg, state0[0])
+    pp = sp.pressure_from_hat(cfg, state0[0])
+    frame0 = np.stack([np.asarray(uu), np.asarray(vv), np.asarray(pp)])
+
+    dense = SolverEngine(nx, nx, stride=1).predict(frame0, 8)
+    strided = SolverEngine(nx, nx, stride=4).predict(frame0, 2)
+    np.testing.assert_allclose(strided, dense[::4], rtol=2e-4, atol=1e-5)
+
+
+def test_solver_engine_validation():
+    from ns_tpu.serve.solver import SolverEngine
+    eng = SolverEngine(16, 16)
+    with pytest.raises(ValueError, match="frame0"):
+        eng.predict(np.zeros((2, 3, 16, 16), np.float32), 1)
+    with pytest.raises(ValueError, match="stride"):
+        SolverEngine(16, 16, stride=0)
+
+
+def test_server_with_solver_engine(tmp_path):
+    """The HTTP layer is engine-agnostic: the solver oracle serves the
+    same wire protocol."""
+    from ns_tpu.serve.server import make_server
+    from ns_tpu.serve.solver import SolverEngine
+
+    eng = SolverEngine(16, 16, chunk=4)
+    httpd = make_server(eng, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/health")
+        h = json.loads(conn.getresponse().read())
+        assert h["model"] == "solver:spectral_periodic"
+        conn.close()
+        status, body = _post_npy(port, "/rollout?steps=3",
+                                 np.zeros((3, 16, 16), np.float32))
+        assert status == 200
+        out = np.load(io.BytesIO(body), allow_pickle=False)
+        assert out.shape == (4, 3, 16, 16)
+        assert np.isfinite(out).all()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Typed client (serve/client.py)
+# ---------------------------------------------------------------------------
+
+
+def test_client_roundtrip(running_server):
+    """ServeClient speaks the same wire protocol as the raw example."""
+    from ns_tpu.serve import ServeClient, ServeError
+
+    port, eng, nx, ny = running_server
+    c = ServeClient("127.0.0.1", port)
+    h = c.health()
+    assert h["ok"] and h["grid"] == [nx, ny]
+
+    frame0 = np.zeros((3, nx, ny), np.float32)
+    out = c.rollout(frame0, 5)
+    assert out.shape == (6, 3, nx, ny)
+    np.testing.assert_array_equal(out, eng.predict(frame0, 5))
+
+    s = c.stats()
+    assert s["requests"] >= 1
+
+    # server-side errors surface as ServeError with status + message
+    with pytest.raises(ServeError, match="frame0") as ei:
+        c.rollout(np.zeros((3, nx + 1, ny), np.float32), 2)
+    assert ei.value.status == 400
+    with pytest.raises(ServeError, match="reduce"):
+        c.rollout(frame0, 2, reduce="median")
