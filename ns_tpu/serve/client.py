@@ -20,8 +20,11 @@ from __future__ import annotations
 import http.client
 import io
 import json
+from urllib.parse import quote
 
 import numpy as np
+
+from ns_tpu.serve.wire import npy_bytes as _npy_bytes
 
 
 class ServeError(RuntimeError):
@@ -31,12 +34,6 @@ class ServeError(RuntimeError):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
         self.message = message
-
-
-def _npy_bytes(arr: np.ndarray) -> bytes:
-    buf = io.BytesIO()
-    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
-    return buf.getvalue()
 
 
 class ServeClient:
@@ -87,6 +84,6 @@ class ServeClient:
         """
         q = f"/rollout?steps={int(steps)}"
         if reduce is not None:
-            q += f"&reduce={reduce}"
+            q += f"&reduce={quote(str(reduce), safe='')}"
         frame0 = np.asarray(frame0, dtype=np.float32)
         return self._request("POST", q, body=_npy_bytes(frame0))

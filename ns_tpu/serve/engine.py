@@ -76,7 +76,50 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int):
     raise ValueError(f"unknown model family {cfg.model!r}")
 
 
-class InferenceEngine:
+class ServingBase:
+    """Shared plumbing for the serving engines (surrogate InferenceEngine
+    here, oracle serve.solver.SolverEngine): compiled-program cache and
+    thread-safe request/latency stats."""
+
+    def _init_serving(self):
+        self._programs: dict = {}
+        self._stats_lock = threading.Lock()
+        self._latencies: list[float] = []
+        self._requests = 0
+        self._steps_served = 0
+
+    def _program(self, key, build):
+        if key not in self._programs:
+            self._programs[key] = build()
+        return self._programs[key]
+
+    def _record(self, dt: float, n_steps: int) -> None:
+        with self._stats_lock:
+            self._requests += 1
+            self._steps_served += n_steps
+            self._latencies.append(dt)
+            if len(self._latencies) > 4096:
+                del self._latencies[:2048]
+
+    def _stats_base(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            pct = (lambda q: lat[min(n - 1, int(q * n))]) if n else (
+                lambda q: None)
+            return {
+                "grid": [self.nx, self.ny],
+                "chunk": self.chunk,
+                "requests": self._requests,
+                "steps_served": self._steps_served,
+                "compiled_programs": len(self._programs),
+                "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
+                              "p99": pct(0.99),
+                              "max": lat[-1] if n else None},
+            }
+
+
+class InferenceEngine(ServingBase):
     """Serve full-state extrapolation from a trained surrogate.
 
     predict(frame0, n_steps) -> frames:
@@ -101,11 +144,7 @@ class InferenceEngine:
         # on EVERY request (tens of MB through a ~20 MB/s device tunnel
         # dominated serving latency before this)
         self.params = jax.device_put(params)
-        self._programs: dict = {}
-        self._stats_lock = threading.Lock()
-        self._latencies: list[float] = []
-        self._requests = 0
-        self._steps_served = 0
+        self._init_serving()
 
     # -- construction -------------------------------------------------------
 
@@ -158,11 +197,6 @@ class InferenceEngine:
 
             return post
         return None
-
-    def _program(self, key, build):
-        if key not in self._programs:
-            self._programs[key] = build()
-        return self._programs[key]
 
     def _fno_chunk(self, length: int):
         """jitted (params, x) -> (frames, last_state) where frames is
@@ -346,14 +380,8 @@ class InferenceEngine:
             out = self._predict_rnn(frame0, n_steps)
         else:
             out = self._predict_basis(frame0, n_steps)
-        dt = time.perf_counter() - t0
         nb = frame0.shape[0] if frame0.ndim == 4 else 1
-        with self._stats_lock:
-            self._requests += 1
-            self._steps_served += n_steps * nb
-            self._latencies.append(dt)
-            if len(self._latencies) > 4096:
-                del self._latencies[:2048]
+        self._record(time.perf_counter() - t0, n_steps * nb)
         return out
 
     def warmup(self, n_steps: int = 1, batch: int = 1) -> None:
@@ -363,22 +391,7 @@ class InferenceEngine:
         self.predict(np.zeros(shape, np.float32), n_steps)
 
     def stats(self) -> dict:
-        with self._stats_lock:
-            lat = sorted(self._latencies)
-            n = len(lat)
-            pct = (lambda q: lat[min(n - 1, int(q * n))]) if n else (
-                lambda q: None)
-            return {
-                "model": self.cfg.model,
-                "grid": [self.nx, self.ny],
-                "chunk": self.chunk,
-                "requests": self._requests,
-                "steps_served": self._steps_served,
-                "compiled_programs": len(self._programs),
-                "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
-                              "p99": pct(0.99),
-                              "max": lat[-1] if n else None},
-            }
+        return {"model": self.cfg.model, **self._stats_base()}
 
 
 def load_checkpoint_params(ckpt: str, params_template):

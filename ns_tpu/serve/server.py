@@ -22,27 +22,16 @@ Errors return JSON {"error": ...} with a 4xx/5xx status.
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-import numpy as np
-
 from ns_tpu.serve.engine import InferenceEngine
+from ns_tpu.serve.wire import npy_bytes as _npy_bytes
+from ns_tpu.serve.wire import npy_parse as _npy_parse
 
 MAX_BODY_BYTES = 1 << 30
-
-
-def _npy_bytes(arr: np.ndarray) -> bytes:
-    buf = io.BytesIO()
-    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
-    return buf.getvalue()
-
-
-def _npy_parse(raw: bytes) -> np.ndarray:
-    return np.load(io.BytesIO(raw), allow_pickle=False)
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -18,18 +18,17 @@ spectral state runs inside the chunk program.
 
 from __future__ import annotations
 
-import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ns_tpu.serve.engine import _next_pow2
+from ns_tpu.serve.engine import ServingBase, _next_pow2
 from ns_tpu.utils.host import to_host
 
 
-class SolverEngine:
+class SolverEngine(ServingBase):
     """Serve spectral-solver rollouts from physical (u, v, p) states.
 
     predict(frame0, n_steps) -> frames:
@@ -61,18 +60,9 @@ class SolverEngine:
         self.cfg = sp.SpectralPeriodicConfig(nt=1, nx=nx, ny=ny, dt=dt,
                                              nu=nu, dtype=dtype)
         self._step, _ = sp.make_step(self.cfg)
-        self._programs: dict = {}
-        self._stats_lock = threading.Lock()
-        self._latencies: list[float] = []
-        self._requests = 0
-        self._steps_served = 0
+        self._init_serving()
 
     # -- compiled programs ---------------------------------------------------
-
-    def _program(self, key, build):
-        if key not in self._programs:
-            self._programs[key] = build()
-        return self._programs[key]
 
     def _emit(self, carry):
         sp, cfg = self._sp, self.cfg
@@ -141,33 +131,12 @@ class SolverEngine:
             pieces.append(to_host(frames)[:take])
             done += take
         out = np.concatenate(pieces)             # (n_steps+1, 3, nx, ny)
-        dt = time.perf_counter() - t0
-        with self._stats_lock:
-            self._requests += 1
-            self._steps_served += n_steps
-            self._latencies.append(dt)
-            if len(self._latencies) > 4096:
-                del self._latencies[:2048]
+        self._record(time.perf_counter() - t0, n_steps)
         return out
 
     def warmup(self, n_steps: int = 1) -> None:
         self.predict(np.zeros((3, self.nx, self.ny), np.float32), n_steps)
 
     def stats(self) -> dict:
-        with self._stats_lock:
-            lat = sorted(self._latencies)
-            n = len(lat)
-            pct = (lambda q: lat[min(n - 1, int(q * n))]) if n else (
-                lambda q: None)
-            return {
-                "model": self.model_name,
-                "grid": [self.nx, self.ny],
-                "stride": self.stride,
-                "chunk": self.chunk,
-                "requests": self._requests,
-                "steps_served": self._steps_served,
-                "compiled_programs": len(self._programs),
-                "latency_s": {"p50": pct(0.50), "p90": pct(0.90),
-                              "p99": pct(0.99),
-                              "max": lat[-1] if n else None},
-            }
+        return {"model": self.model_name, "stride": self.stride,
+                **self._stats_base()}

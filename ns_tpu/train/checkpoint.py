@@ -34,10 +34,15 @@ def _path_key(path) -> str:
 
 
 def _flatten_with_paths(tree):
+    from ns_tpu.utils.host import to_host
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
     for path, leaf in flat:
-        out[_path_key(path)] = np.asarray(leaf)
+        # to_host for device leaves: train states produced by executables
+        # containing complex ops (fno fft engine, spectral solvers) cannot
+        # be np.asarray'd directly over the axon TPU tunnel
+        out[_path_key(path)] = (to_host(leaf) if isinstance(leaf, jax.Array)
+                                else np.asarray(leaf))
     return out
 
 
@@ -65,6 +70,14 @@ def save_checkpoint(state: dict, folder: str, is_best: bool = False,
             shutil.copyfile(path + ".meta.json",
                             os.path.join(folder, "model_best.npz.meta.json"))
     return path
+
+
+class _Shaped:
+    """Minimal `.shape` carrier so _check_manifest never needs real
+    template arrays (template leaves may live on device)."""
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
 
 
 def _check_manifest(path: str, data, template_arrays: dict) -> None:
@@ -114,14 +127,18 @@ def load_checkpoint(path: str, like: Any) -> Any:
     (__treedef__) ones; the compatibility check is key-path based either
     way."""
     data = np.load(path)
-    template_arrays = _flatten_with_paths(like)
-    _check_manifest(path, data, template_arrays)
     flat = jax.tree_util.tree_flatten_with_path(like)[0]
+    # shapes/dtypes come from the template leaves' metadata — no host
+    # transfer of the (possibly device-resident) template is ever needed
+    template_shapes = {_path_key(p): _Shaped(np.shape(leaf))
+                       for p, leaf in flat}
+    _check_manifest(path, data, template_shapes)
     treedef = jax.tree_util.tree_structure(like)
     new_leaves = []
     for (pth, leaf) in flat:
         arr = data[_path_key(pth)]
-        new_leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
+        dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+        new_leaves.append(arr.astype(dtype).reshape(np.shape(leaf)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -153,8 +153,10 @@ class EnsembleTrainer:
             if cfg.model == "fno_w":
                 from ns_tpu.models.vorticity import vorticity_from_uv
                 uv = self.obs[:, 0]
-                self.w_frames = vorticity_from_uv(
-                    uv[:, 0], uv[:, 1])[:, None]       # (nt, 1, nx, ny)
+                # jitted: no eager complex dispatch over the TPU tunnel
+                self.w_frames = jax.jit(
+                    lambda a, b: vorticity_from_uv(a, b))(
+                        uv[:, 0], uv[:, 1])[:, None]   # (nt, 1, nx, ny)
             self._forward = build_forward(cfg, self.model, self.obs,
                                           self.w_frames)
         else:
@@ -216,7 +218,10 @@ class EnsembleTrainer:
             chunk = self._train_chunk(n)
             self.params, self.opt_state, losses = chunk(
                 self.params, self.opt_state)
-            rows = _np.asarray(losses)             # (n, n_models)
+            # to_host: the fno train executable contains complex ops whose
+            # outputs cannot be read back directly over the axon tunnel
+            from ns_tpu.utils.host import to_host
+            rows = to_host(losses)                 # (n, n_models)
             self.losses.extend([list(map(float, r)) for r in rows])
             it += n
             if it % cfg.ckpt_every == 0 or it == cfg.n_iters:
@@ -242,19 +247,24 @@ class EnsembleTrainer:
         spread."""
         import numpy as _np
         from ns_tpu.train.trainer import load_obs
+        from ns_tpu.utils.host import to_host
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
 
+        # fno readbacks go through to_host and derive w INSIDE the jitted
+        # program: complex (spectral) ops must neither dispatch eagerly
+        # nor have their executables' outputs np.asarray'd on the axon
+        # tunnel (utils/host.py)
         if self.cfg.model == "fno_w":
             from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
                                                  vorticity_from_uv)
-            uv0 = obs_full[0, 0]
-            w0 = vorticity_from_uv(uv0[0], uv0[1])[None]   # (1, nx, ny)
             post = ((lambda x: dealias_field(x))
                     if self.cfg.fno_dealias else None)
 
             @jax.jit
-            def roll_w(params):
+            def roll_w(params, uv0):
+                w0 = vorticity_from_uv(uv0[0], uv0[1])[None]  # (1, nx, ny)
+
                 def one(p):
                     w_seq = self.model.rollout(p, w0, nt_full - 1, post=post)
                     w_seq = jnp.concatenate([w0[None], w_seq], axis=0)
@@ -263,7 +273,7 @@ class EnsembleTrainer:
 
                 return jax.vmap(one)(params)
 
-            return _np.asarray(roll_w(self.params))
+            return to_host(roll_w(self.params, obs_full[0, 0]))
 
         if self.cfg.model == "fno":
             post = None
@@ -284,7 +294,7 @@ class EnsembleTrainer:
 
                 return jax.vmap(one)(params)
 
-            return _np.asarray(roll_uvp(self.params))
+            return to_host(roll_uvp(self.params))
 
         @jax.jit
         def roll(params):

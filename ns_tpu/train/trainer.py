@@ -197,8 +197,11 @@ class Trainer:
                 # (models/vorticity.py — periodic data only)
                 from ns_tpu.models.vorticity import vorticity_from_uv
                 uv = self.obs[:, 0]                    # (nt, 3, nx, ny)
-                self.w_frames = vorticity_from_uv(
-                    uv[:, 0], uv[:, 1])[:, None]       # (nt, 1, nx, ny)
+                # jitted: the spectral curl must not dispatch its complex
+                # ops eagerly over the TPU tunnel (utils/host.py hazards)
+                self.w_frames = jax.jit(
+                    lambda a, b: vorticity_from_uv(a, b))(
+                        uv[:, 0], uv[:, 1])[:, None]   # (nt, 1, nx, ny)
             # noise std is relative to the data scale so one input_noise
             # value transfers across resolutions/field spaces
             self._data_scale = float(jnp.std(
@@ -295,8 +298,10 @@ class Trainer:
                 self.params, self.opt_state, self._noise_key, losses = (
                     step_chunk(self.params, self.opt_state, self._noise_key))
                 # one bulk device->host transfer (per-scalar reads cost a
-                # full tunnel round trip each)
-                vals = [float(x) for x in np.asarray(losses)]
+                # full tunnel round trip each); to_host because the fno
+                # fft engine puts complex ops in the train executable
+                from ns_tpu.utils.host import to_host
+                vals = [float(x) for x in to_host(losses)]
                 for v in vals:
                     loss_meter.update(v)
                 self.losses.extend(vals)
@@ -342,21 +347,30 @@ class Trainer:
         for parity with rnn.py:116-134."""
         obs_full = load_obs(npz_path or self.cfg.npz_path, None)
         nt_full = obs_full.shape[0]
+        # the fno paths run as ONE jitted program with a to_host readback:
+        # their executables contain complex (spectral) ops, which the axon
+        # TPU tunnel can neither dispatch eagerly nor read back directly
+        # (utils/host.py)
+        from ns_tpu.utils.host import to_host
         if self.cfg.model == "fno_w":
             from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
                                                  vorticity_from_uv)
-            uv0 = obs_full[0, 0]
-            w0 = vorticity_from_uv(uv0[0], uv0[1])[None]   # (1, nx, ny)
             post = ((lambda x: dealias_field(x))
                     if self.cfg.fno_dealias else None)
-            # frame-aligned output (out[t] ~ obs[t], like the ODE
-            # families whose solve includes the initial state): frame 0
-            # is the exact initial condition, then nt-1 rollout steps
-            w_seq = self.model.rollout(self.params, w0, nt_full - 1,
-                                       post=post)
-            w_seq = jnp.concatenate([w0[None], w_seq], axis=0)
-            u, v, p = jax.vmap(uvp_from_w)(w_seq[:, 0])
-            return np.asarray(jnp.stack([u, v, p], axis=1))
+
+            @jax.jit
+            def run_w(params, uv0):
+                w0 = vorticity_from_uv(uv0[0], uv0[1])[None]  # (1, nx, ny)
+                # frame-aligned output (out[t] ~ obs[t], like the ODE
+                # families whose solve includes the initial state): frame
+                # 0 is the exact initial condition, then nt-1 rollout steps
+                w_seq = self.model.rollout(params, w0, nt_full - 1,
+                                           post=post)
+                w_seq = jnp.concatenate([w0[None], w_seq], axis=0)
+                u, v, p = jax.vmap(uvp_from_w)(w_seq[:, 0])
+                return jnp.stack([u, v, p], axis=1)
+
+            return to_host(run_w(self.params, obs_full[0, 0]))
         if self.cfg.model == "fno":
             post = None
             if self.cfg.fno_project:
@@ -367,10 +381,14 @@ class Trainer:
                                                 x[..., 1, :, :])
                     return jnp.stack([u_p, v_p, x[..., 2, :, :]],
                                      axis=-3)
-            pred = self.model.rollout(self.params, obs_full[0, 0],
-                                      nt_full - 1, post=post)
-            return np.asarray(jnp.concatenate([obs_full[:1, 0], pred],
-                                              axis=0))
+
+            @jax.jit
+            def run_uvp(params, obs0):
+                pred = self.model.rollout(params, obs0[0, 0],
+                                          nt_full - 1, post=post)
+                return jnp.concatenate([obs0[:1, 0], pred], axis=0)
+
+            return to_host(run_uvp(self.params, obs_full[:1]))
         if self.cfg.model == "rnn":
             obs0 = obs_full[0].reshape(1, -1)
             pred = self.model.extrapolate(self.params, obs0, nt_full)

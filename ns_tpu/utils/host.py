@@ -34,17 +34,38 @@ def sync(tree):
     return tree
 
 
+@jax.jit
+def _copy_tree(xs):
+    """One real-only copy program over a whole list of leaves: a single
+    dispatch (per-call launch latency through the tunnel is 1-30 ms, so
+    per-leaf programs dominate e.g. checkpoint saves of ~100-leaf states).
+    Complex leaves split to (re, im) tuples, recombined host-side."""
+    out = []
+    for x in xs:
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            r = x.real
+            out.append((r * jnp.ones((), r.dtype),
+                        x.imag * jnp.ones((), r.dtype)))
+        else:
+            out.append(x * jnp.ones((), x.dtype))
+    return out
+
+
 def to_host(tree):
     """Materialize a pytree of device arrays as numpy, robust to the axon
     complex-executable readback limitation. Complex arrays are split into
-    real/imag (real-typed programs), transferred, and recombined."""
-
-    def one(x):
-        x = jnp.asarray(x)
-        if jnp.issubdtype(x.dtype, jnp.complexfloating):
-            re = np.asarray(_copy_real(x.real))
-            im = np.asarray(_copy_real(x.imag))
-            return re + 1j * im
-        return np.asarray(_copy_real(x))
-
-    return jax.tree_util.tree_map(one, tree)
+    real/imag (real-typed programs), transferred, and recombined. All
+    device leaves are laundered through ONE jitted copy program (cached by
+    tree structure), then transferred."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    dev_idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    if dev_idx:
+        copied = _copy_tree([leaves[i] for i in dev_idx])
+        for i, c in zip(dev_idx, copied):
+            if isinstance(c, tuple):
+                leaves[i] = np.asarray(c[0]) + 1j * np.asarray(c[1])
+            else:
+                leaves[i] = np.asarray(c)
+    leaves = [x if isinstance(x, np.ndarray) else np.asarray(x)
+              for x in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

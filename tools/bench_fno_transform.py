@@ -47,11 +47,14 @@ def main():
                 if args.dealias else None)
         roll = jax.jit(lambda p, x: jnp.sum(jnp.abs(
             m.rollout(p, x, args.steps, post=post))))
-        float(roll(p, x0))
+        # to_host: the fft-engine executable contains complex ops, whose
+        # outputs float() cannot read back directly over the axon tunnel
+        from ns_tpu.utils.host import to_host
+        float(to_host(roll(p, x0)))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(roll(p, x0))
+            float(to_host(roll(p, x0)))
             best = min(best, time.perf_counter() - t0)
         return best / args.steps * 1e3
 
