@@ -1,0 +1,154 @@
+"""Evaluate a trained surrogate against its data: the quantitative eval
+the reference never ships.
+
+The reference's drivers end by writing `extrapolation.npy` and stop (ref
+neural_spectral/spectral_ode.py:208-224) — error analysis is left to the
+reader. This CLI closes the loop: given a checkpoint (or a saved
+extrapolation file) and the observation npz, it reports relative-L2
+errors over the train window / extrapolation window / full horizon, per
+field, along the horizon, and against the persistence baseline (predict
+frame 0 forever — the do-nothing calibration any surrogate must beat).
+Ensemble checkpoints are evaluated as the ensemble mean, with the
+member-spread diagnostic alongside.
+
+Examples:
+  python -m ns_tpu.cli.evaluate --ckpt checkpoints/fno_w_10 \
+      --npz-path data.npz --json report.json
+  python -m ns_tpu.cli.evaluate \
+      --extrapolation checkpoints/rnn_10/extrapolation.npy \
+      --npz-path data_semi_implicit.npz --offset 1
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+from ns_tpu.train.metrics import rel_l2
+
+
+def _window_metrics(pred: np.ndarray, obs: np.ndarray,
+                    persist: np.ndarray) -> dict:
+    return {
+        "rel_l2": rel_l2(pred, obs),
+        "persistence_rel_l2": rel_l2(persist, obs),
+        "fields": {name: rel_l2(pred[:, i], obs[:, i])
+                   for i, name in enumerate(("u", "v", "p"))},
+    }
+
+
+def evaluate(pred: np.ndarray, obs: np.ndarray, n_train: int) -> dict:
+    """pred, obs: frame-aligned (nt, 3, nx, ny); n_train: frames the
+    model was trained on (train window = [0, n_train), extrapolation
+    window = [n_train, nt))."""
+    nt = obs.shape[0]
+    if pred.shape != obs.shape:
+        raise ValueError(f"prediction shape {pred.shape} does not match "
+                         f"observations {obs.shape}")
+    n_train = min(n_train, nt)
+    persist = np.broadcast_to(obs[:1], obs.shape)
+    report = {
+        "n_frames": nt,
+        "n_train": n_train,
+        "windows": {
+            "train": _window_metrics(pred[:n_train], obs[:n_train],
+                                     persist[:n_train]),
+            "full": _window_metrics(pred, obs, persist),
+        },
+    }
+    if n_train < nt:
+        report["windows"]["extrapolation"] = _window_metrics(
+            pred[n_train:], obs[n_train:], persist[n_train:])
+    # error along the horizon: quartile frames + the last one
+    marks = sorted({max(1, nt // 4), nt // 2, 3 * nt // 4, nt - 1})
+    report["horizon_curve"] = [
+        {"frame": k, "rel_l2": rel_l2(pred[k], obs[k])} for k in marks
+        if 0 < k < nt]
+    return report
+
+
+def _print_report(report: dict) -> None:
+    print(f"frames: {report['n_frames']} (train window "
+          f"{report['n_train']})")
+    print("| window | rel L2 | persistence | u | v | p |")
+    print("|---|---|---|---|---|---|")
+    for name, w in report["windows"].items():
+        f = w["fields"]
+        print(f"| {name} | {w['rel_l2']:.4f} | "
+              f"{w['persistence_rel_l2']:.4f} | {f['u']:.4f} | "
+              f"{f['v']:.4f} | {f['p']:.4f} |")
+    curve = " -> ".join(f"{m['rel_l2']:.3f}@{m['frame']}"
+                        for m in report["horizon_curve"])
+    print(f"horizon: {curve}")
+    if "ensemble" in report:
+        e = report["ensemble"]
+        print(f"ensemble: {e['n_models']} members, mean-rollout rel L2 "
+              f"{report['windows']['full']['rel_l2']:.4f}, member spread "
+              f"(mean per-cell std) {e['member_spread']:.4f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--ckpt",
+                     help="checkpoint.npz or its directory: rolls the "
+                          "model out from the data's frame 0 (ensemble "
+                          "checkpoints evaluate the member mean)")
+    src.add_argument("--extrapolation",
+                     help="a saved extrapolation .npy (nt, 3, nx, ny) — "
+                          "e.g. cli.train's output, or the reference's")
+    p.add_argument("--npz-path", required=True,
+                   help="observation rollout (u, v, p arrays)")
+    p.add_argument("--n-frames", type=int, default=100,
+                   help="train-window length used at training time "
+                        "(default: the reference's 100; --ckpt mode reads "
+                        "the checkpoint's own value instead)")
+    p.add_argument("--offset", type=int, default=0,
+                   help="prediction-frame offset: pred[t] ~ obs[t+offset] "
+                        "(the reference rnn convention needs 1; engine "
+                        "and cli.train outputs are frame-aligned at 0 "
+                        "except cli.train's rnn extrapolation.npy)")
+    p.add_argument("--chunk", type=int, default=64,
+                   help="ckpt mode: rollout chunk length")
+    p.add_argument("--json", default=None,
+                   help="also write the full report as JSON here")
+    args = p.parse_args(argv)
+
+    d = np.load(args.npz_path)
+    obs = np.stack([d["u"], d["v"], d["p"]], axis=1).astype(np.float32)
+    nt = obs.shape[0]
+    n_train = args.n_frames
+
+    ensemble = None
+    if args.ckpt:
+        from ns_tpu.serve.engine import InferenceEngine
+        eng = InferenceEngine.from_checkpoint(args.ckpt, chunk=args.chunk)
+        n_train = int(eng.cfg.n_frames or n_train)
+        pred = eng.predict(obs[0], nt - 1)     # frame-aligned, echo at 0
+        if eng.n_models > 1:
+            ensemble = {"n_models": eng.n_models,
+                        "member_spread": float(pred.std(axis=0).mean())}
+            pred = pred.mean(axis=0)
+    else:
+        pred = np.load(args.extrapolation).astype(np.float32)
+        if pred.ndim != 4:
+            raise ValueError(f"extrapolation must be (nt, 3, nx, ny); got "
+                             f"{pred.shape}")
+
+    if args.offset:
+        pred, obs = pred[:nt - args.offset], obs[args.offset:]
+
+    report = evaluate(pred, obs, n_train)
+    report["source"] = args.ckpt or args.extrapolation
+    report["npz_path"] = args.npz_path
+    if ensemble:
+        report["ensemble"] = ensemble
+    _print_report(report)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -132,11 +132,15 @@ def replicated(sharding_or_mesh, data: np.ndarray) -> jax.Array:
 def local_shards(arr: jax.Array) -> list[tuple[tuple, np.ndarray]]:
     """This process's addressable shards as (global_index, numpy) pairs.
     global_index is a tuple of (start, stop) per dimension."""
+    from ns_tpu.utils.host import to_host
     out = []
     for s in arr.addressable_shards:
         idx = tuple((sl.start or 0, sl.stop if sl.stop is not None else dim)
                     for sl, dim in zip(s.index, arr.shape))
-        out.append((idx, np.asarray(s.data)))
+        # to_host per shard: spectral rollout outputs come from complex-op
+        # executables, whose buffers the axon tunnel cannot np.asarray
+        # directly (utils/host.py); shards stay per-host, never gathered
+        out.append((idx, to_host(s.data)))
     return out
 
 

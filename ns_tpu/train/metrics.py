@@ -63,6 +63,15 @@ def normal_kl(mu1: Array, lv1: Array, mu2: Array, lv2: Array) -> Array:
     return lstd2 - lstd1 + (v1 + (mu1 - mu2) ** 2) / (2.0 * v2) - 0.5
 
 
+def rel_l2(pred, obs) -> float:
+    """Global relative L2 error ||pred - obs|| / ||obs|| (host numpy) —
+    the evaluation metric of every surrogate study (RESULTS.md,
+    tools/head_to_head.py, cli/evaluate.py)."""
+    pred = np.asarray(pred)
+    obs = np.asarray(obs)
+    return float(np.linalg.norm(pred - obs) / np.linalg.norm(obs))
+
+
 def divergence_residual_fd(u: Array, v: Array, dx: float, dy: float) -> Array:
     """Max |du/dx + dv/dy| on the interior, central differences in the
     reference direct_fd axis convention (x along axis 1)."""
