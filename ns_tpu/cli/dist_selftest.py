@@ -86,10 +86,14 @@ def main() -> None:
                                     compact_spectrum=True, dealias=True)
     w0 = np.asarray(sp.decaying_turbulence_vorticity(cfg, seed=3))
 
+    from ns_tpu.utils.host import to_host
+
     carry0 = sp.init_from_vorticity(cfg, w0)
     w_hat_ref, _ = sp.rollout_final_compact(cfg, carry0)
     _, cinv = sp.make_compact_transforms(cfg)
-    w_ref = np.asarray(jax.jit(cinv)(w_hat_ref))
+    # to_host, not np.asarray: cinv's executable contains complex ops,
+    # whose outputs the axon TPU tunnel cannot read back directly
+    w_ref = to_host(jax.jit(cinv)(w_hat_ref))
 
     rollout, phys_sharding = make_sharded_compact_rollout(cfg, mesh)
     lo, hi = dist.process_local_rows(cfg.nx, mesh, "x")
@@ -116,6 +120,14 @@ def main() -> None:
     if out_dir is None:
         out_dir = os.path.join(tempfile.gettempdir(),
                                f"ns_tpu_selftest_{os.environ.get('NS_TPU_COORDINATOR', 'x').replace(':', '_')}")
+    # pod runs (no launcher env) reuse a fixed dir: the coordinator clears
+    # stale shard files from earlier runs before anyone writes, else
+    # assemble_shards rejects (or a matching-topology stale set corrupts)
+    if dist.is_coordinator() and os.path.isdir(out_dir):
+        import glob
+        for f in glob.glob(os.path.join(out_dir, "w_final.proc*.npz")):
+            os.remove(f)
+    dist.barrier("selftest_clean")
     dist.save_array_shards(out_dir, "w_final", w_fin)
     dist.barrier("selftest_io")
     if dist.is_coordinator():

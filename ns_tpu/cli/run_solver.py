@@ -141,8 +141,15 @@ def _run_distributed(args):
     if len(names) == 1:
         out = (out,)
 
-    out_dir = (args.stream_dir
-               or (args.out or f"{args.family}_dist.npz") + ".shards")
+    if args.stream_dir:
+        # --stream-dir promises memmapped per-frame .npy streaming, which
+        # the dist path does not implement (the stacked rollout is still
+        # materialized on device and written as per-process npz shards) —
+        # refusing beats silently changing both the memory behavior and
+        # the on-disk format
+        raise SystemExit("--stream-dir is not supported with --dist; "
+                         "shard files go to <--out>.shards")
+    out_dir = (args.out or f"{args.family}_dist.npz") + ".shards"
     for name, arr in zip(names, out):
         dist.save_array_shards(out_dir, name, arr)
     dist.barrier("rollout_io")

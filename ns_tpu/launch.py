@@ -33,10 +33,17 @@ import socket
 import subprocess
 import sys
 import threading
+import time
 
 
 def _free_port() -> int:
+    # NOTE: the port is only *probably* free — the probe socket closes
+    # before worker 0 binds the coordinator to it (the OS offers no
+    # cross-process handoff here). SO_REUSEADDR narrows, not closes, the
+    # race; concurrent launches on one host can still collide, in which
+    # case the gang fails fast and the caller retries.
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
@@ -58,38 +65,57 @@ def launch(cmd: list[str], nprocs: int, devices_per_proc: int | None = None,
     coordinator = coordinator or f"127.0.0.1:{_free_port()}"
     procs = []
     threads = []
-    for pid in range(nprocs):
-        env = dict(os.environ)
-        env.update({
-            "NS_TPU_COORDINATOR": coordinator,
-            "NS_TPU_NUM_PROCESSES": str(nprocs),
-            "NS_TPU_PROCESS_ID": str(pid),
-        })
-        if platform:
-            env["NS_TPU_PLATFORM"] = platform
-        if devices_per_proc is not None:
-            env["NS_TPU_LOCAL_DEVICES"] = str(devices_per_proc)
-        if env_extra:
-            env.update(env_extra)
-        p = subprocess.Popen(cmd, env=env, text=True,
-                             stdout=subprocess.PIPE,
-                             stderr=subprocess.STDOUT)
-        procs.append(p)
-        t = threading.Thread(
-            target=_pump, args=(p.stdout, f"[p{pid}]",
-                                open(os.devnull, "w") if quiet
-                                else sys.stdout),
-            daemon=True)
-        t.start()
-        threads.append(t)
-
     rc = 0
+    deadline = (time.monotonic() + timeout) if timeout else None
     try:
-        for p in procs:
-            p.wait(timeout=timeout)
-            rc = max(rc, p.returncode)
-            if p.returncode != 0:
+        # spawn INSIDE the try: a failed Popen for a later worker must not
+        # leak earlier children (they block in jax.distributed.initialize
+        # waiting for the full gang)
+        for pid in range(nprocs):
+            env = dict(os.environ)
+            env.update({
+                "NS_TPU_COORDINATOR": coordinator,
+                "NS_TPU_NUM_PROCESSES": str(nprocs),
+                "NS_TPU_PROCESS_ID": str(pid),
+            })
+            if platform:
+                env["NS_TPU_PLATFORM"] = platform
+            if devices_per_proc is not None:
+                env["NS_TPU_LOCAL_DEVICES"] = str(devices_per_proc)
+            if env_extra:
+                env.update(env_extra)
+            p = subprocess.Popen(cmd, env=env, text=True,
+                                 stdout=subprocess.PIPE,
+                                 stderr=subprocess.STDOUT)
+            procs.append(p)
+            t = threading.Thread(
+                target=_pump, args=(p.stdout, f"[p{pid}]",
+                                    open(os.devnull, "w") if quiet
+                                    else sys.stdout),
+                daemon=True)
+            t.start()
+            threads.append(t)
+
+        # poll ALL children round-robin (never block on one in pid order:
+        # a later worker crashing at startup while an earlier one waits in
+        # a collective would hang a pid-ordered wait forever)
+        live = list(procs)
+        while live and rc == 0:
+            for p in list(live):
+                ret = p.poll()
+                if ret is None:
+                    continue
+                live.remove(p)
+                if ret != 0:
+                    # signal deaths are negative returncodes — any nonzero
+                    # (either sign) is a failed gang
+                    rc = ret
+                    break
+            if deadline and time.monotonic() > deadline:
+                rc = 124
                 break
+            if live and rc == 0:
+                time.sleep(0.05)
     finally:
         for p in procs:
             if p.poll() is None:

@@ -170,16 +170,46 @@ def momentum_explicit_fused_pallas(
     return launch(un, un, un, vn, vn, vn, un1, un1, un1, vn1, vn1, vn1)
 
 
+def tpu_interpret_active() -> bool:
+    """True inside pltpu.force_tpu_interpret_mode() — lets solver-level
+    gating keep Pallas paths live for CPU interpret-mode validation while
+    still falling back to XLA on plain non-TPU backends."""
+    try:
+        from jax._src import config as _jcfg
+        return (_jcfg.pallas_tpu_interpret_mode_context_manager.value
+                is not None)
+    except Exception:
+        return False
+
+
+def momentum_tile_rows(ny: int, itemsize: int = 4,
+                       budget_bytes: int = 6 << 20) -> int:
+    """Largest tile_rows (multiple of 8, <= 128) whose per-strip working
+    set fits the VMEM budget. The footprint scales with ny (every block
+    spans all columns): ~6 tm-row buffers (4 inputs incl. working
+    windows, 2 outputs) plus ~64 halo/temp rows per strip. Wide grids
+    shrink the strip instead of failing to compile (the guard the
+    pressure kernels get from vmem_fits)."""
+    rows_budget = budget_bytes // max(1, ny * itemsize)
+    tm = int((rows_budget - 64) // 6)
+    return max(_H, min(128, (tm // _H) * _H))
+
+
 def momentum_explicit_fused_any(
         un: Array, vn: Array, un1: Array, vn1: Array,
         dt: float, dx: float, dy: float, nu: float,
-        u_bc, v_bc, quirk_compat: bool = True, tile_rows: int = 128,
+        u_bc, v_bc, quirk_compat: bool = True, tile_rows: int | None = 128,
         interpret: bool = False) -> tuple[Array, Array]:
     """Pad-and-mask entry for ARBITRARY grid shapes (same scheme as
     poisson_kernels.sor_redblack_tiled_any): rows pad to a tile_rows
     multiple, columns to a lane (128) multiple; masks and BC edges key on
-    the logical shape, pad cells pass through and are sliced away."""
+    the logical shape, pad cells pass through and are sliced away.
+    tile_rows=None picks the widest strip that fits VMEM
+    (momentum_tile_rows)."""
     nx, ny = un.shape
+    if tile_rows is None:
+        tile_rows = momentum_tile_rows(
+            -(-ny // 128) * 128, jnp.dtype(un.dtype).itemsize)
     nxp = -(-nx // tile_rows) * tile_rows
     nyp = -(-ny // 128) * 128
     if (nxp, nyp) == (nx, ny):

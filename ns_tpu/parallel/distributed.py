@@ -133,14 +133,17 @@ def local_shards(arr: jax.Array) -> list[tuple[tuple, np.ndarray]]:
     """This process's addressable shards as (global_index, numpy) pairs.
     global_index is a tuple of (start, stop) per dimension."""
     from ns_tpu.utils.host import to_host
+    shards = list(arr.addressable_shards)
+    # ONE to_host over all local shards (one laundering program, one
+    # dispatch): spectral rollout outputs come from complex-op
+    # executables, whose buffers the axon tunnel cannot np.asarray
+    # directly (utils/host.py); shards stay per-host, never gathered
+    datas = to_host([s.data for s in shards])
     out = []
-    for s in arr.addressable_shards:
+    for s, data in zip(shards, datas):
         idx = tuple((sl.start or 0, sl.stop if sl.stop is not None else dim)
                     for sl, dim in zip(s.index, arr.shape))
-        # to_host per shard: spectral rollout outputs come from complex-op
-        # executables, whose buffers the axon tunnel cannot np.asarray
-        # directly (utils/host.py); shards stay per-host, never gathered
-        out.append((idx, to_host(s.data)))
+        out.append((idx, data))
     return out
 
 
@@ -183,6 +186,16 @@ def assemble_shards(folder: str, name: str) -> np.ndarray:
     for f in files:
         data = np.load(f)
         manifest = json.loads(bytes(data["__manifest__"]).decode())
+        # stale-file guard: a shard set from an earlier run with MORE
+        # processes would still cover the array and silently overwrite
+        # fresh rows (sorted() loads higher pids last) — every manifest
+        # must agree that exactly len(files) processes wrote this set
+        if manifest["num_processes"] != len(files):
+            raise ValueError(
+                f"{f} says {name!r} was written by "
+                f"{manifest['num_processes']} processes but {len(files)} "
+                f"shard files are present — stale shard files from a "
+                f"previous run? Clean {folder} and re-run")
         if full is None:
             full = np.zeros(manifest["global_shape"],
                             dtype=np.dtype(manifest["dtype"]))

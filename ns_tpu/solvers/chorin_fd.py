@@ -98,6 +98,11 @@ class ChorinFDConfig:
         if self.method not in ("semi_implicit", "explicit", "helmholtz"):
             raise ValueError("method must be semi_implicit|explicit|"
                              f"helmholtz, got {self.method!r}")
+        if self.use_pallas_momentum and self.method != "explicit":
+            # silently ignoring the flag would label XLA-path numbers as
+            # pallas in programmatic benchmarks; the CLI already errors
+            raise ValueError("use_pallas_momentum requires "
+                             f"method='explicit'; got {self.method!r}")
         if self.pressure_mode not in ("redblack", "gauss_seidel",
                                       "multigrid", "cg", "dst"):
             raise ValueError("pressure_mode must be redblack|gauss_seidel|"
@@ -319,16 +324,28 @@ def make_step(cfg: ChorinFDConfig, u_bc: Sequence[BC], v_bc: Sequence[BC],
         un1, vn1 = state.u_prev, state.v_prev
 
         with jax.named_scope("chorin_fd.predictor"):
+            use_momentum_kernel = False
             if cfg.method == "explicit" and cfg.use_pallas_momentum:
+                from ns_tpu.ops.pallas.momentum_kernels import (
+                    tpu_interpret_active)
+                # Mosaic kernels need a TPU; on plain CPU/GPU backends the
+                # flag degrades to the XLA path (same contract as the
+                # use_pallas pressure flag) — EXCEPT under
+                # pltpu.force_tpu_interpret_mode, which exists to validate
+                # the kernel path on CPU
+                use_momentum_kernel = (jax.default_backend() == "tpu"
+                                       or tpu_interpret_active())
+            if use_momentum_kernel:
                 from ns_tpu.ops.pallas.momentum_kernels import (
                     momentum_explicit_fused_any)
                 # fused stencils + BC edge writes, one launch (BCs are
                 # part of the kernel, so no apply_bcs here); any geometry
-                # via pad-and-mask. Opt-in flag; needs a TPU (or
-                # pltpu.force_tpu_interpret_mode for CPU validation)
+                # via pad-and-mask; tile_rows=None auto-shrinks the strip
+                # to the VMEM budget on wide grids
                 ui, vi = momentum_explicit_fused_any(
                     un, vn, un1, vn1, cfg.dt, cfg.dx, cfg.dy, cfg.nu,
-                    u_bc, v_bc, quirk_compat=cfg.quirk_compat)
+                    u_bc, v_bc, quirk_compat=cfg.quirk_compat,
+                    tile_rows=None)
             else:
                 if cfg.method == "explicit":
                     ui, vi = _explicit_predictor(cfg, un, vn, un1, vn1)

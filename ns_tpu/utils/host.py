@@ -58,8 +58,15 @@ def to_host(tree):
     device leaves are laundered through ONE jitted copy program (cached by
     tree structure), then transferred."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    dev_idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
-    if dev_idx:
+    # one copy program per device-placement group: a single jitted call
+    # cannot mix arguments committed to different devices (e.g. the
+    # per-device shards of a global array in parallel/distributed.py)
+    groups: dict = {}
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            key = tuple(sorted(d.id for d in x.devices()))
+            groups.setdefault(key, []).append(i)
+    for dev_idx in groups.values():
         copied = _copy_tree([leaves[i] for i in dev_idx])
         for i, c in zip(dev_idx, copied):
             if isinstance(c, tuple):

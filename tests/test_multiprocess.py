@@ -125,3 +125,61 @@ def test_global_array_matches_device_put():
     a = dist.global_array(sharding, arr)  # single-process: local == global
     b = jax.device_put(arr, sharding)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_launch_reports_signal_killed_worker():
+    """A worker killed by a signal (negative returncode) must fail the
+    launch — max(0, -9) == 0 previously masked it as success."""
+    r = subprocess.run(
+        [sys.executable, "-m", "ns_tpu.launch", "--nprocs", "2",
+         "--platform", "cpu", "--",
+         sys.executable, "-c",
+         "import os, signal; os.kill(os.getpid(), signal.SIGKILL)"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert r.returncode != 0
+    assert "FAILED" in r.stderr
+
+
+def test_launch_detects_late_worker_crash_while_early_worker_blocks():
+    """The launcher polls ALL children: a pid-ordered wait would hang on
+    worker 0 (sleeping) and never see worker 1's startup crash."""
+    import time as _time
+    prog = ("import os, sys, time\n"
+            "pid = int(os.environ['NS_TPU_PROCESS_ID'])\n"
+            "if pid == 1:\n"
+            "    sys.exit(5)\n"
+            "time.sleep(60)\n")
+    t0 = _time.monotonic()
+    r = subprocess.run(
+        [sys.executable, "-m", "ns_tpu.launch", "--nprocs", "2",
+         "--platform", "cpu", "--", sys.executable, "-c", prog],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert r.returncode != 0
+    # must return as soon as worker 1 dies, not after worker 0's 60 s
+    assert _time.monotonic() - t0 < 45
+
+
+def test_assemble_shards_rejects_stale_process_count(tmp_path):
+    """Shard files left by an earlier higher-process-count run must be
+    rejected, not silently merged over fresh data."""
+    import json
+    from ns_tpu.parallel import distributed as dist
+
+    def write(pid, num_processes, rows, value):
+        manifest = {"name": "x", "process": pid,
+                    "num_processes": num_processes,
+                    "global_shape": [4, 4], "dtype": "float64",
+                    "shards": [{"key": "shard0",
+                                "index": [[rows[0], rows[1]], [0, 4]]}]}
+        np.savez(tmp_path / f"x.proc{pid:04d}.npz",
+                 __manifest__=np.frombuffer(
+                     json.dumps(manifest).encode(), dtype=np.uint8),
+                 shard0=np.full((rows[1] - rows[0], 4), value))
+
+    # stale 4-process run left procs 2-3; fresh 2-process run wrote 0-1
+    write(0, 2, (0, 2), 1.0)
+    write(1, 2, (2, 4), 1.0)
+    write(2, 4, (2, 3), 99.0)
+    write(3, 4, (3, 4), 99.0)
+    with pytest.raises(ValueError, match="stale"):
+        dist.assemble_shards(str(tmp_path), "x")

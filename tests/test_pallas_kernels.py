@@ -281,3 +281,26 @@ def test_momentum_fused_any_odd_grid():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(vi), np.asarray(vi_ref),
                                atol=1e-12)
+
+
+def test_momentum_flag_requires_explicit_method():
+    """use_pallas_momentum with a non-explicit method must error, not
+    silently run the XLA predictor labeled as pallas."""
+    import pytest as _pytest
+    from ns_tpu.solvers.chorin_fd import ChorinFDConfig
+
+    with _pytest.raises(ValueError, match="use_pallas_momentum"):
+        ChorinFDConfig(nt=1, nit=1, nx=16, ny=16, dt=1e-4, rho=1.0,
+                       nu=0.01, method="semi_implicit",
+                       use_pallas_momentum=True)
+
+
+def test_momentum_tile_rows_budget():
+    """Auto strip sizing: full 128 rows at narrow grids, shrinking
+    multiples of 8 as ny grows, never below the halo block."""
+    from ns_tpu.ops.pallas.momentum_kernels import momentum_tile_rows
+
+    assert momentum_tile_rows(1024) == 128
+    wide = momentum_tile_rows(8192)
+    assert 8 <= wide < 128 and wide % 8 == 0
+    assert momentum_tile_rows(1 << 20) == 8  # pathological width clamps

@@ -55,7 +55,10 @@ def main():
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
-                jax.block_until_ready(roll(state0))
+                # hard host readback, not block_until_ready: through the
+                # axon tunnel the latter can return before the work runs
+                # (CLAUDE.md; same guard as bench.py)
+                sync(roll(state0))
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -87,6 +87,9 @@ def main():
                 sync(loop(fields0))
                 best = min(best, time.perf_counter() - t0)
             ms = best / args.iters * 1e3
+            # repo-wide convention (bench.py, RESULTS.md): cell-updates =
+            # GRID CELLS advanced per step, regardless of how many fields
+            # each step updates (this phase updates both u and v)
             cups = n * n / (best / args.iters)
             print(f"| {n}^2 | {name} | {ms:.3f} | {cups:.2e} |",
                   flush=True)
