@@ -46,6 +46,12 @@ def main(argv=None):
                         "retained-mode DFT GEMMs on the MXU, faster at "
                         "small/medium grids; engines agree to fp "
                         "rounding)")
+    p.add_argument("--fno-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="fno/fno_w: GEMM precision in the FNO layers "
+                        "(default: jnp default — bf16-class on TPU; "
+                        "'highest' tightens TPU cross-engine checkpoint "
+                        "transfer to CPU-test tolerance)")
     p.add_argument("--input-noise", type=float, default=0.0,
                    help="fno/fno_w: train-time Gaussian input noise, as a "
                         "fraction of the data std (autoregressive "
@@ -82,6 +88,7 @@ def main(argv=None):
                       seed=args.seed, ckpt_every=args.ckpt_every,
                       fno_rollout_steps=args.fno_rollout_steps,
                       fno_transform=args.fno_transform,
+                      fno_precision=args.fno_precision,
                       fno_modes=args.fno_modes, fno_width=args.fno_width,
                       fno_project=args.fno_project,
                       input_noise=args.input_noise,

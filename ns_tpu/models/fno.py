@@ -40,15 +40,18 @@ _MATMUL_MAX_SIDE = 512
 
 
 @lru_cache(maxsize=16)
-def _dft_mats(nx: int, ny: int, mx: int, my: int):
-    """Host-built (float64 -> float32 real/imag pairs) truncated DFT
+def _dft_mats(nx: int, ny: int, mx: int, my: int, dtype: str = "float32"):
+    """Host-built (float64 -> `dtype` real/imag pairs) truncated DFT
     matrices for the retained FNO mode block. Row set = the rfft2 rows the
     FFT path keeps (kx in [0, mx) and [nx-mx, nx)); column set = ky in
     [0, my). Inverse weights replicate irfft's half-spectrum semantics
     (w=2 for interior ky columns, 1 for ky=0 and the Nyquist column).
     Complex values are stored as separate real arrays — only real
     constants transfer to the device (utils/host.py rationale); they are
-    recombined with jax.lax.complex inside the jitted layer."""
+    recombined with jax.lax.complex inside the jitted layer. The same
+    half-spectrum weight convention lives in the solver's compact
+    transforms (spectral_periodic) and vorticity._dealias_projectors —
+    change one, check the others."""
     k_rows = np.concatenate([np.arange(mx), np.arange(nx - mx, nx)])
     a = np.arange(nx)
     j = np.arange(my)
@@ -58,7 +61,8 @@ def _dft_mats(nx: int, ny: int, mx: int, my: int):
     gr = np.exp(2j * np.pi * np.outer(a, k_rows) / nx) / nx    # (nx, 2mx)
     w = np.where((j == 0) | ((ny % 2 == 0) & (j == ny // 2)), 1.0, 2.0)
     gc = (w[:, None] * np.exp(2j * np.pi * np.outer(j, b) / ny)) / ny
-    ri = lambda M: (M.real.astype(np.float32), M.imag.astype(np.float32))
+    dt = np.dtype(dtype)
+    ri = lambda M: (M.real.astype(dt), M.imag.astype(dt))
     return ri(fr), ri(fc), ri(gr), ri(gc)                      # gc (my, ny)
 
 
@@ -74,12 +78,31 @@ def _spectral_init(key, c_in, c_out, mx, my, scale):
             "hi_im": scale * jax.random.normal(ks[3], shape)}
 
 
-def _mix(block, Wb):
+def resolve_precision(name):
+    """None -> jnp default (bf16-class MXU passes on TPU at f32 — the
+    precision every RESULTS.md fno measurement ran at); 'default'|'high'|
+    'highest' force a jax.lax.Precision everywhere in the layer. On TPU,
+    cross-engine checkpoint transfer at the jnp default agrees only to
+    ~bf16 rounding per GEMM; 'highest' restores the tight (~1e-4-class)
+    engine equivalence the CPU tests exhibit."""
+    if name is None:
+        return None
+    try:
+        return {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[name]
+    except KeyError:
+        raise ValueError(f"precision must be None|default|high|highest, "
+                         f"got {name!r}") from None
+
+
+def _mix(block, Wb, prec=None):
     # block (..., C, mx, my) x Wb (C, C_out, mx, my) -> (..., C_out, mx, my)
-    return jnp.einsum("...ixy,ioxy->...oxy", block, Wb)
+    return jnp.einsum("...ixy,ioxy->...oxy", block, Wb, precision=prec)
 
 
-def _spectral_conv_fft(wts, x: Array, mx: int, my: int) -> Array:
+def _spectral_conv_fft(wts, x: Array, mx: int, my: int,
+                       prec=None) -> Array:
     """x (..., C, nx, ny) -> (..., C_out, nx, ny): per-retained-mode complex
     channel mixing; all other modes are zeroed (spectral truncation)."""
     nx, ny = x.shape[-2], x.shape[-1]
@@ -88,15 +111,16 @@ def _spectral_conv_fft(wts, x: Array, mx: int, my: int) -> Array:
     W_hi = jax.lax.complex(wts["hi_re"], wts["hi_im"]).astype(xh.dtype)
     c_out = W_lo.shape[1]
 
-    lo = _mix(xh[..., :, :mx, :my], W_lo)
-    hi = _mix(xh[..., :, nx - mx:, :my], W_hi)
+    lo = _mix(xh[..., :, :mx, :my], W_lo, prec)
+    hi = _mix(xh[..., :, nx - mx:, :my], W_hi, prec)
     out = jnp.zeros(x.shape[:-3] + (c_out, nx, ny // 2 + 1), xh.dtype)
     out = out.at[..., :, :mx, :my].set(lo)
     out = out.at[..., :, nx - mx:, :my].set(hi)
     return jnp.fft.irfft2(out, s=(nx, ny))
 
 
-def _spectral_conv_matmul(wts, x: Array, mx: int, my: int) -> Array:
+def _spectral_conv_matmul(wts, x: Array, mx: int, my: int,
+                          prec=None) -> Array:
     """Mathematically identical to _spectral_conv_fft, but the transforms
     are truncated-mode DFT GEMMs on the MXU instead of XLA's (slow on
     TPU) FFT: forward computes ONLY the retained (2mx, my) coefficient
@@ -106,34 +130,38 @@ def _spectral_conv_matmul(wts, x: Array, mx: int, my: int) -> Array:
     checkpoints transfer between engines unchanged (tested to fp
     tolerance in tests/test_fno.py)."""
     nx, ny = x.shape[-2], x.shape[-1]
-    (frr, fri), (fcr, fci), (grr, gri), (gcr, gci) = _dft_mats(nx, ny,
-                                                               mx, my)
-    fr = jax.lax.complex(jnp.asarray(frr), jnp.asarray(fri))
+    (frr, fri), (fcr, fci), (grr, gri), (gcr, gci) = _dft_mats(
+        nx, ny, mx, my, str(x.dtype))
     fc = jax.lax.complex(jnp.asarray(fcr), jnp.asarray(fci))
     gr = jax.lax.complex(jnp.asarray(grr), jnp.asarray(gri))
 
     # forward: rows (real input -> two real GEMMs), then columns
-    tr = jnp.einsum("ka,...ay->...ky", jnp.asarray(frr), x)
-    ti = jnp.einsum("ka,...ay->...ky", jnp.asarray(fri), x)
+    tr = jnp.einsum("ka,...ay->...ky", jnp.asarray(frr), x, precision=prec)
+    ti = jnp.einsum("ka,...ay->...ky", jnp.asarray(fri), x, precision=prec)
     t = jax.lax.complex(tr, ti)                 # (..., C, 2mx, ny)
-    xh = jnp.einsum("...ky,yj->...kj", t, fc)   # (..., C, 2mx, my)
+    xh = jnp.einsum("...ky,yj->...kj", t, fc,   # (..., C, 2mx, my)
+                    precision=prec)
 
     W_lo = jax.lax.complex(wts["lo_re"], wts["lo_im"]).astype(xh.dtype)
     W_hi = jax.lax.complex(wts["hi_re"], wts["hi_im"]).astype(xh.dtype)
-    mixed = jnp.concatenate([_mix(xh[..., :, :mx, :], W_lo),
-                             _mix(xh[..., :, mx:, :], W_hi)], axis=-2)
+    mixed = jnp.concatenate([_mix(xh[..., :, :mx, :], W_lo, prec),
+                             _mix(xh[..., :, mx:, :], W_hi, prec)],
+                            axis=-2)
 
     # inverse: rows back to the grid, then real part of the column stage
-    z = jnp.einsum("ak,...kj->...aj", gr, mixed)   # (..., C_out, nx, my)
-    return (jnp.einsum("...aj,jb->...ab", z.real, jnp.asarray(gcr))
-            - jnp.einsum("...aj,jb->...ab", z.imag, jnp.asarray(gci)))
+    z = jnp.einsum("ak,...kj->...aj", gr, mixed,   # (..., C_out, nx, my)
+                   precision=prec)
+    return (jnp.einsum("...aj,jb->...ab", z.real, jnp.asarray(gcr),
+                       precision=prec)
+            - jnp.einsum("...aj,jb->...ab", z.imag, jnp.asarray(gci),
+                         precision=prec))
 
 
 def _spectral_conv(wts, x: Array, mx: int, my: int,
-                   engine: str = "fft") -> Array:
+                   engine: str = "fft", prec=None) -> Array:
     if engine == "matmul":
-        return _spectral_conv_matmul(wts, x, mx, my)
-    return _spectral_conv_fft(wts, x, mx, my)
+        return _spectral_conv_matmul(wts, x, mx, my, prec)
+    return _spectral_conv_fft(wts, x, mx, my, prec)
 
 
 class FNO2D:
@@ -141,7 +169,7 @@ class FNO2D:
 
     def __init__(self, nx: int, ny: int, width: int = 32, modes: int = 12,
                  depth: int = 4, channels: int = 3,
-                 transform: str = "auto"):
+                 transform: str = "auto", precision: str | None = None):
         if transform not in ("auto", "fft", "matmul"):
             raise ValueError(f"transform must be auto|fft|matmul, got "
                              f"{transform!r}")
@@ -153,6 +181,10 @@ class FNO2D:
             transform = ("matmul" if max(nx, ny) <= _MATMUL_MAX_SIDE
                          else "fft")
         self.transform = transform
+        # None = jnp default (the precision all RESULTS.md fno numbers
+        # ran at); 'highest' tightens TPU cross-engine checkpoint
+        # transfer to the CPU-test tolerance — see resolve_precision
+        self.precision = resolve_precision(precision)
 
     def init(self, key) -> dict:
         n_layers = self.depth
@@ -189,7 +221,8 @@ class FNO2D:
         h = dense(params["lift"], h)
         h = jnp.moveaxis(h, -1, -3)                   # (..., W, nx, ny)
         for wts, byp in zip(params["spectral"], params["bypass"]):
-            s = _spectral_conv(wts, h, self.mx, self.my, self.transform)
+            s = _spectral_conv(wts, h, self.mx, self.my, self.transform,
+                               self.precision)
             b = jnp.moveaxis(dense(byp, jnp.moveaxis(h, -3, -1)), -1, -3)
             h = jax.nn.gelu(s + b)
         h = jnp.moveaxis(h, -3, -1)

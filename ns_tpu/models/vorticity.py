@@ -15,6 +15,15 @@ of (u, v, p):
 These are thin adapters over the spectral solver's own transforms so the
 recovered fields match the data-generating solver bit-for-bit in its
 conventions (2*pi-periodic domain, integer wavenumbers, rfft2 layout).
+
+Scope of "exact": the vorticity representation spans the ZERO-MEAN
+subspace. A uniform background (mean) flow is divergence- and
+vorticity-free, so w cannot encode it and uvp_from_w returns zero-mean
+u, v (and zero-mean p). That matches the data-generating solver — its
+streamfunction velocities are zero-mean by construction — but means a
+client state with nonzero mean velocity is implicitly projected (the
+mean is dropped) on the way into any w-space surrogate or the solver
+oracle (serve/solver.py docstring).
 """
 
 from __future__ import annotations
@@ -24,8 +33,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 
 from ns_tpu.solvers.spectral_periodic import (
-    SpectralPeriodicConfig, _ik_mul, fields_from_hat, make_ops,
-    pressure_from_hat)
+    SpectralPeriodicConfig, _ik_mul, make_ops)
 
 Array = jnp.ndarray
 
@@ -48,14 +56,27 @@ def vorticity_from_uv(u: Array, v: Array, dtype: str = "float32") -> Array:
 
 def uvp_from_w(w: Array, rho: float = 1.0,
                dtype: str = "float32") -> tuple[Array, Array, Array]:
-    """Exact (u, v, p) recovery from a single vorticity field (2D only;
-    vmap for batches). u, v via the streamfunction (divergence-free by
+    """Exact zero-mean (u, v, p) recovery from a single vorticity field
+    (2D only; vmap for batches; mean flow is outside the representation —
+    module docstring). u, v via the streamfunction (divergence-free by
     construction); p via the spectral pressure Poisson solve — identical
-    formulas to the data-generating solver."""
-    cfg = _cfg(w.shape[0], w.shape[1], rho=rho, dtype=dtype)
+    formulas to the data-generating solver (fields_from_hat /
+    pressure_from_hat, spectral_periodic.py:594-620), with the shared
+    velocity spectra computed once instead of once per function."""
+    from ns_tpu.solvers.spectral_periodic import velocity_from_vorticity_hat
+    nx, ny = w.shape[0], w.shape[1]
+    cfg = _cfg(nx, ny, rho=rho, dtype=dtype)
+    ops = make_ops(cfg)
     w_hat = jnp.fft.rfft2(w)
-    u, v, _ = fields_from_hat(cfg, w_hat)
-    p = pressure_from_hat(cfg, w_hat)
+    u_hat, v_hat = velocity_from_vorticity_hat(w_hat, ops)
+    u = jnp.fft.irfft2(u_hat, s=(nx, ny))
+    v = jnp.fft.irfft2(v_hat, s=(nx, ny))
+    ux = jnp.fft.irfft2(_ik_mul(ops["kx"], u_hat), s=(nx, ny))
+    uy = jnp.fft.irfft2(_ik_mul(ops["ky"], u_hat), s=(nx, ny))
+    vx = jnp.fft.irfft2(_ik_mul(ops["kx"], v_hat), s=(nx, ny))
+    vy = jnp.fft.irfft2(_ik_mul(ops["ky"], v_hat), s=(nx, ny))
+    rhs = -cfg.rho * (ux * ux + 2.0 * uy * vx + vy * vy)
+    p = jnp.fft.irfft2(-jnp.fft.rfft2(rhs) * ops["inv_k2"], s=(nx, ny))
     return u, v, p
 
 
@@ -71,6 +92,8 @@ def dealias_field(w: Array, engine: str = "auto") -> Array:
     TPU, where small FFTs run far off the roofline (docs/roofline.md).
     'auto' picks matmul at/below the fno matmul crossover. Engines agree
     to fp rounding (tests/test_fno.py)."""
+    if engine not in ("auto", "fft", "matmul"):
+        raise ValueError(f"engine must be auto|fft|matmul, got {engine!r}")
     nx, ny = w.shape[-2], w.shape[-1]
     if engine == "auto":
         from ns_tpu.models.fno import _MATMUL_MAX_SIDE

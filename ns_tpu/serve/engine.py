@@ -69,7 +69,8 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int):
         from ns_tpu.models.fno import FNO2D
         channels = 1 if cfg.model == "fno_w" else 3
         return FNO2D(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
-                     channels=channels, transform=cfg.fno_transform)
+                     channels=channels, transform=cfg.fno_transform,
+                     precision=cfg.fno_precision)
     if cfg.model == "rnn":
         from ns_tpu.models.gru import FullFieldGRU
         return FullFieldGRU(3 * nx * ny, cfg.hidden_dim)

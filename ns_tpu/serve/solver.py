@@ -36,9 +36,11 @@ class SolverEngine(ServingBase):
               exactly and p is recomputed from it, so only the velocity
               carries information (as in the physics). An arbitrary
               input is implicitly projected onto the solenoidal,
-              2/3-dealiased manifold the solver evolves (solver- or
-              surrogate-produced frames already live there and round-trip
-              exactly — tests/test_serve.py).
+              zero-mean, 2/3-dealiased manifold the solver evolves (a
+              uniform mean flow is vorticity-free and therefore dropped
+              — models/vorticity.py docstring; solver- or surrogate-
+              produced frames already live on the manifold and
+              round-trip exactly — tests/test_serve.py).
       frames  (n_steps + 1, 3, nx, ny); frames[0] echoes the (projected)
               input state, frames[i] is the state after i * stride
               solver steps.

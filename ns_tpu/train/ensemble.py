@@ -148,7 +148,8 @@ class EnsembleTrainer:
             channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
                                modes=cfg.fno_modes, channels=channels,
-                               transform=cfg.fno_transform)
+                               transform=cfg.fno_transform,
+                               precision=cfg.fno_precision)
             self.w_frames = None
             if cfg.model == "fno_w":
                 from ns_tpu.models.vorticity import vorticity_from_uv

@@ -90,6 +90,11 @@ class TrainConfig:
     # the classic path, 'auto' picks by grid size. Engines agree to fp
     # rounding, so checkpoints transfer between them.
     fno_transform: str = "auto"
+    # fno/fno_w: GEMM precision inside the FNO layers. None = jnp default
+    # (bf16-class on TPU at f32 — what every RESULTS.md fno number ran
+    # at); 'highest' makes TPU cross-engine checkpoint transfer as tight
+    # as the CPU tests (models/fno.py::resolve_precision).
+    fno_precision: Optional[str] = None
 
     def __post_init__(self):
         if self.model not in MODELS:
@@ -97,6 +102,9 @@ class TrainConfig:
         if self.fno_transform not in ("auto", "fft", "matmul"):
             raise ValueError(f"fno_transform must be auto|fft|matmul, "
                              f"got {self.fno_transform!r}")
+        if self.fno_precision not in (None, "default", "high", "highest"):
+            raise ValueError(f"fno_precision must be None|default|high|"
+                             f"highest, got {self.fno_precision!r}")
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):
@@ -190,7 +198,8 @@ class Trainer:
             channels = 1 if cfg.model == "fno_w" else 3
             self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
                                modes=cfg.fno_modes, channels=channels,
-                               transform=cfg.fno_transform)
+                               transform=cfg.fno_transform,
+                               precision=cfg.fno_precision)
             if cfg.model == "fno_w":
                 # vorticity-space surrogate: train on the scalar w derived
                 # exactly from (u, v); (u, v, p) recovered exactly at eval

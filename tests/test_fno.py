@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import os
 
+import pytest
+
 from ns_tpu.models.fno import FNO2D
 from ns_tpu.train import TrainConfig, Trainer
 from tests.conftest import GOLDEN_DIR
@@ -179,3 +181,49 @@ def test_dealias_engines_agree():
         b = jax.jit(lambda w: dealias_field(w, engine="matmul"))(w)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_spectral_engines_agree_odd_ny_full_band_and_f64():
+    """The two remaining gc-weight edges: odd ny with my == ny//2 + 1
+    (no Nyquist column exists), and float64 inputs (dtype-aware DFT
+    constants — f64 through the matmul engine must stay f64-tight)."""
+    from ns_tpu.models.fno import (_spectral_conv_fft,
+                                   _spectral_conv_matmul, _spectral_init)
+    for dtype, tol in [(jnp.float32, 2e-4), (jnp.float64, 1e-12)]:
+        nx, ny, modes = 16, 15, 8           # my = min(8, 15//2+1) = 8
+        mx, my = min(modes, nx // 2), min(modes, ny // 2 + 1)
+        assert my == ny // 2 + 1
+        wts = _spectral_init(jax.random.PRNGKey(0), 4, 4, mx, my, 0.1)
+        wts = jax.tree_util.tree_map(lambda a: a.astype(dtype), wts)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, nx, ny),
+                              dtype)
+        a = jax.jit(lambda w, x: _spectral_conv_fft(w, x, mx, my))(wts, x)
+        b = jax.jit(lambda w, x: _spectral_conv_matmul(w, x, mx, my))(wts, x)
+        assert a.dtype == b.dtype == dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol)
+
+
+def test_dealias_rejects_bad_engine():
+    from ns_tpu.models.vorticity import dealias_field
+
+    with pytest.raises(ValueError, match="engine"):
+        dealias_field(jnp.zeros((8, 8)), engine="matmull")
+
+
+def test_fno_precision_knob():
+    """precision='highest' is accepted end-to-end (constructor validation
+    + layer plumbing); bad names are rejected at config construction."""
+    from ns_tpu.models.fno import FNO2D
+    from ns_tpu.train.trainer import TrainConfig
+
+    m = FNO2D(8, 8, width=4, modes=3, channels=1, transform="matmul",
+              precision="highest")
+    p = m.init(jax.random.PRNGKey(0))
+    out = jax.jit(m.apply)(p, jnp.zeros((1, 1, 8, 8)))
+    assert out.shape == (1, 1, 8, 8)
+    with pytest.raises(ValueError, match="precision"):
+        FNO2D(8, 8, precision="sloppy")
+    with pytest.raises(ValueError, match="fno_precision"):
+        TrainConfig(model="fno", npz_path="x", out_dir="y",
+                    fno_precision="sloppy")
