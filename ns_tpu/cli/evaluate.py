@@ -67,6 +67,47 @@ def evaluate(pred: np.ndarray, obs: np.ndarray, n_train: int) -> dict:
     return report
 
 
+def physics_metrics(pred: np.ndarray, obs: np.ndarray) -> dict:
+    """Physics observables on the 2*pi-PERIODIC spectral grid (the
+    decaying_turbulence / taylor_green data; meaningless for cavity FD
+    rollouts): time-mean isotropic energy-spectrum error and the max
+    divergence of the predicted velocity (exact spectral definition —
+    the rollout-fidelity gates of BASELINE.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ns_tpu.solvers import spectral_periodic as sp
+    from ns_tpu.utils.host import to_host
+
+    nx, ny = obs.shape[-2], obs.shape[-1]
+    cfg = sp.SpectralPeriodicConfig(nx=nx, ny=ny)
+    ops = sp.make_ops(cfg)
+
+    @jax.jit
+    def per_seq(u, v):                       # (nt, nx, ny) each
+        u_hat = jnp.fft.rfft2(u)
+        v_hat = jnp.fft.rfft2(v)
+        w_hat = (sp._ik_mul(ops["kx"], v_hat)
+                 - sp._ik_mul(ops["ky"], u_hat))
+        _, spec = jax.vmap(lambda h: sp.energy_spectrum(cfg, h))(w_hat)
+        div = jax.vmap(
+            lambda uh, vh: jnp.max(jnp.abs(jnp.fft.irfft2(
+                sp._ik_mul(ops["kx"], uh) + sp._ik_mul(ops["ky"], vh),
+                s=(nx, ny)))))(u_hat, v_hat)
+        return spec.mean(axis=0), jnp.max(div)
+
+    (spec_p, div_p) = to_host(per_seq(jnp.asarray(pred[:, 0]),
+                                      jnp.asarray(pred[:, 1])))
+    (spec_o, div_o) = to_host(per_seq(jnp.asarray(obs[:, 0]),
+                                      jnp.asarray(obs[:, 1])))
+    return {
+        "spectrum_rel_l2": float(np.linalg.norm(spec_p - spec_o)
+                                 / np.linalg.norm(spec_o)),
+        "divergence_max_pred": float(div_p),
+        "divergence_max_obs": float(div_o),
+    }
+
+
 def _print_report(report: dict) -> None:
     print(f"frames: {report['n_frames']} (train window "
           f"{report['n_train']})")
@@ -80,6 +121,12 @@ def _print_report(report: dict) -> None:
     curve = " -> ".join(f"{m['rel_l2']:.3f}@{m['frame']}"
                         for m in report["horizon_curve"])
     print(f"horizon: {curve}")
+    if "physics" in report:
+        ph = report["physics"]
+        print(f"physics (periodic): spectrum rel L2 "
+              f"{ph['spectrum_rel_l2']:.4f}, max|div u| pred "
+              f"{ph['divergence_max_pred']:.2e} (obs "
+              f"{ph['divergence_max_obs']:.2e})")
     if "ensemble" in report:
         e = report["ensemble"]
         print(f"ensemble: {e['n_models']} members, mean-rollout rel L2 "
@@ -110,6 +157,11 @@ def main(argv=None):
                         "except cli.train's rnn extrapolation.npy)")
     p.add_argument("--chunk", type=int, default=64,
                    help="ckpt mode: rollout chunk length")
+    p.add_argument("--physics", action="store_true",
+                   help="add periodic-grid physics observables: time-mean "
+                        "energy-spectrum error and exact spectral "
+                        "divergence of the prediction (2*pi-periodic "
+                        "data only — decaying_turbulence/taylor_green)")
     p.add_argument("--json", default=None,
                    help="also write the full report as JSON here")
     args = p.parse_args(argv)
@@ -143,6 +195,8 @@ def main(argv=None):
     report["npz_path"] = args.npz_path
     if ensemble:
         report["ensemble"] = ensemble
+    if args.physics:
+        report["physics"] = physics_metrics(pred, obs)
     _print_report(report)
     if args.json:
         with open(args.json, "w") as f:

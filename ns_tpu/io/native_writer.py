@@ -29,6 +29,19 @@ import threading
 import numpy as np
 
 
+def _pwrite_full(fd: int, data, offset: int) -> None:
+    """pwrite until every byte lands (partial writes happen on full
+    disks / rlimits; the C++ twin loops the same way,
+    stream_writer.cpp)."""
+    view = memoryview(data)
+    while len(view):
+        n = os.pwrite(fd, view, offset)
+        if n <= 0:
+            raise OSError(f"pwrite returned {n}")
+        view = view[n:]
+        offset += n
+
+
 def _npy_header(shape, dtype) -> bytes:
     from io import BytesIO
     buf = BytesIO()
@@ -83,7 +96,12 @@ class AsyncNpyWriter:
                                0o644)
             os.truncate(self._fd, total)
             if backend == "thread":
-                self._q = queue.Queue(maxsize=8)
+                self._q = queue.Queue()
+                # bound by BYTES in flight (like the C++ ring), not item
+                # count: 8 queued 256 MB chunks would buffer 2 GB/field
+                self._max_bytes = max_buffer_bytes
+                self._buffered = 0
+                self._bytes_cv = threading.Condition()
                 self._worker = threading.Thread(target=self._drain,
                                                 daemon=True)
                 self._worker.start()
@@ -100,9 +118,13 @@ class AsyncNpyWriter:
                 return
             off, data = item
             try:
-                os.pwrite(self._fd, data, off)
+                _pwrite_full(self._fd, data, off)
             except OSError as e:  # surfaced on close()
                 self._err.append(e)
+            finally:
+                with self._bytes_cv:
+                    self._buffered -= len(data)
+                    self._bytes_cv.notify_all()
 
     def _submit_bytes(self, offset: int, data: bytes):
         if self._lib is not None:
@@ -111,9 +133,16 @@ class AsyncNpyWriter:
             if rc:
                 raise OSError(rc, f"native write failed for {self.path!r}")
         elif self._q is not None:
+            # backpressure on bytes in flight; a single oversized job is
+            # always admitted when nothing is buffered (C++ semantics)
+            with self._bytes_cv:
+                while (self._buffered
+                       and self._buffered + len(data) > self._max_bytes):
+                    self._bytes_cv.wait()
+                self._buffered += len(data)
             self._q.put((offset, data))
         else:
-            os.pwrite(self._fd, data, offset)
+            _pwrite_full(self._fd, data, offset)
 
     # -- API ----------------------------------------------------------------
 

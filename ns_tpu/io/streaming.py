@@ -15,6 +15,7 @@ path (ns_tpu/io/npz.py) remains for reference-format interchange.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Callable, Dict
 
 import jax
@@ -24,6 +25,19 @@ import numpy as np
 from ns_tpu.utils import to_host
 
 Array = jnp.ndarray
+
+
+# module-level jit keyed on (step_fn, extract, n): callers that pass the
+# same step/extract objects across stream_rollout calls (benchmark rows,
+# repeated serving requests) reuse the compiled programs instead of
+# retracing a fresh closure per call
+@partial(jax.jit, static_argnames=("step_fn", "extract", "n"))
+def _run_chunk(state, *, step_fn, extract, n):
+    def body(s, _):
+        s = step_fn(s)
+        return s, extract(s)
+
+    return jax.lax.scan(body, state, None, length=n)
 
 
 def stream_rollout(step_fn: Callable, state0, nt: int,
@@ -62,34 +76,37 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
             for name, a in probe.items()
         }
 
-    def make_chunk(n):
-        @jax.jit
-        def run(state):
-            def body(state, _):
-                state = step_fn(state)
-                return state, extract(state)
-            return jax.lax.scan(body, state, None, length=n)
-        return run
-
-    run_full = make_chunk(chunk)
     state = state0
-    t = 0
-    while t < nt:
-        n = min(chunk, nt - t)
-        run = run_full if n == chunk else make_chunk(n)
-        state, frames = run(state)
-        # one bulk transfer per chunk, laundered through to_host: the scan
-        # executable contains complex FFT/DFT ops, whose outputs the axon
-        # tunnel cannot read back directly (ns_tpu/utils/host.py)
-        host = to_host(frames)
-        for name, arr in host.items():
-            if writer == "memmap":
-                outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
-            else:
-                # returns immediately; the disk write overlaps the next
-                # chunk's device compute
-                outs[name].write(t, np.asarray(arr))
-        t += n
-    for m in outs.values():
-        m.flush() if writer == "memmap" else m.close()
+    # try/finally: a mid-rollout failure (device error, bad step_fn) must
+    # not leak the writers' fds/worker threads/native ring buffers —
+    # stream_rollout also runs inside long-lived serving processes
+    closed = False
+    try:
+        t = 0
+        while t < nt:
+            n = min(chunk, nt - t)
+            state, frames = _run_chunk(state, step_fn=step_fn,
+                                       extract=extract, n=n)
+            # one bulk transfer per chunk, laundered through to_host: the
+            # scan executable contains complex FFT/DFT ops, whose outputs
+            # the axon tunnel cannot read back directly (utils/host.py)
+            host = to_host(frames)
+            for name, arr in host.items():
+                if writer == "memmap":
+                    outs[name][t:t + n] = np.asarray(arr, dtype=dtype)
+                else:
+                    # returns immediately; the disk write overlaps the
+                    # next chunk's device compute
+                    outs[name].write(t, np.asarray(arr))
+            t += n
+        closed = True
+        for m in outs.values():
+            m.flush() if writer == "memmap" else m.close()
+    finally:
+        if not closed and writer != "memmap":
+            for m in outs.values():
+                try:
+                    m.close()
+                except Exception:
+                    pass  # the original error propagates
     return {name: os.path.join(out_dir, f"{name}.npy") for name in outs}

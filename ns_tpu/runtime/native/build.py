@@ -24,13 +24,17 @@ _tried = False
 
 
 def _compile() -> bool:
+    # per-process tmp name: concurrent builders (multi-process launch on
+    # a cold cache) must not interleave g++ output into one shared tmp
+    # file — a corrupt .so would look fresh to the mtime check forever
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
-           _SRC, "-o", _SO + ".tmp"]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
         return False
-    os.replace(_SO + ".tmp", _SO)  # atomic vs concurrent builders
+    os.replace(tmp, _SO)  # atomic vs concurrent builders
     return True
 
 
@@ -41,8 +45,12 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # a shipped .so without sources is valid (contract: None only
+        # when no native path exists) — only rebuild when the source is
+        # actually present and newer
         stale = (not os.path.exists(_SO)
-                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SO) < os.path.getmtime(_SRC)))
         if stale and not _compile():
             return None
         try:

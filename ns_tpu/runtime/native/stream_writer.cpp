@@ -21,6 +21,7 @@
 // Build: ns_tpu/runtime/native/build.py (g++ -O2 -shared -fPIC -pthread).
 
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -123,9 +124,13 @@ int nsio_submit(void* handle, uint64_t offset, const void* ptr,
   std::memcpy(job.data.data(), ptr, nbytes);
   {
     std::unique_lock<std::mutex> lk(w->mu);
+    // the escape hatch for a single job larger than the whole ring keys
+    // on queued_bytes == 0, NOT queue.empty(): a popped-but-still-writing
+    // job leaves the queue empty while its bytes are still counted, and
+    // admitting the next job then would double the bound
     w->cv_push.wait(lk, [w, nbytes] {
       return w->queued_bytes + nbytes <= w->max_queued_bytes ||
-             w->queue.empty();
+             w->queued_bytes == 0;
     });
     w->queued_bytes += nbytes;
     w->queue.push_back(std::move(job));

@@ -90,3 +90,31 @@ def test_evaluate_cli_offset(tmp_path, capsys):
           "--n-frames", "4", "--offset", "1"])
     out = capsys.readouterr().out
     assert "| full | 0.0000 |" in out
+
+
+def test_evaluate_physics_metrics(tmp_path, capsys):
+    """--physics: solver-produced frames score ~zero spectrum error and
+    near-machine divergence; a perturbed prediction scores worse."""
+    import jax
+    from ns_tpu.cli.evaluate import physics_metrics
+    from ns_tpu.models.vorticity import dealias_field
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    nx = 32
+    cfg = sp.SpectralPeriodicConfig(nt=4, nx=nx, ny=nx, dt=1e-3, nu=1e-3,
+                                    dtype="float32")
+    w0 = np.asarray(jax.jit(dealias_field)(
+        sp.decaying_turbulence_vorticity(cfg, seed=0)))
+    u, v, p = (np.asarray(a) for a in sp.NavierStokesSystem(
+        w0, nt=4, nx=nx, ny=nx, dt=1e-3, nu=1e-3).simulate())
+    obs = np.stack([u, v, p], axis=1).astype(np.float32)
+
+    ph = physics_metrics(obs.copy(), obs)
+    assert ph["spectrum_rel_l2"] < 1e-6
+    assert ph["divergence_max_pred"] < 1e-3  # f32 spectral round-off scale
+    rng = np.random.default_rng(0)
+    bad = obs + 0.3 * obs.std() * rng.normal(
+        size=obs.shape).astype(np.float32)
+    ph_bad = physics_metrics(bad, obs)
+    assert ph_bad["spectrum_rel_l2"] > 10 * max(ph["spectrum_rel_l2"], 1e-9)
+    assert ph_bad["divergence_max_pred"] > 10 * ph["divergence_max_pred"]

@@ -98,3 +98,29 @@ def test_large_backpressure(tmp_path):
         for t in range(32):
             w.write(t, data[t:t + 1])
     np.testing.assert_array_equal(np.load(path), data)
+
+
+def test_thread_backend_byte_backpressure(tmp_path):
+    """The pure-Python worker bounds BYTES in flight like the C++ ring:
+    many chunks far over a tiny bound must block-and-drain correctly."""
+    data = np.arange(64 * 256, dtype=np.float32).reshape(64, 256)
+    path = str(tmp_path / "tbp.npy")
+    with AsyncNpyWriter(path, data.shape, np.float32, backend="thread",
+                        max_buffer_bytes=2048) as w:
+        for t in range(0, 64, 4):
+            w.write(t, data[t:t + 4])   # 4 KB per submit > 2 KB bound
+    np.testing.assert_array_equal(np.load(path), data)
+
+
+def test_load_with_missing_source_returns_prebuilt(tmp_path, monkeypatch):
+    """A shipped .so without stream_writer.cpp must load, not raise
+    (deployments strip sources); contract: None only when no native path
+    exists."""
+    from ns_tpu.runtime.native import build
+
+    if load_native() is None:
+        pytest.skip("native backend unavailable")
+    monkeypatch.setattr(build, "_SRC", str(tmp_path / "gone.cpp"))
+    monkeypatch.setattr(build, "_lib", None)
+    monkeypatch.setattr(build, "_tried", False)
+    assert build.load() is not None
