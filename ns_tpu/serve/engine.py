@@ -183,21 +183,8 @@ class InferenceEngine(ServingBase):
     # -- per-family compiled programs ---------------------------------------
 
     def _fno_post(self):
-        cfg = self.cfg
-        if cfg.model == "fno_w":
-            if cfg.fno_dealias:
-                from ns_tpu.models.vorticity import dealias_field
-                return lambda x: dealias_field(x)
-            return None
-        if cfg.fno_project:
-            from ns_tpu.models.projection import project_periodic
-
-            def post(x):
-                u_p, v_p = project_periodic(x[..., 0, :, :], x[..., 1, :, :])
-                return jnp.stack([u_p, v_p, x[..., 2, :, :]], axis=-3)
-
-            return post
-        return None
+        from ns_tpu.train.trainer import rollout_post
+        return rollout_post(self.cfg)
 
     def _fno_chunk(self, length: int):
         """jitted (params, x) -> (frames, last_state) where frames is

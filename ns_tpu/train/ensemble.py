@@ -257,10 +257,10 @@ class EnsembleTrainer:
         # nor have their executables' outputs np.asarray'd on the axon
         # tunnel (utils/host.py)
         if self.cfg.model == "fno_w":
-            from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
+            from ns_tpu.models.vorticity import (uvp_from_w,
                                                  vorticity_from_uv)
-            post = ((lambda x: dealias_field(x))
-                    if self.cfg.fno_dealias else None)
+            from ns_tpu.train.trainer import rollout_post
+            post = rollout_post(self.cfg)
 
             @jax.jit
             def roll_w(params, uv0):
@@ -277,14 +277,8 @@ class EnsembleTrainer:
             return to_host(roll_w(self.params, obs_full[0, 0]))
 
         if self.cfg.model == "fno":
-            post = None
-            if self.cfg.fno_project:
-                from ns_tpu.models.projection import project_periodic
-
-                def post(x):
-                    u_p, v_p = project_periodic(x[..., 0, :, :],
-                                                x[..., 1, :, :])
-                    return jnp.stack([u_p, v_p, x[..., 2, :, :]], axis=-3)
+            from ns_tpu.train.trainer import rollout_post
+            post = rollout_post(self.cfg)
 
             @jax.jit
             def roll_uvp(params):

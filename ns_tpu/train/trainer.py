@@ -105,6 +105,12 @@ class TrainConfig:
         if self.fno_precision not in (None, "default", "high", "highest"):
             raise ValueError(f"fno_precision must be None|default|high|"
                              f"highest, got {self.fno_precision!r}")
+        if self.n_iters < 0:
+            raise ValueError(f"n_iters must be >= 0, got {self.n_iters}")
+        if self.ckpt_every < 1:
+            # 0 divides the chunk arithmetic, negatives loop forever
+            raise ValueError(
+                f"ckpt_every must be >= 1, got {self.ckpt_every}")
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):
@@ -115,6 +121,27 @@ def load_obs(npz_path: str, n_frames: Optional[int]):
         u, v, p = u[:n_frames], v[:n_frames], p[:n_frames]
     obs = np.stack([u, v, p], axis=1).astype(np.float32)  # (nt, 3, nx, ny)
     return jnp.asarray(obs[:, None])  # (nt, 1, 3, nx, ny)
+
+
+def rollout_post(cfg):
+    """The per-step constraint map composed into fno-family autoregression
+    (None when the config enables none): 2/3-band dealias for fno_w,
+    exact divergence projection for fno. ONE definition feeds training
+    feedback (build_forward), eval (Trainer/EnsembleTrainer.extrapolate),
+    and serving (serve/engine.py) so the three rollouts stay in lockstep.
+    """
+    if cfg.model == "fno_w" and cfg.fno_dealias:
+        from ns_tpu.models.vorticity import dealias_field
+        return lambda x: dealias_field(x)
+    if cfg.model == "fno" and getattr(cfg, "fno_project", False):
+        from ns_tpu.models.projection import project_periodic
+
+        def post(x):
+            u_p, v_p = project_periodic(x[..., 0, :, :], x[..., 1, :, :])
+            return jnp.stack([u_p, v_p, x[..., 2, :, :]], axis=-3)
+
+        return post
+    return None
 
 
 def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
@@ -158,11 +185,18 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
                     key, x.shape, x.dtype)
             apply = (jax.checkpoint(model.apply) if cfg.fno_remat
                      else model.apply)
+            # feed back through the SAME constraint map the eval/serving
+            # rollouts apply (dealias/projection): the pushforward must
+            # see the deployed prediction-error distribution, and the
+            # config docs promise fed-back predictions stay on the
+            # manifold. Loss stays on the raw predictions.
+            post = rollout_post(cfg)
             preds, targets = [], []
             for j in range(1, k + 1):
-                x = apply(params, x)
-                preds.append(x)
+                pred = apply(params, x)
+                preds.append(pred)
                 targets.append(frames[j:nt - k + j])
+                x = post(pred) if post is not None else pred
             return jnp.stack(preds), jnp.stack(targets)
         pred = model.apply(params, obs0, nt)
         return pred, obs
@@ -240,16 +274,16 @@ class Trainer:
             self.losses = list(meta.get("losses", []))
             self.penalties = list(meta.get("penalties", []))
             self.start_iter = int(meta.get("iter", 0)) + 1
+            if meta.get("noise_key") is not None:
+                # restore the advanced noise stream — re-deriving from the
+                # seed would replay the exact perturbations the run before
+                # the checkpoint already consumed
+                self._noise_key = jnp.asarray(meta["noise_key"],
+                                              jnp.uint32)
 
         self._chunk_cache: dict = {}
 
     # -- loss ---------------------------------------------------------------
-
-    def _forward(self, params, nt, key=None):
-        del nt  # fixed at construction (obs.shape[0])
-        return build_forward(self.cfg, self.model, self.obs,
-                             getattr(self, "w_frames", None),
-                             getattr(self, "_data_scale", 1.0))(params, key)
 
     def _make_train_step(self):
         fwd = build_forward(self.cfg, self.model, self.obs,
@@ -333,10 +367,15 @@ class Trainer:
         return self.losses
 
     def save(self, it: int, is_best: bool = False):
+        from ns_tpu.utils.host import to_host
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
                 "penalties": self.penalties,
                 "grid": [self.nx, self.ny],  # lets serve/ rebuild the model
+                # the advanced input-noise stream, so resume continues it
+                # (to_host: the chunk executable may contain complex ops)
+                "noise_key": [int(x) for x in
+                              to_host(self._noise_key).ravel()],
                 "config": dataclasses.asdict(self.cfg)}
         return save_checkpoint(state, self.cfg.out_dir, is_best=is_best,
                                meta=meta)
@@ -362,10 +401,9 @@ class Trainer:
         # (utils/host.py)
         from ns_tpu.utils.host import to_host
         if self.cfg.model == "fno_w":
-            from ns_tpu.models.vorticity import (dealias_field, uvp_from_w,
+            from ns_tpu.models.vorticity import (uvp_from_w,
                                                  vorticity_from_uv)
-            post = ((lambda x: dealias_field(x))
-                    if self.cfg.fno_dealias else None)
+            post = rollout_post(self.cfg)
 
             @jax.jit
             def run_w(params, uv0):
@@ -381,15 +419,7 @@ class Trainer:
 
             return to_host(run_w(self.params, obs_full[0, 0]))
         if self.cfg.model == "fno":
-            post = None
-            if self.cfg.fno_project:
-                from ns_tpu.models.projection import project_periodic
-
-                def post(x):
-                    u_p, v_p = project_periodic(x[..., 0, :, :],
-                                                x[..., 1, :, :])
-                    return jnp.stack([u_p, v_p, x[..., 2, :, :]],
-                                     axis=-3)
+            post = rollout_post(self.cfg)
 
             @jax.jit
             def run_uvp(params, obs0):

@@ -287,3 +287,34 @@ def test_ensemble_trainer_fno_w(tmp_path):
     extrap = tr.extrapolate()
     assert extrap.shape == (2, nt, 3, nx, ny)
     assert np.isfinite(extrap).all()
+
+
+def test_input_noise_stream_survives_resume(tmp_path):
+    """Resume continues the advanced noise stream: iterations after a
+    checkpoint must see the SAME noise draws as an uninterrupted run
+    (previously the key was re-derived from the seed and replayed)."""
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "nres.npz")
+    nt = 8
+    np.savez(path, u=rng.normal(size=(nt, 8, 8)),
+             v=rng.normal(size=(nt, 8, 8)), p=rng.normal(size=(nt, 8, 8)))
+    kw = dict(model="fno", npz_path=path, n_frames=nt, fno_modes=3,
+              fno_width=6, ckpt_every=2, input_noise=0.5)
+
+    full = Trainer(TrainConfig(out_dir=str(tmp_path / "full"),
+                               n_iters=4, **kw))
+    losses_full = [float(x) for x in full.train(progress=False)]
+
+    first = Trainer(TrainConfig(out_dir=str(tmp_path / "half"),
+                                n_iters=2, **kw))
+    first.train(progress=False)
+    resumed = Trainer(TrainConfig(
+        out_dir=str(tmp_path / "half"), n_iters=4,
+        resume=str(tmp_path / "half" / "checkpoint.npz"), **kw))
+    losses_res = [float(x) for x in resumed.train(progress=False)]
+    np.testing.assert_allclose(losses_res, losses_full, rtol=1e-6)
+
+
+def test_ckpt_every_validated():
+    with pytest.raises(ValueError, match="ckpt_every"):
+        TrainConfig(model="fno", npz_path="x", out_dir="y", ckpt_every=0)

@@ -65,14 +65,21 @@ def ensure_data():
         check=True, cwd=REPO)
 
 
-def rel_l2(pred: np.ndarray, obs: np.ndarray) -> float:
-    return float(np.linalg.norm(pred - obs) / np.linalg.norm(obs))
+sys.path.insert(0, REPO)
+from ns_tpu.train.metrics import rel_l2  # noqa: E402  (one definition)
 
 
-def eval_extrapolation(extrap: np.ndarray) -> dict:
+def eval_extrapolation(extrap: np.ndarray, offset: int = 0) -> dict:
+    """offset=1 for the rnn family on BOTH sides: its extrapolation files
+    follow the reference convention pred[t] ~ obs[t+1] (ref
+    rnn.py:116-134; trainer.py extrapolate docstring), while every other
+    family is frame-aligned — comparing all families aligned would
+    inflate rnn error by one frame of dynamics."""
     d = np.load(DATA)
     obs = np.stack([d["u"], d["v"], d["p"]], axis=1).astype(np.float32)
-    n_train = 100
+    if offset:
+        extrap, obs = extrap[:obs.shape[0] - offset], obs[offset:]
+    n_train = 100 - offset
     return {
         "rel_l2_full": rel_l2(extrap, obs),
         "rel_l2_train_window": rel_l2(extrap[:n_train], obs[:n_train]),
@@ -177,7 +184,8 @@ def run_reference(name: str, n_iters: int) -> dict:
             "loss_first": tr["losses"][0],
             "loss_final_avg10": float(np.mean(tr["losses"][-10:])),
             "losses_every50": tr["losses"][::50],
-            **eval_extrapolation(extrap)}
+            **eval_extrapolation(extrap,
+                                 offset=1 if name == "rnn" else 0)}
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +235,8 @@ def run_ours(model: str, n_iters: int, platform: str) -> dict:
             "loss_first": tr["losses"][0],
             "loss_final_avg10": float(np.mean(tr["losses"][-10:])),
             "losses_every50": tr["losses"][::50],
-            **eval_extrapolation(extrap)}
+            **eval_extrapolation(extrap,
+                                  offset=1 if model == "rnn" else 0)}
 
 
 def main(argv=None):
@@ -240,7 +249,6 @@ def main(argv=None):
 
     ensure_data()
     os.makedirs(OUT, exist_ok=True)
-    results = []
     for ref_name in args.models:
         ours_name = PAIRS[ref_name]
         jobs = []
@@ -257,8 +265,11 @@ def main(argv=None):
                                                        "default")))
         for side, mname, job in jobs:
             cache = os.path.join(OUT, f"result_{side}_{mname}.json")
-            if os.path.exists(cache):
-                rec = json.load(open(cache))
+            rec = (json.load(open(cache)) if os.path.exists(cache)
+                   else None)
+            # a cache hit is only valid for the SAME iteration count —
+            # otherwise a smoke run's rows silently pollute the table
+            if rec is not None and rec.get("n_iters") == args.n_iters:
                 print(f"cached: {side}/{mname}")
             else:
                 print(f"running: {side}/{mname} ...", flush=True)
@@ -269,7 +280,6 @@ def main(argv=None):
                       f"{rec['loss_final_avg10']:.1f}, extrap rel-L2 "
                       f"{rec['rel_l2_extrap_window']:.3f})", flush=True)
                 json.dump(rec, open(cache, "w"), indent=1)
-            results.append(rec)
 
     # aggregate EVERY cached result (not just this invocation's selection)
     # so partial re-runs refresh rows without dropping the rest
@@ -285,11 +295,12 @@ def main(argv=None):
     agg = os.path.join(REPO, "experiments", "head_to_head.json")
     json.dump(results, open(agg, "w"), indent=1)
     print(f"\nwrote {agg}\n")
-    print("| model | side | s/1000 iters | final loss | rel-L2 (train) "
+    print("| model | side | iters | seconds | final loss | rel-L2 (train) "
           "| rel-L2 (extrap) |")
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|")
     for r in results:
-        print(f"| {r['model']} | {r['side']} | {r['seconds']:.0f} "
+        print(f"| {r['model']} | {r['side']} | {r.get('n_iters', '?')} "
+              f"| {r['seconds']:.0f} "
               f"| {r['loss_final_avg10']:.1f} "
               f"| {r['rel_l2_train_window']:.3f} "
               f"| {r['rel_l2_extrap_window']:.3f} |")
