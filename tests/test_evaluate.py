@@ -118,3 +118,27 @@ def test_evaluate_physics_metrics(tmp_path, capsys):
     ph_bad = physics_metrics(bad, obs)
     assert ph_bad["spectrum_rel_l2"] > 10 * max(ph["spectrum_rel_l2"], 1e-9)
     assert ph_bad["divergence_max_pred"] > 10 * ph["divergence_max_pred"]
+
+
+def test_evaluate_cli_ensemble_checkpoint(tmp_path, capsys):
+    """Ensemble checkpoints score the member mean; the report carries
+    member count and spread."""
+    import json as _json
+    from ns_tpu.cli.evaluate import main
+    from ns_tpu.train.ensemble import EnsembleTrainer
+
+    npz, nt, nx, ny = _toy_npz(tmp_path, name="eens.npz")
+    cfg = TrainConfig(model="fno", npz_path=npz,
+                      out_dir=str(tmp_path / "eens_ck"), n_iters=4,
+                      n_frames=5, ckpt_every=4, fno_modes=3, fno_width=6)
+    etr = EnsembleTrainer(cfg, n_models=2)
+    etr.train(progress=False)
+    rpt = str(tmp_path / "ens_report.json")
+    main(["--ckpt", str(tmp_path / "eens_ck"), "--npz-path", npz,
+          "--json", rpt])
+    with open(rpt) as f:
+        report = _json.load(f)
+    assert report["ensemble"]["n_models"] == 2
+    assert report["ensemble"]["member_spread"] > 0
+    assert np.isfinite(report["windows"]["full"]["rel_l2"])
+    assert "ensemble: 2 members" in capsys.readouterr().out
