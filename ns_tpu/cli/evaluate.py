@@ -45,6 +45,9 @@ def evaluate(pred: np.ndarray, obs: np.ndarray, n_train: int) -> dict:
     if pred.shape != obs.shape:
         raise ValueError(f"prediction shape {pred.shape} does not match "
                          f"observations {obs.shape}")
+    if n_train < 1:
+        raise ValueError(f"n_train must be >= 1, got {n_train} (an empty "
+                         "train window would score NaN)")
     n_train = min(n_train, nt)
     persist = np.broadcast_to(obs[:1], obs.shape)
     report = {
@@ -173,6 +176,10 @@ def main(argv=None):
 
     ensemble = None
     if args.ckpt:
+        if args.offset:
+            raise SystemExit("--offset applies only to saved extrapolation "
+                             "files; engine predictions are always frame-"
+                             "aligned (pred[t] ~ obs[t])")
         from ns_tpu.serve.engine import InferenceEngine
         eng = InferenceEngine.from_checkpoint(args.ckpt, chunk=args.chunk)
         n_train = int(eng.cfg.n_frames or n_train)
@@ -187,8 +194,13 @@ def main(argv=None):
             raise ValueError(f"extrapolation must be (nt, 3, nx, ny); got "
                              f"{pred.shape}")
 
+    if not 0 <= args.offset < nt:
+        raise SystemExit(f"--offset must be in [0, {nt}), got {args.offset}")
     if args.offset:
         pred, obs = pred[:nt - args.offset], obs[args.offset:]
+        # after the shift, pred index t scores obs frame t+offset, which
+        # was trained on iff t + offset < n_train
+        n_train -= args.offset
 
     report = evaluate(pred, obs, n_train)
     report["source"] = args.ckpt or args.extrapolation

@@ -3,7 +3,6 @@ the reference writes extrapolation.npy and stops, ref
 spectral_ode.py:208-224; this CLI scores it)."""
 
 import json
-import os
 
 import numpy as np
 import pytest
@@ -110,20 +109,22 @@ def test_evaluate_physics_metrics(tmp_path, capsys):
     obs = np.stack([u, v, p], axis=1).astype(np.float32)
 
     ph = physics_metrics(obs.copy(), obs)
-    assert ph["spectrum_rel_l2"] < 1e-6
+    # identical inputs score identically-0 spectrum error by construction;
+    # the real signal is (a) the solver field is near-divergence-free and
+    # (b) a perturbed prediction scores materially worse on both axes
+    assert ph["spectrum_rel_l2"] == 0.0
     assert ph["divergence_max_pred"] < 1e-3  # f32 spectral round-off scale
     rng = np.random.default_rng(0)
     bad = obs + 0.3 * obs.std() * rng.normal(
         size=obs.shape).astype(np.float32)
     ph_bad = physics_metrics(bad, obs)
-    assert ph_bad["spectrum_rel_l2"] > 10 * max(ph["spectrum_rel_l2"], 1e-9)
+    assert ph_bad["spectrum_rel_l2"] > 1e-3
     assert ph_bad["divergence_max_pred"] > 10 * ph["divergence_max_pred"]
 
 
 def test_evaluate_cli_ensemble_checkpoint(tmp_path, capsys):
     """Ensemble checkpoints score the member mean; the report carries
     member count and spread."""
-    import json as _json
     from ns_tpu.cli.evaluate import main
     from ns_tpu.train.ensemble import EnsembleTrainer
 
@@ -137,7 +138,7 @@ def test_evaluate_cli_ensemble_checkpoint(tmp_path, capsys):
     main(["--ckpt", str(tmp_path / "eens_ck"), "--npz-path", npz,
           "--json", rpt])
     with open(rpt) as f:
-        report = _json.load(f)
+        report = json.load(f)
     assert report["ensemble"]["n_models"] == 2
     assert report["ensemble"]["member_spread"] > 0
     assert np.isfinite(report["windows"]["full"]["rel_l2"])
