@@ -160,6 +160,9 @@ def main(argv=None):
                         "except cli.train's rnn extrapolation.npy)")
     p.add_argument("--chunk", type=int, default=64,
                    help="ckpt mode: rollout chunk length")
+    p.add_argument("--traj", type=int, default=0,
+                   help="multi-trajectory datasets (run_solver --n-traj): "
+                        "which trajectory to score against")
     p.add_argument("--physics", action="store_true",
                    help="add periodic-grid physics observables: time-mean "
                         "energy-spectrum error and exact spectral "
@@ -170,7 +173,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     d = np.load(args.npz_path)
-    obs = np.stack([d["u"], d["v"], d["p"]], axis=1).astype(np.float32)
+    u, v, p = d["u"], d["v"], d["p"]
+    if u.ndim == 4:  # (M, nt, nx, ny) multi-trajectory dataset
+        if not 0 <= args.traj < u.shape[0]:
+            raise SystemExit(f"--traj must be in [0, {u.shape[0]}), got "
+                             f"{args.traj}")
+        u, v, p = u[args.traj], v[args.traj], p[args.traj]
+    obs = np.stack([u, v, p], axis=1).astype(np.float32)
     nt = obs.shape[0]
     n_train = args.n_frames
 

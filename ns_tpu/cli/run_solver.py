@@ -251,6 +251,12 @@ def main(argv=None):
                    choices=["float32", "float64"])
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-traj", type=int, default=1,
+                   help="decaying_turbulence only: generate N "
+                        "independently-seeded trajectories (seeds "
+                        "seed..seed+N-1) stacked as (N, nt, nx, ny) — a "
+                        "multi-trajectory training dataset for the "
+                        "operator families (cli.train fno/fno_w/rnn)")
     args = p.parse_args(argv)
 
     if args.dist:
@@ -331,6 +337,27 @@ def main(argv=None):
             w0 = sp.taylor_green_vorticity(cfg)
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
+        if args.n_traj > 1:
+            if args.family != "decaying_turbulence":
+                raise SystemExit("--n-traj needs random initial "
+                                 "conditions (decaying_turbulence)")
+            if args.stream_dir or args.progress or args.guard:
+                raise SystemExit("--n-traj is incompatible with "
+                                 "--stream-dir/--progress/--guard")
+            us, vs, ps = [], [], []
+            for s in range(args.seed, args.seed + args.n_traj):
+                w0s = sp.decaying_turbulence_vorticity(cfg, seed=s)
+                u_t, v_t, p_t = to_host(
+                    sp.NavierStokesSystem(w0s, **cfg_kwargs).simulate())
+                us.append(u_t)
+                vs.append(v_t)
+                ps.append(p_t)
+            elapsed = time.perf_counter() - t0
+            out = args.out or f"{args.family}_x{args.n_traj}.npz"
+            save_rollout(out, np.stack(us), np.stack(vs), np.stack(ps))
+            print(f"{args.family}: {args.n_traj} trajectories x nt="
+                  f"{args.nt} grid={nx}x{nx} in {elapsed:.2f}s -> {out}")
+            return
         if args.stream_dir or args.progress:
             carry0 = sp.init_from_vorticity(cfg, w0)
             step, _ = sp.make_step(cfg)

@@ -136,7 +136,12 @@ class EnsembleTrainer:
         self.cfg, self.n_models = cfg, n_models
         obs = load_obs(cfg.npz_path, cfg.n_frames)
         self.obs = obs
-        self.nt, _, _, self.nx, self.ny = obs.shape
+        self.nt, n_traj, _, self.nx, self.ny = obs.shape
+        if n_traj > 1 and cfg.model not in ("fno", "fno_w"):
+            raise ValueError(
+                f"multi-trajectory data (M={n_traj}) needs an operator "
+                f"family (fno/fno_w); {cfg.model!r} learns a single "
+                "coefficient trajectory by design")
         self._forward = None
         if cfg.model in ("fno", "fno_w"):
             from ns_tpu.models.fno import FNO2D
@@ -153,11 +158,12 @@ class EnsembleTrainer:
             self.w_frames = None
             if cfg.model == "fno_w":
                 from ns_tpu.models.vorticity import vorticity_from_uv
-                uv = self.obs[:, 0]
-                # jitted: no eager complex dispatch over the TPU tunnel
+                # jitted: no eager complex dispatch over the TPU tunnel;
+                # leading (nt, M) dims broadcast through the transforms
                 self.w_frames = jax.jit(
                     lambda a, b: vorticity_from_uv(a, b))(
-                        uv[:, 0], uv[:, 1])[:, None]   # (nt, 1, nx, ny)
+                        self.obs[:, :, 0],
+                        self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
             self._forward = build_forward(cfg, self.model, self.obs,
                                           self.w_frames)
         else:

@@ -117,6 +117,13 @@ def load_obs(npz_path: str, n_frames: Optional[int]):
     """npz rollout -> obs (nt, 1, 3, nx, ny) float32 (ref :158-166)."""
     data = np.load(npz_path)
     u, v, p = data["u"], data["v"], data["p"]
+    if u.ndim == 4:
+        # multi-trajectory dataset (M, nt, nx, ny) — e.g. run_solver
+        # --n-traj: the trajectory axis becomes the obs batch axis
+        if n_frames is not None:
+            u, v, p = u[:, :n_frames], v[:, :n_frames], p[:, :n_frames]
+        obs = np.stack([u, v, p], axis=2).astype(np.float32)
+        return jnp.asarray(np.swapaxes(obs, 0, 1))  # (nt, M, 3, nx, ny)
     if n_frames is not None:
         u, v, p = u[:n_frames], v[:n_frames], p[:n_frames]
     obs = np.stack([u, v, p], axis=1).astype(np.float32)  # (nt, 3, nx, ny)
@@ -150,21 +157,28 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
     by Trainer (one model) and EnsembleTrainer (vmapped over a leading
     model axis — the objective itself is per-model identical).
 
-    obs is (nt, 1, 3, nx, ny); w_frames (fno_w only) is (nt, 1, nx, ny);
-    data_scale sets the absolute std of cfg.input_noise's perturbation.
+    obs is (nt, M, 3, nx, ny) — M trajectories share the operator (M=1
+    for the reference's single-rollout protocol); w_frames (fno_w only)
+    is (nt, M, 1, nx, ny); data_scale sets the absolute std of
+    cfg.input_noise's perturbation. The basis families are
+    single-trajectory by design (one learned coefficient trajectory —
+    reference semantics); Trainer rejects M > 1 for them.
     """
     nt = obs.shape[0]
     obs0 = obs[0]
 
     def forward(params, key=None):
         if cfg.model == "rnn":
-            # teacher-forced next-frame prediction (ref rnn.py:86-99)
-            obs_flat = obs.reshape(nt, -1)[None]       # (1, nt, D)
+            # teacher-forced next-frame prediction (ref rnn.py:86-99);
+            # trajectories ride the GRU batch axis
+            m = obs.shape[1]
+            obs_flat = jnp.swapaxes(obs, 0, 1).reshape(m, nt, -1)
             pred = model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
         if cfg.model in ("fno", "fno_w"):
-            frames = (w_frames if cfg.model == "fno_w"
-                      else obs[:, 0])                  # (nt, C, nx, ny)
+            # (nt, M, C, nx, ny): the trajectory axis is a batch axis of
+            # the next-step operator (M=1 for reference-protocol data)
+            frames = (w_frames if cfg.model == "fno_w" else obs)
             k = cfg.fno_rollout_steps
             sigma = cfg.input_noise
             if k <= 1:
@@ -209,7 +223,12 @@ class Trainer:
         self.cfg = cfg
         obs = load_obs(cfg.npz_path, cfg.n_frames)
         self.obs = obs
-        self.nt, _, _, self.nx, self.ny = obs.shape
+        self.nt, n_traj, _, self.nx, self.ny = obs.shape
+        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "rnn"):
+            raise ValueError(
+                f"multi-trajectory data (M={n_traj}) needs an operator "
+                f"family (fno/fno_w) or rnn; {cfg.model!r} learns a single "
+                "coefficient trajectory by design (reference semantics)")
         self.obs0 = obs[0]  # (1, 3, nx, ny)
 
         if cfg.model == "basis_ode":
@@ -239,16 +258,17 @@ class Trainer:
                 # exactly from (u, v); (u, v, p) recovered exactly at eval
                 # (models/vorticity.py — periodic data only)
                 from ns_tpu.models.vorticity import vorticity_from_uv
-                uv = self.obs[:, 0]                    # (nt, 3, nx, ny)
                 # jitted: the spectral curl must not dispatch its complex
-                # ops eagerly over the TPU tunnel (utils/host.py hazards)
+                # ops eagerly over the TPU tunnel (utils/host.py hazards);
+                # leading (nt, M) dims broadcast through the transforms
                 self.w_frames = jax.jit(
                     lambda a, b: vorticity_from_uv(a, b))(
-                        uv[:, 0], uv[:, 1])[:, None]   # (nt, 1, nx, ny)
+                        self.obs[:, :, 0],
+                        self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
             # noise std is relative to the data scale so one input_noise
             # value transfers across resolutions/field spaces
             self._data_scale = float(jnp.std(
-                self.w_frames if cfg.model == "fno_w" else self.obs[:, 0]))
+                self.w_frames if cfg.model == "fno_w" else self.obs))
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 
@@ -429,7 +449,7 @@ class Trainer:
 
             return to_host(run_uvp(self.params, obs_full[:1]))
         if self.cfg.model == "rnn":
-            obs0 = obs_full[0].reshape(1, -1)
+            obs0 = obs_full[0, :1].reshape(1, -1)  # trajectory 0
             pred = self.model.extrapolate(self.params, obs0, nt_full)
             out = np.asarray(pred[0]).reshape(nt_full, 3, self.nx, self.ny)
         else:

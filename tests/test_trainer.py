@@ -318,3 +318,72 @@ def test_input_noise_stream_survives_resume(tmp_path):
 def test_ckpt_every_validated():
     with pytest.raises(ValueError, match="ckpt_every"):
         TrainConfig(model="fno", npz_path="x", out_dir="y", ckpt_every=0)
+
+
+# ---------------------------------------------------------------------------
+# Multi-trajectory training (operator families)
+# ---------------------------------------------------------------------------
+
+
+def _multi_npz(tmp_path, m=2, nt=6, nx=8, name="mt.npz"):
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / name)
+    np.savez(path, u=rng.normal(size=(m, nt, nx, nx)),
+             v=rng.normal(size=(m, nt, nx, nx)),
+             p=rng.normal(size=(m, nt, nx, nx)))
+    return path, m, nt, nx
+
+
+@pytest.mark.parametrize("model", ["fno", "fno_w", "rnn"])
+def test_multi_trajectory_training(model, tmp_path):
+    """(M, nt, nx, ny) datasets train the operator/rnn families: the
+    trajectory axis rides the batch axis; extrapolation follows traj 0."""
+    path, m, nt, nx = _multi_npz(tmp_path, name=f"mt_{model}.npz")
+    cfg = TrainConfig(model=model, npz_path=path,
+                      out_dir=str(tmp_path / f"mt_{model}"), n_iters=4,
+                      n_frames=nt, ckpt_every=4, fno_modes=3, fno_width=6,
+                      hidden_dim=16)
+    tr = Trainer(cfg)
+    losses = tr.train(progress=False)
+    assert np.isfinite(losses).all()
+    out = tr.extrapolate()
+    assert out.shape == (nt, 3, nx, nx)
+    assert np.isfinite(out).all()
+
+
+def test_multi_trajectory_rejects_basis_families(tmp_path):
+    path, m, nt, nx = _multi_npz(tmp_path, name="mt_basis.npz")
+    with pytest.raises(ValueError, match="single"):
+        Trainer(TrainConfig(model="basis_ode", npz_path=path,
+                            out_dir=str(tmp_path / "mtb"), n_frames=nt))
+
+
+def test_single_trajectory_4d_matches_3d(tmp_path):
+    """An (1, nt, nx, ny) dataset trains identically to the same data in
+    the reference's (nt, nx, ny) layout."""
+    rng = np.random.default_rng(3)
+    u, v, p = (rng.normal(size=(5, 8, 8)) for _ in range(3))
+    p3 = str(tmp_path / "d3.npz")
+    p4 = str(tmp_path / "d4.npz")
+    np.savez(p3, u=u, v=v, p=p)
+    np.savez(p4, u=u[None], v=v[None], p=p[None])
+    kw = dict(model="fno", n_iters=3, n_frames=5, ckpt_every=3,
+              fno_modes=3, fno_width=6)
+    l3 = Trainer(TrainConfig(npz_path=p3, out_dir=str(tmp_path / "o3"),
+                             **kw)).train(progress=False)
+    l4 = Trainer(TrainConfig(npz_path=p4, out_dir=str(tmp_path / "o4"),
+                             **kw)).train(progress=False)
+    np.testing.assert_allclose([float(x) for x in l3],
+                               [float(x) for x in l4], rtol=1e-6)
+
+
+def test_run_solver_n_traj(tmp_path):
+    from ns_tpu.cli.run_solver import main as run_main
+
+    out = str(tmp_path / "multi.npz")
+    run_main(["decaying_turbulence", "--nx", "16", "--nt", "3",
+              "--n-traj", "2", "--out", out])
+    d = np.load(out)
+    assert d["u"].shape == (2, 3, 16, 16)
+    # distinct seeds -> distinct trajectories
+    assert not np.allclose(d["u"][0], d["u"][1])

@@ -48,9 +48,20 @@ def main():
                     help="remat the k-step unroll (large-grid rollouts)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="substring filter on job names (default: all)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests / no TPU)")
+    ap.add_argument("--n-traj", type=int, default=1,
+                    help="> 1: train the operator families on N "
+                         "independently-seeded trajectories and ALSO "
+                         "score each model on a held-out trajectory "
+                         "(seed N) — generalization to an unseen initial "
+                         "condition; single-trajectory families are "
+                         "skipped")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from ns_tpu.io.npz import save_rollout
     from ns_tpu.solvers import spectral_periodic as sp
     from ns_tpu.train.trainer import TrainConfig, Trainer
@@ -59,14 +70,11 @@ def main():
     nsteps = args.nt * stride
     cfg = sp.SpectralPeriodicConfig(nt=nsteps, nx=args.nx, ny=args.nx,
                                     dt=1e-3, nu=1e-3, dtype="float32")
-    w0 = sp.decaying_turbulence_vorticity(cfg, seed=0,
-                                          k_peak=max(4.0, args.nx / 12))
 
     # strided rollout that materializes ONLY the saved frames (a full
     # simulate() stack of nt*stride frames OOMs the chip past 64^2).
     # Frame i = state after step 1 + i*stride, identical to
     # simulate()[::stride]'s selection (simulate's frame 0 is post-step-1).
-    state0 = sp.init_from_vorticity(cfg, w0)
     _step, _ = sp.make_step(cfg)
 
     def emit(c):
@@ -90,13 +98,35 @@ def main():
         _, rest = jax.lax.scan(outer, state, None, length=args.nt - 1)
         return first, rest
 
-    first, rest = strided_rollout(state0)
-    u, v, p = (np.concatenate([np.asarray(f)[None], np.asarray(r)])
-               for f, r in zip(first, rest))
+    from ns_tpu.utils.host import to_host
+
+    def gen(seed):
+        w0 = sp.decaying_turbulence_vorticity(cfg, seed=seed,
+                                              k_peak=max(4.0, args.nx / 12))
+        # to_host: the rollout executable contains complex spectral ops
+        first, rest = to_host(strided_rollout(sp.init_from_vorticity(cfg,
+                                                                     w0)))
+        return tuple(np.concatenate([f[None], r])
+                     for f, r in zip(first, rest))
+
     tmp = tempfile.mkdtemp()
     npz = os.path.join(tmp, "data.npz")
-    save_rollout(npz, u, v, p)
-    obs_full = np.stack([u, v, p], axis=1)  # (nt, 3, nx, ny)
+    if args.n_traj > 1:
+        # N training trajectories (seeds 0..N-1) + one HELD-OUT (seed N):
+        # generalization to an unseen initial condition, the axis the
+        # reference's single-rollout protocol cannot measure
+        trajs = [gen(s) for s in range(args.n_traj + 1)]
+        save_rollout(npz, *(np.stack([t[i] for t in trajs[:-1]])
+                            for i in range(3)))
+        u, v, p = trajs[0]
+        holdout_npz = os.path.join(tmp, "holdout.npz")
+        save_rollout(holdout_npz, *trajs[-1])
+        ho_full = np.stack(trajs[-1], axis=1)   # (nt, 3, nx, ny)
+    else:
+        u, v, p = gen(0)
+        save_rollout(npz, u, v, p)
+        holdout_npz = ho_full = None
+    obs_full = np.stack([u, v, p], axis=1)  # (nt, 3, nx, ny), traj 0
 
     def rel(pred, target):
         return float(np.linalg.norm(pred - target) / np.linalg.norm(target))
@@ -137,6 +167,14 @@ def main():
     if args.only:
         jobs = [(n, kw) for n, kw in jobs
                 if any(s in n for s in args.only)]
+    if args.n_traj > 1:
+        skipped = [n for n, kw in jobs
+                   if kw.get("model", "") not in ("fno", "fno_w", "rnn")]
+        if skipped:
+            print(f"(--n-traj: skipping single-trajectory families: "
+                  f"{skipped})", flush=True)
+        jobs = [(n, kw) for n, kw in jobs
+                if kw.get("model", "") in ("fno", "fno_w", "rnn")]
     for name, kw in jobs:
         kw = dict(kw)
         n_models = kw.pop("n_models", 1)
@@ -158,13 +196,21 @@ def main():
             tr.train(progress=False)
             train_s = time.perf_counter() - t0
             ex = tr.extrapolate()
-        rows.append((name, rel(ex[:100], obs_full[:100]),
-                     rel(ex, obs_full), train_s))
-        print(f"| {name} | {rows[-1][1]:.2f} | {rows[-1][2]:.2f} "
-              f"| {train_s:.0f} s |", flush=True)
+        row = [name, rel(ex[:100], obs_full[:100]), rel(ex, obs_full),
+               train_s]
+        line = (f"| {name} | {row[1]:.2f} | {row[2]:.2f} "
+                f"| {train_s:.0f} s |")
+        if holdout_npz is not None and n_models == 1:
+            # closed-loop rollout from the HELD-OUT trajectory's frame 0
+            ho = tr.extrapolate(npz_path=holdout_npz)
+            row.append(rel(ho, ho_full))
+            line += f" heldout {row[-1]:.2f} |"
+        rows.append(tuple(row))
+        print(line, flush=True)
 
-    print(f"\n# {args.nx}^2, {args.n_iters} iters "
-          f"(| model | train rel | full rel | train time |)")
+    print(f"\n# {args.nx}^2, {args.n_iters} iters, n_traj={args.n_traj} "
+          f"(| model | train rel | full rel | train time "
+          f"{'| heldout rel ' if holdout_npz else ''}|)")
 
 
 if __name__ == "__main__":
