@@ -45,6 +45,9 @@ def _run_cavity(sys_, args):
     good state, report the first bad step instead of poisoning the
     rollout), or with a per-chunk progress bar (--progress: the
     reference-tqdm analogue, utils/progress.py)."""
+    if args.progress and args.guard and not args.stream_dir:
+        print("note: --progress is ignored under --guard (the guarded "
+              "rollout runs as one fused scan)")
     if args.progress and not (args.stream_dir or args.guard):
         if hasattr(sys_, "state0"):
             from ns_tpu.utils.progress import chunked_simulate
@@ -141,14 +144,7 @@ def _run_distributed(args):
     if len(names) == 1:
         out = (out,)
 
-    if args.stream_dir:
-        # --stream-dir promises memmapped per-frame .npy streaming, which
-        # the dist path does not implement (the stacked rollout is still
-        # materialized on device and written as per-process npz shards) —
-        # refusing beats silently changing both the memory behavior and
-        # the on-disk format
-        raise SystemExit("--stream-dir is not supported with --dist; "
-                         "shard files go to <--out>.shards")
+    # --stream-dir with --dist is rejected up front in main()
     out_dir = (args.out or f"{args.family}_dist.npz") + ".shards"
     for name, arr in zip(names, out):
         dist.save_array_shards(out_dir, name, arr)
@@ -259,15 +255,38 @@ def main(argv=None):
                         "operator families (cli.train fno/fno_w/rnn)")
     args = p.parse_args(argv)
 
+    # mis-scoped flag combinations fail BEFORE any compute (a pod-scale
+    # rollout must not run for minutes and then hit argument validation)
+    if args.pallas_momentum and args.family != "chorin_fd":
+        p.error("--pallas-momentum applies to chorin_fd only")
+    if args.n_traj < 1:
+        p.error(f"--n-traj must be >= 1, got {args.n_traj}")
+    if args.n_traj > 1:
+        if args.family != "decaying_turbulence":
+            p.error("--n-traj needs random initial conditions "
+                    "(decaying_turbulence)")
+        if args.dist:
+            p.error("--n-traj is not supported with --dist")
+        if args.stream_dir or args.progress or args.guard:
+            p.error("--n-traj is incompatible with "
+                    "--stream-dir/--progress/--guard")
     if args.dist:
         if args.family not in ("taylor_green", "decaying_turbulence"):
             p.error("--dist currently supports the periodic families "
                     "(taylor_green|decaying_turbulence); the cavity "
                     "families' multi-process path is the sharded APIs in "
                     "ns_tpu/parallel/ directly")
+        if args.stream_dir:
+            p.error("--stream-dir is not supported with --dist; shard "
+                    "files go to <--out>.shards")
         return _run_distributed(args)
 
+    import jax
     import jax.numpy as jnp
+    if args.dtype == "float64":
+        # same wiring as the --dist path: without x64 JAX silently
+        # truncates every f64 array to f32 (a UserWarning at most)
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     t0 = time.perf_counter()
@@ -337,18 +356,14 @@ def main(argv=None):
             w0 = sp.taylor_green_vorticity(cfg)
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
-        if args.n_traj > 1:
-            if args.family != "decaying_turbulence":
-                raise SystemExit("--n-traj needs random initial "
-                                 "conditions (decaying_turbulence)")
-            if args.stream_dir or args.progress or args.guard:
-                raise SystemExit("--n-traj is incompatible with "
-                                 "--stream-dir/--progress/--guard")
+        if args.n_traj > 1:  # flag combinations validated in main()
+            # ONE wrapper instance: simulate_from reuses its compiled
+            # rollout across seeds (a fresh instance per seed re-jits)
+            sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
             us, vs, ps = [], [], []
             for s in range(args.seed, args.seed + args.n_traj):
                 w0s = sp.decaying_turbulence_vorticity(cfg, seed=s)
-                u_t, v_t, p_t = to_host(
-                    sp.NavierStokesSystem(w0s, **cfg_kwargs).simulate())
+                u_t, v_t, p_t = to_host(sys_.simulate_from(w0s))
                 us.append(u_t)
                 vs.append(v_t)
                 ps.append(p_t)
@@ -359,6 +374,10 @@ def main(argv=None):
                   f"{args.nt} grid={nx}x{nx} in {elapsed:.2f}s -> {out}")
             return
         if args.stream_dir or args.progress:
+            if args.guard:
+                print("note: --guard is ignored for periodic "
+                      "--stream-dir/--progress runs (unsupported for the "
+                      "periodic families in general)")
             carry0 = sp.init_from_vorticity(cfg, w0)
             step, _ = sp.make_step(cfg)
             step_fn = lambda c: step(c)[0]

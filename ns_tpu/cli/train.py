@@ -71,6 +71,7 @@ def main(argv=None):
                         "models in one vmapped step, sharded over the "
                         "'ensemble' mesh axis when --mesh allows")
     p.add_argument("--mesh", type=str, default="auto",
+                   choices=["auto", "none"],
                    help="ensemble mesh: 'auto' (largest usable device "
                         "count), 'none' (single device), only with "
                         "--n-models > 1")

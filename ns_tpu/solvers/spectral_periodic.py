@@ -728,7 +728,17 @@ class NavierStokesSystem:
             lambda h: jnp.fft.irfft2(h, s=(cfg.nx, cfg.ny))))
 
     def simulate(self):
-        w_hats = self._simulate_hat(self.carry0)
+        return self.simulate_from_carry(self.carry0)
+
+    def simulate_from(self, w_ic: Array):
+        """simulate() from a different initial vorticity, reusing this
+        instance's compiled programs — a fresh instance per initial
+        condition would re-jit the whole rollout (the jit cache keys on
+        the per-instance partial objects, see __init__)."""
+        return self.simulate_from_carry(init_from_vorticity(self.cfg, w_ic))
+
+    def simulate_from_carry(self, carry0):
+        w_hats = self._simulate_hat(carry0)
         if self.cfg.compact_spectrum:
             w_hats = self._expand(w_hats)
         u, v, w = self._fields(w_hats)
