@@ -54,22 +54,29 @@ def _rollout_fn(cfg: sp.SpectralPeriodicConfig) -> Callable:
     return run
 
 
+def _write_artifact(exported, path: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
+def _load_artifact(path: str):
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
 def export_rollout(cfg: sp.SpectralPeriodicConfig, path: str) -> str:
     """Serialize the nt-step rollout as a StableHLO artifact."""
     shape = jax.ShapeDtypeStruct((cfg.nx, cfg.ny), cfg.real_dtype)
     exported = jax_export.export(jax.jit(_rollout_fn(cfg)))(shape)
-    blob = exported.serialize()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(blob)
-    return path
+    return _write_artifact(exported, path)
 
 
 def load_rollout_artifact(path: str) -> Callable:
     """Load a serialized rollout; returns a callable that runs it under jit
     with no access to the original model-building code."""
-    with open(path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
+    exported = _load_artifact(path)
     return lambda w0: exported.call(w0)
 
 
@@ -79,8 +86,11 @@ def load_rollout_artifact(path: str) -> Callable:
 def _fd_rollout_fn(family: str, cfg, u_bc, v_bc, p_bc, dtype) -> Callable:
     """(u0, v0, p0) physical ICs -> final (u, v, p) after cfg.nt steps of
     the chosen FD family (chorin_fd incl. dst/helmholtz modes, direct_fd
-    incl. the exact mixed-BC pressure). BC application at init and the
-    whole rollout trace into ONE program."""
+    incl. the exact mixed-BC pressure). The whole rollout traces into ONE
+    program. Init semantics follow each family's NavierStokesSystem:
+    chorin_fd applies BCs to the ICs (and seeds the AB2 history);
+    direct_fd deliberately does NOT — its reference applies BCs only
+    after the first momentum update (ref direct_fd/simulate.py)."""
     if family == "chorin_fd":
         from ns_tpu.solvers import chorin_fd as m
 
@@ -138,18 +148,25 @@ class FDRolloutEngine:
 
 def export_fd_rollout(family: str, cfg, u_bc, v_bc, p_bc, path: str,
                       dtype=jnp.float32) -> str:
-    """Serialize an FD-family nt-step rollout as a StableHLO artifact."""
+    """Serialize an FD-family nt-step rollout as a StableHLO artifact.
+
+    Pallas configs are rejected: Mosaic kernels lower to TPU custom
+    calls, which jax.export refuses as non-portable — export the pure-
+    XLA twin instead (every kernel has one; drop the use_pallas* flags).
+    """
+    if getattr(cfg, "use_pallas", False) or getattr(
+            cfg, "use_pallas_momentum", False):
+        raise ValueError(
+            "StableHLO export cannot serialize Pallas (Mosaic custom-"
+            "call) kernels; rebuild the config with use_pallas="
+            "use_pallas_momentum=False (the pure-XLA twin computes the "
+            "same rollout)")
     shape = jax.ShapeDtypeStruct((cfg.nx, cfg.ny), dtype)
     fn = _fd_rollout_fn(family, cfg, u_bc, v_bc, p_bc, dtype)
     exported = jax_export.export(jax.jit(fn))(shape, shape, shape)
-    blob = exported.serialize()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(blob)
-    return path
+    return _write_artifact(exported, path)
 
 
 def load_fd_rollout_artifact(path: str) -> Callable:
-    with open(path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
+    exported = _load_artifact(path)
     return lambda u0, v0, p0: exported.call(u0, v0, p0)

@@ -124,7 +124,21 @@ def test_fd_rollout_engine_matches_simulate(tmp_path):
                           dtype=jnp.float64)
     u, v, p = eng(z, z, z)
     np.testing.assert_allclose(np.asarray(u), u_ref[-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), v_ref[-1], atol=1e-12)
     np.testing.assert_allclose(np.asarray(p), p_ref[-1], atol=1e-12)
+
+    # Pallas configs cannot serialize to StableHLO: clear error, not a
+    # custom-call failure deep inside jax.export
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Pallas"):
+        export_fd_rollout(
+            "chorin_fd",
+            chorin_fd.ChorinFDConfig(nt=4, nit=60, nx=nx, ny=ny, dt=1e-3,
+                                     nu=0.1, beta=1.25,
+                                     method="semi_implicit",
+                                     pressure_mode="redblack",
+                                     use_pallas=True),
+            u_bc, v_bc, p_bc, str(tmp_path / "nope.shlo"))
 
     path = export_fd_rollout("chorin_fd", cfg, u_bc, v_bc, p_bc,
                              str(tmp_path / "fd.shlo"), dtype=jnp.float64)
@@ -153,8 +167,10 @@ def test_fd_rollout_engine_direct_fd():
                                        nit=10, nx=nx, ny=ny, dt=1e-3,
                                        nu=0.1, dtype=jnp.float64,
                                        pressure_mode="exact")
-    u_ref, _, _ = (np.asarray(a) for a in ref.simulate())
+    u_ref, v_ref, p_ref = (np.asarray(a) for a in ref.simulate())
     eng = FDRolloutEngine("direct_fd", cfg, u_bc, v_bc, p_bc,
                           dtype=jnp.float64)
     u, v, p = eng(z, z, z)
     np.testing.assert_allclose(np.asarray(u), u_ref[-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), v_ref[-1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p), p_ref[-1], atol=1e-12)

@@ -48,8 +48,10 @@ def main():
     # tiny training run to produce a real checkpoint
     cfg = sp.SpectralPeriodicConfig(nt=40, nx=args.nx, ny=args.nx,
                                     dt=1e-3, nu=1e-3, dtype="float32")
+    from ns_tpu.utils.host import to_host
     w0 = sp.decaying_turbulence_vorticity(cfg, seed=0)
-    u, v, p = (np.asarray(a) for a in sp.NavierStokesSystem(
+    # to_host: simulate()'s executables contain complex spectral ops
+    u, v, p = to_host(sp.NavierStokesSystem(
         w0, nt=40, nx=args.nx, ny=args.nx, dt=1e-3, nu=1e-3).simulate())
     tmp = tempfile.mkdtemp()
     npz = os.path.join(tmp, "data.npz")
