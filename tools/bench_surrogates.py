@@ -200,9 +200,12 @@ def main():
                train_s]
         line = (f"| {name} | {row[1]:.2f} | {row[2]:.2f} "
                 f"| {train_s:.0f} s |")
-        if holdout_npz is not None and n_models == 1:
+        if holdout_npz is not None:
             # closed-loop rollout from the HELD-OUT trajectory's frame 0
+            # (ensembles score their member-mean rollout)
             ho = tr.extrapolate(npz_path=holdout_npz)
+            if n_models > 1:
+                ho = ho.mean(axis=0)
             row.append(rel(ho, ho_full))
             line += f" heldout {row[-1]:.2f} |"
         rows.append(tuple(row))
