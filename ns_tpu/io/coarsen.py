@@ -7,8 +7,11 @@ reshape-mean (vectorized).
 
 Reference quirk (utils.py:51): the j-loop bound reuses agg_x
 (`range(ny // agg_x)`), so for agg_x != agg_y the output misses or repeats
-columns. `quirk_compat=True` replicates that; the default fixes it. The
-quirk is a no-op when agg_x == agg_y (the reference's only usage).
+columns. Per the repo-wide convention (CLAUDE.md) quirk_compat=True is
+the DEFAULT and replicates that; quirk_compat=False fixes it. The quirk
+is a no-op when agg_x == agg_y (the reference's only usage), so the
+default only bites on rectangular aggregation — exactly where golden
+comparisons need the reference behavior.
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import numpy as np
 
 
 def spatial_coarsen(X, Y, u_seq, v_seq, p_seq, agg_x: int = 4,
-                    agg_y: int = 4, quirk_compat: bool = False):
+                    agg_y: int = 4, quirk_compat: bool = True):
     nx, ny = X.shape[0], X.shape[1]
     T = u_seq.shape[0]
     assert nx % agg_x == 0

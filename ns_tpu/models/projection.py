@@ -30,7 +30,15 @@ Array = jnp.ndarray
 
 def project_periodic(u: Array, v: Array) -> tuple[Array, Array]:
     """Exact spectral Helmholtz projection on [0, 2*pi)^2 grids of any
-    shape (..., nx, ny)."""
+    shape (..., nx, ny). Jitted internally: the module advertises this
+    as a standalone post-processor, and eager complex dispatch flakes on
+    the axon TPU tunnel (inside an outer jit the wrapper just inlines).
+    """
+    return _project_periodic_jit(u, v)
+
+
+@jax.jit
+def _project_periodic_jit(u: Array, v: Array) -> tuple[Array, Array]:
     import numpy as np
 
     nx, ny = u.shape[-2], u.shape[-1]
@@ -96,7 +104,14 @@ def project_bounded(u: Array, v: Array, dx: float, dy: float,
     d = divergence_backward(u, v, dx, dy)
     # zero the boundary ring of the rhs: multigrid solves the interior
     d = d.at[0, :].set(0.0).at[-1, :].set(0.0).at[:, 0].set(0.0).at[:, -1].set(0.0)
-    phi = poisson_multigrid(jnp.zeros_like(u), d, dx, dy, n_cycles=n_cycles)
+    # spacings SWAPPED on purpose: this module's div/grad put x along
+    # axis 1 (reference direct_fd convention) while poisson_multigrid's
+    # Laplacian applies its first spacing along axis 0 (chorin_fd
+    # convention) — passing (dx, dy) unswapped solves a transposed-
+    # coefficient operator and anisotropic grids get WORSE after
+    # "projection" (regression-tested in tests/test_projection.py)
+    phi = poisson_multigrid(jnp.zeros_like(u), d, dy, dx,
+                            n_cycles=n_cycles)
     gx = jnp.zeros_like(u).at[:, :-1].set((phi[:, 1:] - phi[:, :-1]) / dx)
     gy = jnp.zeros_like(v).at[:-1, :].set((phi[1:, :] - phi[:-1, :]) / dy)
     return u - gx, v - gy

@@ -82,7 +82,13 @@ def shadow_check(fn: Callable, *args, rtol: float = 1e-4,
     with every float leaf upcast to f64; return
     (f32_result, f64_result, dict of per-leaf max abs deviations).
     Requires jax_enable_x64 for the shadow to be a true f64 run.
-    """
+
+    This is a CPU/debug tool: the f64 shadow itself has no TPU form (no
+    f64 on the chip), so the whole comparison runs wherever x64 is real.
+    Complex leaves deviate on |a - b| (both components — casting to real
+    would silently discard the imaginary part); all deviations compute
+    in one jitted program and read back in one to_host batch (not a
+    per-leaf float() loop)."""
     def upcast(x):
         x = jnp.asarray(x)
         if jnp.issubdtype(x.dtype, jnp.floating):
@@ -93,8 +99,18 @@ def shadow_check(fn: Callable, *args, rtol: float = 1e-4,
 
     lo = fn(*args)
     hi = fn(*jax.tree_util.tree_map(upcast, args))
-    devs = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float64)
-                                           - jnp.asarray(b, jnp.float64)))),
-        lo, hi)
+
+    @jax.jit
+    def deviations(a_tree, b_tree):
+        def one(a, b):
+            a = jnp.asarray(a)
+            up = (jnp.complex128 if jnp.issubdtype(a.dtype,
+                                                   jnp.complexfloating)
+                  else jnp.float64)
+            return jnp.max(jnp.abs(a.astype(up)
+                                   - jnp.asarray(b).astype(up)))
+        return jax.tree_util.tree_map(one, a_tree, b_tree)
+
+    from ns_tpu.utils.host import to_host
+    devs = jax.tree_util.tree_map(float, to_host(deviations(lo, hi)))
     return lo, hi, devs

@@ -10,6 +10,16 @@ import time
 from typing import Any, Mapping
 
 
+def _jsonable(x):
+    """Serializer fallback: scalars via float, arrays via tolist — a
+    multi-element array under plain default=float raised 'only size-1
+    arrays can be converted' from INSIDE the logging call, aborting the
+    training loop it was observing."""
+    if hasattr(x, "tolist"):
+        return x.tolist()
+    return float(x)
+
+
 class JSONLLogger:
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -18,7 +28,7 @@ class JSONLLogger:
 
     def log(self, metrics: Mapping[str, Any], **extra):
         rec = {"time": time.time(), **metrics, **extra}
-        self._f.write(json.dumps(rec, default=float) + "\n")
+        self._f.write(json.dumps(rec, default=_jsonable) + "\n")
 
     def close(self):
         self._f.close()

@@ -32,6 +32,9 @@ def chunked_simulate(step_fn: Callable, state0, nt: int,
     io/streaming.py::stream_rollout — this is its collect-in-RAM sibling
     with the bar attached. Returns ({name: np.ndarray}, final_state).
     """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk} (<= 0 would "
+                         "spin forever dispatching empty programs)")
     probe = jax.eval_shape(extract, state0)
     outs = {name: np.empty((nt,) + tuple(a.shape),
                            dtype=np.dtype(a.dtype))

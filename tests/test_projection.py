@@ -79,3 +79,20 @@ def test_bounded_projection_smooth_central_divergence():
     d1 = np.abs(np.asarray(
         divergence_central(u_p, v_p, dx, dy))[4:-4, 4:-4]).max()
     assert d1 < 0.5 * d0, (d0, d1)
+
+
+def test_bounded_projection_anisotropic_grid():
+    """dx != dy: the projection must still kill the backward divergence.
+    Regression: poisson_multigrid applies its first spacing along axis 0
+    while this module's operators put x along axis 1 — unswapped
+    spacings solved a transposed-coefficient operator and the
+    'projection' INCREASED divergence ~3x on anisotropic grids."""
+    n = 33
+    dx, dy = 1.0 / (n - 1), 3.0 / (n - 1)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(n, n)))
+    v = jnp.asarray(rng.normal(size=(n, n)))
+    d0 = np.abs(np.asarray(divergence_backward(u, v, dx, dy))[1:-1, 1:-1]).max()
+    u_p, v_p = project_bounded(u, v, dx, dy, n_cycles=14)
+    d1 = np.abs(np.asarray(divergence_backward(u_p, v_p, dx, dy))[1:-1, 1:-1]).max()
+    assert d1 < 1e-6 * d0, (d0, d1)

@@ -23,3 +23,20 @@ def test_shadow_check_agrees_on_stable_fn():
     x = jnp.linspace(0, 1, 64, dtype=jnp.float32)
     lo, hi, devs = shadow_check(fn, x)
     assert float(devs) < 1e-6
+
+
+def test_shadow_check_sees_imaginary_deviation():
+    """Complex outputs deviate on |a - b| over BOTH components — casting
+    to real silently dropped purely-imaginary f32 drift."""
+    import jax
+    import jax.numpy as jnp
+    from ns_tpu.utils.guard import shadow_check
+
+    def fn(x):
+        # imaginary part carries the precision-sensitive term
+        return jax.lax.complex(jnp.zeros_like(x),
+                               (x + 1e4) - 1e4)
+
+    x = jnp.linspace(0.0, 1.0, 64, dtype=jnp.float32)
+    _, _, devs = shadow_check(fn, x)
+    assert devs > 1e-6  # f32 catastrophic cancellation, imaginary-only

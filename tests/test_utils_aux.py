@@ -238,3 +238,30 @@ def test_transform_auto_resolves_by_crossover():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="transform"):
         sp.SpectralPeriodicConfig(transform="typo")
+
+
+def test_jsonl_logger_serializes_arrays(tmp_path):
+    """Array-valued metrics serialize via tolist instead of raising
+    'only size-1 arrays can be converted' from inside the logging call."""
+    import json
+
+    import numpy as np
+
+    from ns_tpu.utils.jsonl import JSONLLogger
+
+    path = str(tmp_path / "m.jsonl")
+    with JSONLLogger(path) as log:
+        log.log({"vec": np.arange(3.0), "scalar": np.float32(2.5)}, it=1)
+    rec = json.loads(open(path).read().splitlines()[-1])
+    assert rec["vec"] == [0.0, 1.0, 2.0] and rec["scalar"] == 2.5
+
+
+def test_chunked_simulate_rejects_bad_chunk():
+    import jax.numpy as jnp
+    import pytest
+
+    from ns_tpu.utils.progress import chunked_simulate
+
+    with pytest.raises(ValueError, match="chunk"):
+        chunked_simulate(lambda s: s, jnp.zeros(2), 4,
+                         lambda s: {"x": s}, chunk=0)
