@@ -10,6 +10,7 @@ InferenceEngine's request latency after warmup:
 
 Usage: python tools/bench_serving.py [--nx 64] [--model fno_w]
        [--chunk 64] [--steps 50 200 1000]
+       python tools/bench_serving.py --solver [--stride 1]   # oracle endpoint
 """
 
 import argparse
@@ -34,6 +35,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs while the "
                          "TPU is busy)")
+    ap.add_argument("--solver", action="store_true",
+                    help="bench the SolverEngine (classical-solver oracle "
+                         "endpoint) instead of a surrogate checkpoint")
+    ap.add_argument("--stride", type=int, default=1,
+                    help="solver steps per served frame (--solver only)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -44,6 +50,37 @@ def main():
     from ns_tpu.solvers import spectral_periodic as sp
     from ns_tpu.io.npz import save_rollout
     from ns_tpu.train.trainer import TrainConfig, Trainer
+
+    if args.solver:
+        from ns_tpu.serve.solver import SolverEngine
+        from ns_tpu.utils.host import to_host
+        cfg = sp.SpectralPeriodicConfig(nt=1, nx=args.nx, ny=args.nx,
+                                        dt=1e-3, nu=1e-3, dtype="float32")
+        w0 = sp.decaying_turbulence_vorticity(cfg, seed=0)
+        u, v, p = to_host(sp.NavierStokesSystem(
+            w0, nt=2, nx=args.nx, ny=args.nx, dt=1e-3, nu=1e-3).simulate())
+        frame0 = np.stack([u[0], v[0], p[0]]).astype(np.float32)
+        eng = SolverEngine(args.nx, args.nx, stride=args.stride,
+                           chunk=args.chunk)
+        label = (f"solver {args.nx}^2 stride={args.stride} "
+                 f"chunk={args.chunk}")
+
+        t0 = time.perf_counter()
+        eng.predict(frame0, args.steps[0])
+        cold = time.perf_counter() - t0
+        print(f"| {label} | first request ({args.steps[0]} steps) | "
+              f"{cold:.2f} s |", flush=True)
+
+        for n in args.steps:
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                eng.predict(frame0, n)
+                best = min(best, time.perf_counter() - t0)
+            print(f"| {label} | {n}-step rollout | {best * 1e3:.1f} ms "
+                  f"({n / best:.0f} frames/s) |", flush=True)
+        print("\n(| engine | request | latency |)")
+        return
 
     # tiny training run to produce a real checkpoint
     cfg = sp.SpectralPeriodicConfig(nt=40, nx=args.nx, ny=args.nx,
