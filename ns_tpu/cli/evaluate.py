@@ -205,6 +205,11 @@ def main(argv=None):
 
     if not 0 <= args.offset < nt:
         raise SystemExit(f"--offset must be in [0, {nt}), got {args.offset}")
+    if args.offset >= n_train:
+        # fail here, not later as a confusing 'n_train must be >= 1':
+        # shifting by >= the train window leaves nothing to score it on
+        raise SystemExit(f"--offset must be < the train window "
+                         f"(n_frames={n_train}), got {args.offset}")
     if args.offset:
         pred, obs = pred[:nt - args.offset], obs[args.offset:]
         # after the shift, pred index t scores obs frame t+offset, which

@@ -73,6 +73,7 @@ class AsyncNpyWriter:
         self._q = None
         self._worker = None
         self._err: list = []
+        self._closed = False
 
         if backend == "auto":
             from ns_tpu.runtime.native.build import load
@@ -133,6 +134,11 @@ class AsyncNpyWriter:
             if rc:
                 raise OSError(rc, f"native write failed for {self.path!r}")
         elif self._q is not None:
+            # surface worker errors on the NEXT submit, not only at
+            # close(): a failed disk must not keep accepting hours of
+            # rollout (the native backend's nsio_submit does the same)
+            if self._err:
+                raise self._err[0]
             # backpressure on bytes in flight; a single oversized job is
             # always admitted when nothing is buffered (C++ semantics)
             with self._bytes_cv:
@@ -150,6 +156,11 @@ class AsyncNpyWriter:
         """Store `frames` at [index : index+len(frames)]. Returns as soon
         as the data is copied into the ring (native) / handed to the
         worker (thread)."""
+        if self._closed:
+            # without this, the native path would hand a NULL handle to
+            # the C library (segfault) and the thread path would enqueue
+            # to a dead worker (silent data loss)
+            raise ValueError(f"write to closed writer for {self.path!r}")
         frames = np.ascontiguousarray(frames, dtype=self.dtype)
         if frames.shape[1:] != self.shape[1:]:
             raise ValueError(f"frame shape {frames.shape[1:]} != "
@@ -169,6 +180,7 @@ class AsyncNpyWriter:
         self._submit_bytes(off, frames.tobytes())
 
     def close(self):
+        self._closed = True
         if self._lib is not None:
             if self._handle is None:
                 return
@@ -184,6 +196,7 @@ class AsyncNpyWriter:
         if self._q is not None:
             self._q.put(None)
             self._worker.join()
+            self._q = None
         os.fsync(self._fd)
         os.close(self._fd)
         self._fd = None

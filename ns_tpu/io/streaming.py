@@ -27,17 +27,36 @@ from ns_tpu.utils import to_host
 Array = jnp.ndarray
 
 
-# module-level jit keyed on (step_fn, extract, n): callers that pass the
-# same step/extract objects across stream_rollout calls (benchmark rows,
-# repeated serving requests) reuse the compiled programs instead of
-# retracing a fresh closure per call
-@partial(jax.jit, static_argnames=("step_fn", "extract", "n"))
-def _run_chunk(state, *, step_fn, extract, n):
-    def body(s, _):
-        s = step_fn(s)
-        return s, extract(s)
+# Bounded LRU of jitted chunk runners keyed on (step_fn, extract):
+# callers that pass the same step/extract objects across stream_rollout
+# calls (benchmark rows, repeated serving requests) reuse the compiled
+# programs, while callers that build fresh closures per call (run_solver)
+# evict old entries instead of growing a module-level jit cache — each
+# retired entry releases its executables AND the closure's captured
+# device constants (tens of MB of transform matrices at 1024^2), which
+# matters in long-lived serving processes.
+from collections import OrderedDict
 
-    return jax.lax.scan(body, state, None, length=n)
+_CHUNK_RUNNERS: OrderedDict = OrderedDict()
+_CHUNK_RUNNERS_MAX = 8
+
+
+def _chunk_runner(step_fn: Callable, extract: Callable):
+    key = (step_fn, extract)
+    run = _CHUNK_RUNNERS.pop(key, None)
+    if run is None:
+        @partial(jax.jit, static_argnames="n")
+        def run(state, *, n):
+            def body(s, _):
+                s = step_fn(s)
+                return s, extract(s)
+
+            return jax.lax.scan(body, state, None, length=n)
+
+    _CHUNK_RUNNERS[key] = run            # most-recently-used last
+    while len(_CHUNK_RUNNERS) > _CHUNK_RUNNERS_MAX:
+        _CHUNK_RUNNERS.popitem(last=False)
+    return run
 
 
 def stream_rollout(step_fn: Callable, state0, nt: int,
@@ -77,6 +96,7 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
         }
 
     state = state0
+    run_chunk = _chunk_runner(step_fn, extract)
     # try/finally: a mid-rollout failure (device error, bad step_fn) must
     # not leak the writers' fds/worker threads/native ring buffers —
     # stream_rollout also runs inside long-lived serving processes
@@ -85,8 +105,7 @@ def stream_rollout(step_fn: Callable, state0, nt: int,
         t = 0
         while t < nt:
             n = min(chunk, nt - t)
-            state, frames = _run_chunk(state, step_fn=step_fn,
-                                       extract=extract, n=n)
+            state, frames = run_chunk(state, n=n)
             # one bulk transfer per chunk, laundered through to_host: the
             # scan executable contains complex FFT/DFT ops, whose outputs
             # the axon tunnel cannot read back directly (utils/host.py)

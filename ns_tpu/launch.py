@@ -51,9 +51,12 @@ def _free_port() -> int:
 
 
 def _pump(stream, prefix: str, out):
+    """Drain a child's stdout (children block on a full pipe otherwise);
+    out=None discards lines — quiet mode holds no fd open per worker."""
     for line in iter(stream.readline, ""):
-        out.write(f"{prefix} {line}")
-        out.flush()
+        if out is not None:
+            out.write(f"{prefix} {line}")
+            out.flush()
     stream.close()
 
 
@@ -90,8 +93,7 @@ def launch(cmd: list[str], nprocs: int, devices_per_proc: int | None = None,
             procs.append(p)
             t = threading.Thread(
                 target=_pump, args=(p.stdout, f"[p{pid}]",
-                                    open(os.devnull, "w") if quiet
-                                    else sys.stdout),
+                                    None if quiet else sys.stdout),
                 daemon=True)
             t.start()
             threads.append(t)

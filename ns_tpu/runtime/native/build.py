@@ -33,6 +33,12 @@ def _compile() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
+        # g++ may have created (part of) the tmp before failing/timing
+        # out; don't litter one orphan per failed process
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
     os.replace(tmp, _SO)  # atomic vs concurrent builders
     return True

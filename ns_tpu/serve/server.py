@@ -27,6 +27,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
 from ns_tpu.serve.engine import InferenceEngine
 from ns_tpu.serve.wire import npy_bytes as _npy_bytes
 from ns_tpu.serve.wire import npy_parse as _npy_parse
@@ -90,9 +92,19 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             with self.lock:
                 out = self.engine.predict(frame0, steps)
-            if self.engine.n_models > 1 and reduce != "members":
-                out = out.mean(axis=0) if reduce == "mean" else \
-                    out.std(axis=0)
+            if self.engine.n_models > 1:
+                if reduce != "members":
+                    out = out.mean(axis=0) if reduce == "mean" else \
+                        out.std(axis=0)
+            elif reduce == "members":
+                # single-model endpoints honor the ensemble contract:
+                # 'members' gains a leading member axis of 1 ...
+                out = out[None]
+            elif reduce == "spread":
+                # ... and the spread of one member is exactly zero — NOT
+                # the raw fields (a client must never mistake velocities
+                # for uncertainty)
+                out = np.zeros_like(out)
         except ValueError as e:   # bad shape/steps — client error
             self._reply_json(400, {"error": str(e)})
             return

@@ -36,7 +36,7 @@ TPU design notes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -397,8 +397,7 @@ def init_from_vorticity_real(cfg: SpectralPeriodicConfig, w0: Array):
     (carry_from_vorticity); kept for API stability."""
     if not cfg.real_gemm:
         cfg = dataclasses.replace(cfg, compact_spectrum=True, real_gemm=True)
-    build = jax.jit(partial(carry_from_vorticity, cfg))
-    return build(jnp.asarray(w0, cfg.real_dtype))
+    return _carry_builder(cfg)(jnp.asarray(w0, cfg.real_dtype))
 
 
 def expand_compact(cfg: SpectralPeriodicConfig, z: Array) -> Array:
@@ -463,8 +462,7 @@ def init_from_vorticity_compact(cfg: SpectralPeriodicConfig, w0: Array):
     (carry_from_vorticity); kept for API stability."""
     if not cfg.compact_spectrum or cfg.real_gemm:
         cfg = dataclasses.replace(cfg, compact_spectrum=True, real_gemm=False)
-    build = jax.jit(partial(carry_from_vorticity, cfg))
-    return build(jnp.asarray(w0, cfg.real_dtype))
+    return _carry_builder(cfg)(jnp.asarray(w0, cfg.real_dtype))
 
 
 def rollout_final_compact(cfg: SpectralPeriodicConfig, carry0):
@@ -547,6 +545,16 @@ def carry_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
     return w_hat, nonlinear_term(w_hat, ops, cfg, transforms)
 
 
+@lru_cache(maxsize=16)
+def _carry_builder(cfg: SpectralPeriodicConfig):
+    """One jitted carry builder per config. A fresh `jax.jit(partial(...))`
+    per call would recompile the init program (forward transform +
+    nonlinear eval) for EVERY trajectory of a multi-seed run and leave a
+    dead cache entry behind each time; keying on the frozen config gives
+    cross-call program reuse with a bounded footprint."""
+    return jax.jit(partial(carry_from_vorticity, cfg))
+
+
 def physical_from_carry(cfg: SpectralPeriodicConfig, w_spec: Array) -> Array:
     """Traceable spectrum -> physical vorticity for any engine's carry."""
     if cfg.real_gemm:
@@ -564,8 +572,7 @@ def init_from_vorticity(cfg: SpectralPeriodicConfig, w0: Array):
     Jitted as one program — eager complex dispatch is avoided throughout
     this module (axon TPU reliability). With cfg.compact_spectrum the
     carry is the compact truncated spectrum (see expand_compact)."""
-    build = jax.jit(partial(carry_from_vorticity, cfg))
-    return build(jnp.asarray(w0, cfg.real_dtype))
+    return _carry_builder(cfg)(jnp.asarray(w0, cfg.real_dtype))
 
 
 def simulate_hat(cfg: SpectralPeriodicConfig, carry0):

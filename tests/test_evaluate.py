@@ -91,6 +91,23 @@ def test_evaluate_cli_offset(tmp_path, capsys):
     assert "| full | 0.0000 |" in out
 
 
+def test_evaluate_cli_offset_beyond_train_window_is_clear(tmp_path):
+    """--offset >= n_frames must fail with an offset-pointed message,
+    not a downstream 'n_train must be >= 1' that blames the wrong knob."""
+    import pytest
+
+    from ns_tpu.cli.evaluate import main
+
+    npz, nt, nx, ny = _toy_npz(tmp_path, name="off2.npz")
+    d = np.load(npz)
+    obs = np.stack([d["u"], d["v"], d["p"]], axis=1).astype(np.float32)
+    path = str(tmp_path / "pred2.npy")
+    np.save(path, obs)
+    with pytest.raises(SystemExit, match="train window"):
+        main(["--extrapolation", path, "--npz-path", npz,
+              "--n-frames", "4", "--offset", "5"])
+
+
 def test_evaluate_physics_metrics(tmp_path, capsys):
     """--physics: solver-produced frames score ~zero spectrum error and
     near-machine divergence; a perturbed prediction scores worse."""

@@ -5,6 +5,8 @@ native backend is the C++ ring writer (lazily g++-built), 'thread' the
 pure-Python fallback, 'sync' the in-line oracle.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -84,6 +86,63 @@ def test_stream_rollout_writer_parity(tmp_path, writer):
     for name in ("u", "usq"):
         np.testing.assert_array_equal(np.load(paths[name]),
                                       np.load(ref[name]))
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_write_after_close_raises(tmp_path, backend):
+    """write() on a closed writer must raise, never segfault (native: a
+    NULL handle into the C library) or silently drop data (thread: a
+    queue whose worker already exited)."""
+    w = AsyncNpyWriter(str(tmp_path / "wac.npy"), (4, 3), backend=backend)
+    w.write(0, np.zeros((4, 3), np.float32))
+    w.close()
+    with pytest.raises(ValueError, match="closed"):
+        w.write(1, np.zeros((1, 3), np.float32))
+    w.close()  # idempotent
+
+
+def test_thread_backend_error_surfaces_before_close(tmp_path):
+    """A failed disk must stop the rollout on the NEXT write, not hours
+    later at close() (the native backend's submit already does this)."""
+    import time
+
+    w = AsyncNpyWriter(str(tmp_path / "err.npy"), (128, 4),
+                       backend="thread")
+    os.close(w._fd)                      # simulate the disk going away
+    frame = np.zeros((1, 4), np.float32)
+    raised = False
+    for i in range(200):                 # poll: the worker fails async
+        try:
+            w.write(i % 128, frame)
+        except OSError:
+            raised = True
+            break
+        time.sleep(0.005)
+    assert raised, "write-path never surfaced the worker's OSError"
+    with pytest.raises(OSError):
+        w.close()
+
+
+def test_stream_rollout_compile_cache_is_bounded(tmp_path):
+    """Fresh step/extract closures per call (run_solver's pattern) must
+    evict old compiled chunk programs, not grow a module-level jit cache
+    (and its captured device constants) forever."""
+    import jax.numpy as jnp
+
+    from ns_tpu.io import streaming
+
+    for i in range(streaming._CHUNK_RUNNERS_MAX + 4):
+        def step(s):
+            return s + 1.0
+
+        def extract(s):
+            return {"x": s}
+
+        streaming.stream_rollout(step, jnp.zeros((2, 2)), nt=3,
+                                 extract=extract,
+                                 out_dir=str(tmp_path / f"d{i}"),
+                                 chunk=2, writer="sync")
+    assert len(streaming._CHUNK_RUNNERS) <= streaming._CHUNK_RUNNERS_MAX
 
 
 def test_large_backpressure(tmp_path):

@@ -210,6 +210,29 @@ def test_server_end_to_end(running_server):
     conn.close()
 
 
+def test_server_single_model_reduce_contract(running_server):
+    """A single-model endpoint honors the ensemble reduce contract:
+    'members' gains a leading axis of 1, 'spread' is exactly zero —
+    never the raw fields misread as uncertainty."""
+    port, eng, nx, ny = running_server
+    frame0 = np.zeros((3, nx, ny), np.float32)
+    raw = eng.predict(frame0, 3)
+
+    status, body = _post_npy(port, "/rollout?steps=3&reduce=members",
+                             frame0)
+    assert status == 200
+    out = np.load(io.BytesIO(body), allow_pickle=False)
+    assert out.shape == (1,) + raw.shape
+    np.testing.assert_array_equal(out[0], raw)
+
+    status, body = _post_npy(port, "/rollout?steps=3&reduce=spread",
+                             frame0)
+    assert status == 200
+    out = np.load(io.BytesIO(body), allow_pickle=False)
+    assert out.shape == raw.shape
+    np.testing.assert_array_equal(out, np.zeros_like(raw))
+
+
 def test_server_client_errors(running_server):
     port, eng, nx, ny = running_server
     # wrong shape -> 400 with the engine's message
