@@ -208,6 +208,16 @@ def main(argv=None):
                         "advection+diffusion+BC predictor as one Pallas "
                         "launch (1.4-1.8x the XLA stencils at 1024-2048^2, "
                         "RESULTS.md; TPU only)")
+    p.add_argument("--forcing", default="none",
+                   choices=["none", "kolmogorov", "fno"],
+                   help="periodic families: constant body forcing "
+                        "(vorticity space) for statistically-stationary "
+                        "turbulence — 'kolmogorov' = -amp*k*cos(k*y), "
+                        "'fno' = the standard FNO-benchmark forcing")
+    p.add_argument("--forcing-k", type=int, default=4,
+                   help="forcing wavenumber (default 4)")
+    p.add_argument("--forcing-amp", type=float, default=0.1,
+                   help="forcing amplitude (default 0.1)")
     p.add_argument("--compact", action="store_true",
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
@@ -259,6 +269,12 @@ def main(argv=None):
     # rollout must not run for minutes and then hit argument validation)
     if args.pallas_momentum and args.family != "chorin_fd":
         p.error("--pallas-momentum applies to chorin_fd only")
+    if args.forcing != "none":
+        if args.family not in ("taylor_green", "decaying_turbulence"):
+            p.error("--forcing applies to the periodic families only")
+        if args.dist:
+            p.error("--forcing is single-chip for now (the sharded "
+                    "spectral path rejects forced configs); drop --dist")
     if args.n_traj < 1:
         p.error(f"--n-traj must be >= 1, got {args.n_traj}")
     if args.n_traj > 1:
@@ -350,7 +366,10 @@ def main(argv=None):
                           rho=args.rho, dtype=args.dtype,
                           transform=args.transform,
                           matmul_precision=args.precision,
-                          compact_spectrum=args.compact)
+                          compact_spectrum=args.compact,
+                          forcing=args.forcing,
+                          forcing_k=args.forcing_k,
+                          forcing_amp=args.forcing_amp)
         cfg = sp.SpectralPeriodicConfig(**cfg_kwargs)
         if args.family == "taylor_green":
             w0 = sp.taylor_green_vorticity(cfg)

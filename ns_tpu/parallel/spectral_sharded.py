@@ -71,6 +71,10 @@ def _make_fft_pieces(cfg: SpectralPeriodicConfig, mesh: Mesh, axis: str):
     """Shared machinery of the distributed-FFT entry points: transposed
     transforms, per-shard constants, the masked nonlinear term and the
     IF-AB2 step."""
+    if cfg.forcing != "none":
+        raise ValueError("forced runs (cfg.forcing) are single-chip for "
+                         "now; shard forced workloads over the ensemble "
+                         "axis (parallel/ensemble.py) instead")
     n = mesh.shape[axis]
     if cfg.nx % n:
         raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
@@ -249,6 +253,10 @@ def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
     if cfg.transform != "matmul" or not cfg.dealias:
         raise ValueError("sharded compact path needs transform='matmul' "
                          "and dealias=True")
+    if cfg.forcing != "none":
+        raise ValueError("forced runs (cfg.forcing) are single-chip for "
+                         "now; shard forced workloads over the ensemble "
+                         "axis (parallel/ensemble.py) instead")
     n = mesh.shape[axis]
     if cfg.nx % n:
         raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")

@@ -89,12 +89,34 @@ class SpectralPeriodicConfig:
     # summation order (validated elementwise in f64 in tests).
     real_gemm: bool = False
 
+    # Constant-in-time body forcing, vorticity form — turns the decaying
+    # configs into statistically-stationary turbulence (the reference has
+    # no forced runs; this is the standard sustained-turbulence benchmark
+    # setting). The forcing spectrum is a precomputed device constant
+    # added to the advective RHS, so a forced step costs the same as an
+    # unforced one.
+    #   'none'        unforced (default; reference behavior)
+    #   'kolmogorov'  body force (amp*sin(k*y), 0) -> vorticity forcing
+    #                 f_w = -amp*k*cos(k*y); laminar fixed point
+    #                 w_s = f_w/(nu*k^2) (classical Kolmogorov flow)
+    #   'fno'         f_w = amp*(sin(k*(x+y)) + cos(k*(x+y))) — the
+    #                 forcing of the standard FNO Navier-Stokes benchmark
+    #                 (Li et al. 2021), directly in vorticity space
+    forcing: str = "none"
+    forcing_k: int = 4
+    forcing_amp: float = 0.1
+
     # grid size at which the matmul-DFT's O(N^3) transform work crosses
     # the FFT's O(N^2 log N) on TPU (measured 4x matmul advantage at
     # 2048^2 extrapolates to parity near 8k^2 — RESULTS.md)
     AUTO_FFT_CROSSOVER = 8192
 
     def __post_init__(self):
+        if self.forcing not in ("none", "kolmogorov", "fno"):
+            raise ValueError(f"forcing must be 'none'|'kolmogorov'|'fno', "
+                             f"got {self.forcing!r}")
+        if self.forcing != "none" and self.forcing_k < 1:
+            raise ValueError(f"forcing_k must be >= 1, got {self.forcing_k}")
         if self.transform == "auto":
             if (max(self.nx, self.ny) < self.AUTO_FFT_CROSSOVER
                     and self.dealias):
@@ -137,9 +159,37 @@ def _dealias_mask(cfg: SpectralPeriodicConfig):
     return mx[:, None] & my[None, :]
 
 
+def forcing_vorticity_np(cfg: SpectralPeriodicConfig):
+    """Host-side (float64 numpy) vorticity-space forcing field f_w(x, y)
+    on the 2*pi-periodic grid, or None when cfg.forcing == 'none'."""
+    if cfg.forcing == "none":
+        return None
+    x = 2.0 * np.pi * np.arange(cfg.nx)[:, None] / cfg.nx
+    y = 2.0 * np.pi * np.arange(cfg.ny)[None, :] / cfg.ny
+    k, amp = cfg.forcing_k, cfg.forcing_amp
+    if cfg.forcing == "kolmogorov":
+        # curl of the body force (amp*sin(k*y), 0)
+        return -amp * k * np.cos(k * y) + 0.0 * x
+    return amp * (np.sin(k * (x + y)) + np.cos(k * (x + y)))
+
+
+def _forcing_hat_np(cfg: SpectralPeriodicConfig):
+    """Forcing spectrum in the full rfft2 layout (complex128 host numpy),
+    dealias-masked, mean mode exactly zero; None when unforced."""
+    f = forcing_vorticity_np(cfg)
+    if f is None:
+        return None
+    f_hat = np.fft.rfft2(f)
+    if cfg.dealias:
+        f_hat = np.where(_dealias_mask(cfg), f_hat, 0.0)
+    f_hat[0, 0] = 0.0  # never force the mean (zero analytically; pin fp)
+    return f_hat
+
+
 def make_ops(cfg: SpectralPeriodicConfig):
     """Precompute spectral constants: wavenumbers, 1/k^2, viscous factor,
-    dealias mask. All tiny device-resident arrays."""
+    dealias mask (and the forcing spectrum when forced). All tiny
+    device-resident arrays."""
     kx, ky = _wavenumbers_np(cfg)
     k2 = kx * kx + ky * ky
     with np.errstate(divide="ignore"):
@@ -150,11 +200,16 @@ def make_ops(cfg: SpectralPeriodicConfig):
     # only REAL constants cross host->device: the axon transfer layer does
     # not support complex buffers (i*k multiplies are done in real/imag
     # arithmetic inside compiled code — see _ik_mul)
-    return dict(
+    ops = dict(
         kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
         k2=jnp.asarray(k2, rdt), inv_k2=jnp.asarray(inv_k2, rdt),
         visc=jnp.asarray(visc, rdt), mask=jnp.asarray(mask),
     )
+    f_hat = _forcing_hat_np(cfg)
+    if f_hat is not None:
+        ops["f_re"] = jnp.asarray(f_hat.real, rdt)
+        ops["f_im"] = jnp.asarray(f_hat.imag, rdt)
+    return ops
 
 
 def _ik_mul(k: Array, z: Array) -> Array:
@@ -266,8 +321,16 @@ def make_compact_ops(cfg: SpectralPeriodicConfig):
         inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
     visc = np.exp(-cfg.nu * k2 * cfg.dt)
     rdt = cfg.real_dtype
-    return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
-                inv_k2=jnp.asarray(inv_k2, rdt), visc=jnp.asarray(visc, rdt))
+    ops = dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+               inv_k2=jnp.asarray(inv_k2, rdt), visc=jnp.asarray(visc, rdt))
+    f_hat = _forcing_hat_np(cfg)
+    if f_hat is not None:
+        # compact layout: keep the truncation rows / leading ky block
+        f_c = np.concatenate([f_hat[:kxc, :kyc],
+                              f_hat[cfg.nx - n_neg:, :kyc]], axis=0)
+        ops["f_re"] = jnp.asarray(f_c.real, rdt)
+        ops["f_im"] = jnp.asarray(f_c.imag, rdt)
+    return ops
 
 
 def make_compact_transforms(cfg: SpectralPeriodicConfig):
@@ -425,7 +488,10 @@ def _nonlinear_compact(ops, fwd, inv, w_hat):
     stack = jnp.stack([_ik_mul(ops["ky"], psi), -_ik_mul(ops["kx"], psi),
                        _ik_mul(ops["kx"], w_hat), _ik_mul(ops["ky"], w_hat)])
     u, v, wx, wy = inv(stack)
-    return -fwd(u * wx + v * wy)
+    N = -fwd(u * wx + v * wy)
+    if "f_re" in ops:  # constant body forcing rides the advective RHS
+        N = N + jax.lax.complex(ops["f_re"], ops["f_im"])
+    return N
 
 
 def _nonlinear_real(ops, fwd, inv, w2):
@@ -434,7 +500,10 @@ def _nonlinear_real(ops, fwd, inv, w2):
     stack = jnp.stack([_ik_mul2(ops["ky"], psi), _ik_mul2(-ops["kx"], psi),
                        _ik_mul2(ops["kx"], w2), _ik_mul2(ops["ky"], w2)])
     u, v, wx, wy = inv(stack)
-    return -fwd(u * wx + v * wy)
+    N = -fwd(u * wx + v * wy)
+    if "f_re" in ops:  # constant body forcing rides the advective RHS
+        N = N + jnp.stack([ops["f_re"], ops["f_im"]], axis=-3)
+    return N
 
 
 def make_step_compact(cfg: SpectralPeriodicConfig):
@@ -497,6 +566,8 @@ def nonlinear_term(w_hat: Array, ops, cfg, transforms=None) -> Array:
     wy = inv(wy_hat)
     adv = u * wx + v * wy
     N_hat = -fwd(adv)
+    if "f_re" in ops:  # constant body forcing rides the advective RHS
+        N_hat = N_hat + jax.lax.complex(ops["f_re"], ops["f_im"])
     return jnp.where(ops["mask"], N_hat, 0.0)
 
 
@@ -705,13 +776,15 @@ class NavierStokesSystem:
     def __init__(self, w_ic: Array, nt=200, nx=256, ny=256, dt=0.001,
                  nu=1e-3, rho=1.0, dealias=True, dtype="float32",
                  transform="fft", matmul_precision="high",
-                 compact_spectrum=False, real_gemm=False):
+                 compact_spectrum=False, real_gemm=False,
+                 forcing="none", forcing_k=4, forcing_amp=0.1):
         self.cfg = SpectralPeriodicConfig(
             nt=nt, nx=nx, ny=ny, dt=dt, nu=nu, rho=rho, dealias=dealias,
             dtype=dtype, transform=transform,
             matmul_precision=matmul_precision,
             compact_spectrum=compact_spectrum or real_gemm,
-            real_gemm=real_gemm)
+            real_gemm=real_gemm, forcing=forcing, forcing_k=forcing_k,
+            forcing_amp=forcing_amp)
         self.carry0 = init_from_vorticity(self.cfg, w_ic)
         self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
         self._final = jax.jit(partial(rollout_final, self.cfg))
