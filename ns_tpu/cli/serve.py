@@ -34,6 +34,13 @@ def main(argv=None):
     p.add_argument("--stride", type=int, default=1,
                    help="solver mode: solver steps per served frame "
                         "(match a surrogate trained on strided frames)")
+    p.add_argument("--forcing", default="none",
+                   choices=["none", "kolmogorov", "fno"],
+                   help="solver mode: body forcing (sustained turbulence)")
+    p.add_argument("--forcing-k", type=int, default=4,
+                   help="solver mode: forcing wavenumber")
+    p.add_argument("--forcing-amp", type=float, default=0.1,
+                   help="solver mode: forcing amplitude")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--chunk", type=int, default=64,
@@ -47,13 +54,19 @@ def main(argv=None):
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-request access logs")
     args = p.parse_args(argv)
+    if args.forcing != "none" and not args.solver:
+        p.error("--forcing applies to --solver mode only (a surrogate's "
+                "dynamics are whatever it was trained on)")
 
     from ns_tpu.serve.server import serve
 
     if args.solver:
         from ns_tpu.serve.solver import SolverEngine
         engine = SolverEngine(args.nx, args.nx, dt=args.dt, nu=args.nu,
-                              stride=args.stride, chunk=args.chunk)
+                              stride=args.stride, chunk=args.chunk,
+                              forcing=args.forcing,
+                              forcing_k=args.forcing_k,
+                              forcing_amp=args.forcing_amp)
     else:
         from ns_tpu.serve.engine import InferenceEngine
         engine = InferenceEngine.from_checkpoint(args.ckpt,

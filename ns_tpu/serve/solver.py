@@ -51,7 +51,8 @@ class SolverEngine(ServingBase):
 
     def __init__(self, nx: int, ny: int, dt: float = 1e-3,
                  nu: float = 1e-3, stride: int = 1, chunk: int = 64,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", forcing: str = "none",
+                 forcing_k: int = 4, forcing_amp: float = 0.1):
         from ns_tpu.solvers import spectral_periodic as sp
         if stride < 1:
             raise ValueError(f"stride must be >= 1, got {stride}")
@@ -60,7 +61,10 @@ class SolverEngine(ServingBase):
         self.nx, self.ny, self.stride, self.chunk = nx, ny, stride, chunk
         self._sp = sp
         self.cfg = sp.SpectralPeriodicConfig(nt=1, nx=nx, ny=ny, dt=dt,
-                                             nu=nu, dtype=dtype)
+                                             nu=nu, dtype=dtype,
+                                             forcing=forcing,
+                                             forcing_k=forcing_k,
+                                             forcing_amp=forcing_amp)
         self._step, _ = sp.make_step(self.cfg)
         self._init_serving()
 

@@ -293,6 +293,38 @@ def test_solver_engine_matches_simulate():
         np.testing.assert_allclose(out[0], frame0, rtol=1e-5, atol=1e-6)
 
 
+def test_solver_engine_forced_matches_simulate():
+    """The oracle endpoint serves FORCED dynamics when asked: frames
+    equal the forced solver's own rollout (and differ from unforced)."""
+    import jax as _jax
+    from ns_tpu.models.vorticity import dealias_field
+    from ns_tpu.serve.solver import SolverEngine
+    from ns_tpu.solvers import spectral_periodic as sp
+
+    nx = 32
+    fk = dict(forcing="kolmogorov", forcing_k=2, forcing_amp=0.2)
+    cfg = sp.SpectralPeriodicConfig(nt=5, nx=nx, ny=nx, dt=1e-3, nu=1e-3,
+                                    dtype="float32", **fk)
+    w0 = np.asarray(_jax.jit(dealias_field)(
+        sp.decaying_turbulence_vorticity(cfg, seed=0)))
+    u, v, p = (np.asarray(a) for a in sp.NavierStokesSystem(
+        w0, nt=5, nx=nx, ny=nx, dt=1e-3, nu=1e-3, **fk).simulate())
+
+    state0 = sp.init_from_vorticity(cfg, w0)
+    uu, vv, _w = sp.fields_from_hat(cfg, state0[0])
+    pp = sp.pressure_from_hat(cfg, state0[0])
+    frame0 = np.stack([np.asarray(uu), np.asarray(vv), np.asarray(pp)])
+
+    eng = SolverEngine(nx, nx, dt=1e-3, nu=1e-3, chunk=4, **fk)
+    out = eng.predict(frame0, 5)
+    np.testing.assert_allclose(out[1:, 0], u, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(out[1:, 1], v, rtol=2e-4, atol=1e-5)
+
+    unforced = SolverEngine(nx, nx, dt=1e-3, nu=1e-3, chunk=4)
+    out0 = unforced.predict(frame0, 5)
+    assert np.abs(out[1:] - out0[1:]).max() > 1e-6
+
+
 def test_solver_engine_stride():
     """stride=k serves every k-th solver state (surrogate cadence)."""
     from ns_tpu.serve.solver import SolverEngine
