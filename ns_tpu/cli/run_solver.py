@@ -117,7 +117,10 @@ def _run_distributed(args):
                                     dtype=args.dtype,
                                     transform=args.transform,
                                     matmul_precision=args.precision,
-                                    compact_spectrum=args.compact)
+                                    compact_spectrum=args.compact,
+                                    forcing=args.forcing,
+                                    forcing_k=args.forcing_k,
+                                    forcing_amp=args.forcing_amp)
     w0 = np.asarray(sp.taylor_green_vorticity(cfg)
                     if args.family == "taylor_green"
                     else sp.decaying_turbulence_vorticity(cfg,
@@ -269,12 +272,9 @@ def main(argv=None):
     # rollout must not run for minutes and then hit argument validation)
     if args.pallas_momentum and args.family != "chorin_fd":
         p.error("--pallas-momentum applies to chorin_fd only")
-    if args.forcing != "none":
-        if args.family not in ("taylor_green", "decaying_turbulence"):
-            p.error("--forcing applies to the periodic families only")
-        if args.dist:
-            p.error("--forcing is single-chip for now (the sharded "
-                    "spectral path rejects forced configs); drop --dist")
+    if args.forcing != "none" and args.family not in (
+            "taylor_green", "decaying_turbulence"):
+        p.error("--forcing applies to the periodic families only")
     if args.n_traj < 1:
         p.error(f"--n-traj must be >= 1, got {args.n_traj}")
     if args.n_traj > 1:

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ns_tpu.solvers.spectral_periodic import SpectralPeriodicConfig, _ik_mul
+from ns_tpu.solvers.spectral_periodic import (SpectralPeriodicConfig,
+                                              _forcing_hat_np, _ik_mul)
 
 Array = jnp.ndarray
 
@@ -62,19 +63,22 @@ def _host_constants(cfg: SpectralPeriodicConfig, n_shards: int):
         mask_y[:nyh] = True
     mask = mask_x[:, None] & mask_y[None, :]
     rdt = cfg.real_dtype
-    return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
-                inv_k2=jnp.asarray(inv_k2, rdt), visc=jnp.asarray(visc, rdt),
-                mask=jnp.asarray(mask), nyh=nyh, nyp=nyp)
+    out = dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+               inv_k2=jnp.asarray(inv_k2, rdt), visc=jnp.asarray(visc, rdt),
+               mask=jnp.asarray(mask), nyh=nyh, nyp=nyp)
+    f_hat = _forcing_hat_np(cfg)
+    if f_hat is not None:
+        fp = np.zeros((cfg.nx, nyp), np.complex128)
+        fp[:, :nyh] = f_hat                  # pad columns stay exact zeros
+        out["f_re"] = jnp.asarray(fp.real, rdt)
+        out["f_im"] = jnp.asarray(fp.imag, rdt)
+    return out
 
 
 def _make_fft_pieces(cfg: SpectralPeriodicConfig, mesh: Mesh, axis: str):
     """Shared machinery of the distributed-FFT entry points: transposed
     transforms, per-shard constants, the masked nonlinear term and the
     IF-AB2 step."""
-    if cfg.forcing != "none":
-        raise ValueError("forced runs (cfg.forcing) are single-chip for "
-                         "now; shard forced workloads over the ensemble "
-                         "axis (parallel/ensemble.py) instead")
     n = mesh.shape[axis]
     if cfg.nx % n:
         raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
@@ -104,9 +108,12 @@ def _make_fft_pieces(cfg: SpectralPeriodicConfig, mesh: Mesh, axis: str):
         return jnp.fft.irfft(a[:, :nyh], n=cfg.ny, axis=1)
 
     def consts():
-        return dict(kx=C["kx"], ky=chunk(C["ky"]),
-                    inv_k2=chunk(C["inv_k2"]), visc=chunk(C["visc"]),
-                    mask=chunk(C["mask"].astype(jnp.int8)) > 0)
+        c = dict(kx=C["kx"], ky=chunk(C["ky"]),
+                 inv_k2=chunk(C["inv_k2"]), visc=chunk(C["visc"]),
+                 mask=chunk(C["mask"].astype(jnp.int8)) > 0)
+        if "f_re" in C:
+            c["f_re"], c["f_im"] = chunk(C["f_re"]), chunk(C["f_im"])
+        return c
 
     def nonlinear(w_hat, c):
         w_hat = jnp.where(c["mask"], w_hat, 0.0)
@@ -116,6 +123,8 @@ def _make_fft_pieces(cfg: SpectralPeriodicConfig, mesh: Mesh, axis: str):
         wx = inv(_ik_mul(c["kx"], w_hat))
         wy = inv(_ik_mul(c["ky"], w_hat))
         N = -fwd(u * wx + v * wy)
+        if "f_re" in c:  # constant body forcing rides the advective RHS
+            N = N + jax.lax.complex(c["f_re"], c["f_im"])
         return jnp.where(c["mask"], N, 0.0)
 
     def step(carry, c):
@@ -238,9 +247,18 @@ def _compact_pad_constants(cfg: SpectralPeriodicConfig, n_shards: int):
     inv_k2 = np.where(pad, 0.0, inv_k2)
     visc = np.where(pad, 0.0, visc)
     rdt = cfg.real_dtype
-    return dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
-                inv_k2=jnp.asarray(inv_k2, rdt),
-                visc=jnp.asarray(visc, rdt), kyc=kyc, kycp=kycp)
+    out = dict(kx=jnp.asarray(kx, rdt), ky=jnp.asarray(ky, rdt),
+               inv_k2=jnp.asarray(inv_k2, rdt),
+               visc=jnp.asarray(visc, rdt), kyc=kyc, kycp=kycp)
+    f_hat = _forcing_hat_np(cfg)
+    if f_hat is not None:
+        f_c = np.concatenate([f_hat[:kxc, :kyc],
+                              f_hat[cfg.nx - n_neg:, :kyc]], axis=0)
+        fp = np.zeros((len(rows), kycp), np.complex128)
+        fp[:, :kyc] = f_c                    # pad columns stay exact zeros
+        out["f_re"] = jnp.asarray(fp.real, rdt)
+        out["f_im"] = jnp.asarray(fp.imag, rdt)
+    return out
 
 
 def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
@@ -253,10 +271,6 @@ def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
     if cfg.transform != "matmul" or not cfg.dealias:
         raise ValueError("sharded compact path needs transform='matmul' "
                          "and dealias=True")
-    if cfg.forcing != "none":
-        raise ValueError("forced runs (cfg.forcing) are single-chip for "
-                         "now; shard forced workloads over the ensemble "
-                         "axis (parallel/ensemble.py) instead")
     n = mesh.shape[axis]
     if cfg.nx % n:
         raise ValueError(f"nx={cfg.nx} not divisible by {n} shards")
@@ -295,7 +309,10 @@ def make_sharded_compact(cfg: SpectralPeriodicConfig, mesh: Mesh,
         stack = jnp.stack([_ik_mul(ky_c, psi), -_ik_mul(kx, psi),
                            _ik_mul(kx, w_hat), _ik_mul(ky_c, w_hat)])
         u, v, wx, wy = inv(stack)
-        return -fwd(u * wx + v * wy)
+        N = -fwd(u * wx + v * wy)
+        if "f_re" in C:  # constant body forcing rides the advective RHS
+            N = N + cplx((chunk(C["f_re"]), chunk(C["f_im"])))
+        return N
 
     def step(carry, kx, ky_c, inv_k2_c, visc_c):
         w_hat, N_prev = carry

@@ -126,20 +126,44 @@ def test_forced_system_wrapper_and_uvp():
         and np.isfinite(p).all()
 
 
-def test_sharded_paths_reject_forcing():
-    from jax.experimental import mesh_utils
-    from jax.sharding import Mesh
+_FORCED = dict(forcing="kolmogorov", forcing_k=2, forcing_amp=0.2)
 
-    from ns_tpu.parallel.spectral_sharded import (make_sharded_compact,
-                                                  make_sharded_rollout)
 
-    devs = mesh_utils.create_device_mesh((len(jax.devices()),))
-    mesh = Mesh(devs, ("x",))
-    cfg = sp.SpectralPeriodicConfig(nt=2, nx=32, ny=32,
-                                    forcing="kolmogorov",
-                                    transform="matmul",
-                                    compact_spectrum=True)
-    with pytest.raises(ValueError, match="single-chip"):
-        make_sharded_rollout(cfg, mesh)
-    with pytest.raises(ValueError, match="single-chip"):
-        make_sharded_compact(cfg, mesh)
+def test_sharded_fft_forced_matches_unsharded():
+    """The distributed-FFT rollout integrates the SAME forced dynamics as
+    the single-device path (forcing spectrum chunked per shard; the
+    padded columns carry zeros)."""
+    from ns_tpu.parallel import make_mesh
+    from ns_tpu.parallel.spectral_sharded import make_sharded_rollout
+
+    cfg = sp.SpectralPeriodicConfig(nt=10, nx=32, ny=32, dt=0.005,
+                                    nu=1e-3, dtype="float64", **_FORCED)
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=0)
+    w_hat_ref, _ = sp.rollout_final(cfg, sp.init_from_vorticity(cfg, w0))
+    w_ref = jnp.fft.irfft2(w_hat_ref, s=(cfg.nx, cfg.ny))
+
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    rollout, sharding = make_sharded_rollout(cfg, mesh)
+    w_final = rollout(jax.device_put(w0, sharding))
+    np.testing.assert_allclose(np.asarray(w_final), np.asarray(w_ref),
+                               atol=1e-11)
+
+
+def test_sharded_compact_forced_matches_unsharded():
+    from ns_tpu.parallel import make_mesh
+    from ns_tpu.parallel.spectral_sharded import (
+        make_sharded_compact_rollout)
+
+    cfg = sp.SpectralPeriodicConfig(nt=8, nx=32, ny=32, dt=0.005, nu=1e-3,
+                                    dtype="float64", transform="matmul",
+                                    matmul_precision="highest",
+                                    compact_spectrum=True, **_FORCED)
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=1)
+    zc, _ = sp.rollout_final_compact(cfg, sp.init_from_vorticity(cfg, w0))
+    _, cinv = sp.make_compact_transforms(cfg)
+    w_ref = np.asarray(jax.jit(cinv)(zc))
+
+    mesh = make_mesh({"x": 4}, devices=jax.devices()[:4])
+    rollout, sharding = make_sharded_compact_rollout(cfg, mesh)
+    w_final = rollout(jax.device_put(np.asarray(w0), sharding))
+    np.testing.assert_allclose(np.asarray(w_final), w_ref, atol=1e-11)

@@ -50,6 +50,20 @@ def main():
                     help="substring filter on job names (default: all)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests / no TPU)")
+    ap.add_argument("--forcing", default="none",
+                    choices=["none", "kolmogorov", "fno"],
+                    help="body forcing: benchmark on statistically-"
+                         "STATIONARY turbulence (train/test distributions "
+                         "match — the standard FNO-paper setting) instead "
+                         "of the decaying task")
+    ap.add_argument("--forcing-k", type=int, default=4)
+    ap.add_argument("--forcing-amp", type=float, default=0.1)
+    ap.add_argument("--spinup", type=int, default=None,
+                    help="solver steps discarded before the first saved "
+                         "frame (default when forced: one viscous "
+                         "equilibration time 1/(nu*k^2*dt) steps, so "
+                         "training data is statistically stationary, "
+                         "not spin-up transient; else 0)")
     ap.add_argument("--n-traj", type=int, default=1,
                     help="> 1: train the operator families on N "
                          "independently-seeded trajectories and ALSO "
@@ -68,8 +82,19 @@ def main():
 
     stride = args.frame_stride
     nsteps = args.nt * stride
+    if args.spinup is not None:
+        spinup = args.spinup
+    elif args.forcing != "none":
+        spinup = int(round(1.0 / (1e-3 * args.forcing_k**2 * 1e-3)))
+        print(f"(spinup: {spinup} steps = one viscous equilibration "
+              f"time)", flush=True)
+    else:
+        spinup = 0
     cfg = sp.SpectralPeriodicConfig(nt=nsteps, nx=args.nx, ny=args.nx,
-                                    dt=1e-3, nu=1e-3, dtype="float32")
+                                    dt=1e-3, nu=1e-3, dtype="float32",
+                                    forcing=args.forcing,
+                                    forcing_k=args.forcing_k,
+                                    forcing_amp=args.forcing_amp)
 
     # strided rollout that materializes ONLY the saved frames (a full
     # simulate() stack of nt*stride frames OOMs the chip past 64^2).
@@ -88,7 +113,7 @@ def main():
 
     @jax.jit
     def strided_rollout(state):
-        state = advance(state, 1)
+        state = advance(state, 1 + spinup)
         first = emit(state)
 
         def outer(c, _):
