@@ -221,6 +221,15 @@ def main(argv=None):
                    help="forcing wavenumber (default 4)")
     p.add_argument("--forcing-amp", type=float, default=0.1,
                    help="forcing amplitude (default 0.1)")
+    p.add_argument("--frame-stride", type=int, default=1,
+                   help="periodic families: solver steps per SAVED frame "
+                        "(--nt then counts saved frames); surrogate "
+                        "training wants frames the flow actually moves "
+                        "between")
+    p.add_argument("--spinup", type=int, default=0,
+                   help="periodic families: solver steps discarded "
+                        "before the first saved frame (forced runs: "
+                        "~1/(nu*k^2*dt) steps reaches stationarity)")
     p.add_argument("--compact", action="store_true",
                    help="periodic families: compact dealias-truncated "
                         "spectrum carry (the flagship throughput path)")
@@ -275,6 +284,17 @@ def main(argv=None):
     if args.forcing != "none" and args.family not in (
             "taylor_green", "decaying_turbulence"):
         p.error("--forcing applies to the periodic families only")
+    if args.frame_stride < 1:
+        p.error(f"--frame-stride must be >= 1, got {args.frame_stride}")
+    if args.spinup < 0:
+        p.error(f"--spinup must be >= 0, got {args.spinup}")
+    if args.frame_stride > 1 or args.spinup:
+        if args.family not in ("taylor_green", "decaying_turbulence"):
+            p.error("--frame-stride/--spinup apply to the periodic "
+                    "families only")
+        if args.dist or args.stream_dir or args.progress or args.guard:
+            p.error("--frame-stride/--spinup are incompatible with "
+                    "--dist/--stream-dir/--progress/--guard")
     if args.n_traj < 1:
         p.error(f"--n-traj must be >= 1, got {args.n_traj}")
     if args.n_traj > 1:
@@ -375,14 +395,19 @@ def main(argv=None):
             w0 = sp.taylor_green_vorticity(cfg)
         else:
             w0 = sp.decaying_turbulence_vorticity(cfg, seed=args.seed)
+        strided = args.frame_stride > 1 or args.spinup > 0
         if args.n_traj > 1:  # flag combinations validated in main()
-            # ONE wrapper instance: simulate_from reuses its compiled
-            # rollout across seeds (a fresh instance per seed re-jits)
+            # ONE wrapper instance: simulate_from/simulate_strided reuse
+            # its compiled rollout across seeds (a fresh instance per
+            # seed re-jits)
             sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
             us, vs, ps = [], [], []
             for s in range(args.seed, args.seed + args.n_traj):
                 w0s = sp.decaying_turbulence_vorticity(cfg, seed=s)
-                u_t, v_t, p_t = to_host(sys_.simulate_from(w0s))
+                u_t, v_t, p_t = to_host(
+                    sys_.simulate_strided(args.nt, stride=args.frame_stride,
+                                          spinup=args.spinup, w_ic=w0s)
+                    if strided else sys_.simulate_from(w0s))
                 us.append(u_t)
                 vs.append(v_t)
                 ps.append(p_t)
@@ -391,6 +416,18 @@ def main(argv=None):
             save_rollout(out, np.stack(us), np.stack(vs), np.stack(ps))
             print(f"{args.family}: {args.n_traj} trajectories x nt="
                   f"{args.nt} grid={nx}x{nx} in {elapsed:.2f}s -> {out}")
+            return
+        if strided:
+            sys_ = sp.NavierStokesSystem(w0, **cfg_kwargs)
+            u, v, pr = to_host(
+                sys_.simulate_strided(args.nt, stride=args.frame_stride,
+                                      spinup=args.spinup))
+            elapsed = time.perf_counter() - t0
+            out = args.out or f"{args.family}.npz"
+            save_rollout(out, np.asarray(u), np.asarray(v), np.asarray(pr))
+            print(f"{args.family}: {args.nt} frames (stride "
+                  f"{args.frame_stride}, spinup {args.spinup}) grid="
+                  f"{nx}x{nx} in {elapsed:.2f}s -> {out}")
             return
         if args.stream_dir or args.progress:
             if args.guard:

@@ -669,6 +669,51 @@ def rollout_final(cfg: SpectralPeriodicConfig, carry0):
     return final
 
 
+def simulate_strided(cfg: SpectralPeriodicConfig, w0: Array,
+                     n_frames: int, stride: int = 1, spinup: int = 0):
+    """TRACEABLE strided rollout from a physical vorticity field:
+    (u, v, p) stacked (n_frames, nx, ny), materializing ONLY the saved
+    frames — a full simulate() stack of n_frames*stride frames hits the
+    HBM ceiling long before compute does. Frame i is the state after
+    1 + spinup + i*stride solver steps, so stride=1, spinup=0 reproduces
+    simulate()'s frame selection exactly. `spinup` discards an initial
+    transient (forced runs: about one viscous equilibration time,
+    1/(nu*k^2*dt) steps — docs/tutorial.md); `stride` sets the saved
+    cadence (surrogate training wants frames the flow actually moves
+    between, RESULTS.md 'Round-3 recalibration'). Works on every engine
+    (fft / compact / real_gemm)."""
+    step, _ = make_step(cfg)
+
+    def to_full(z):
+        if cfg.real_gemm:
+            z = compact_real_to_complex(z)
+        if cfg.compact_spectrum:
+            z = expand_compact(cfg, z)
+        return z
+
+    def emit(c):
+        w_spec = to_full(c[0])
+        u, v, _w = fields_from_hat(cfg, w_spec)
+        return u, v, pressure_from_hat(cfg, w_spec)
+
+    def advance(c, n):
+        c, _ = jax.lax.scan(lambda cc, _: (step(cc)[0], None), c, None,
+                            length=n)
+        return c
+
+    carry = carry_from_vorticity(cfg, jnp.asarray(w0, cfg.real_dtype))
+    carry = advance(carry, 1 + spinup)
+    first = emit(carry)
+
+    def outer(c, _):
+        c = advance(c, stride)
+        return c, emit(c)
+
+    _, rest = jax.lax.scan(outer, carry, None, length=n_frames - 1)
+    return tuple(jnp.concatenate([f[None], r])
+                 for f, r in zip(first, rest))
+
+
 def fields_from_hat(cfg: SpectralPeriodicConfig, w_hat: Array):
     """(u, v, omega) physical fields from a vorticity spectrum."""
     ops = make_ops(cfg)
@@ -785,7 +830,11 @@ class NavierStokesSystem:
             compact_spectrum=compact_spectrum or real_gemm,
             real_gemm=real_gemm, forcing=forcing, forcing_k=forcing_k,
             forcing_amp=forcing_amp)
+        self._w_ic = jnp.asarray(w_ic, self.cfg.real_dtype)
         self.carry0 = init_from_vorticity(self.cfg, w_ic)
+        self._strided = jax.jit(partial(simulate_strided, self.cfg),
+                                static_argnames=("n_frames", "stride",
+                                                 "spinup"))
         self._simulate_hat = jax.jit(partial(simulate_hat, self.cfg))
         self._final = jax.jit(partial(rollout_final, self.cfg))
         # jitted once here: a fresh jit(partial(...)) per call would key the
@@ -824,6 +873,16 @@ class NavierStokesSystem:
         u, v, w = self._fields(w_hats)
         p = self._pressure(w_hats)
         return u, v, p
+
+    def simulate_strided(self, n_frames, stride=1, spinup=0, w_ic=None):
+        """Strided/spun-up (u, v, p) rollout reusing this instance's
+        compiled program across initial conditions (one executable per
+        (n_frames, stride, spinup) combination) — see the module-level
+        simulate_strided for frame semantics."""
+        w = self._w_ic if w_ic is None else jnp.asarray(
+            w_ic, self.cfg.real_dtype)
+        return self._strided(w, n_frames=n_frames, stride=stride,
+                             spinup=spinup)
 
     def simulate_vorticity(self):
         w_hats = self._simulate_hat(self.carry0)

@@ -53,6 +53,55 @@ def test_decaying_turbulence_energy_monotone():
     assert e_last < e_first
 
 
+def test_simulate_strided_frame_semantics():
+    """simulate_strided frame i = state after 1 + spinup + i*stride steps:
+    stride=1/spinup=0 reproduces simulate() exactly; stride=2 selects
+    simulate()[::2]; spinup=3 selects simulate()[3:]."""
+    nx = 32
+    cfg = sp.SpectralPeriodicConfig(nt=12, nx=nx, ny=nx, dt=2e-3, nu=1e-3,
+                                    dtype="float64")
+    w0 = sp.decaying_turbulence_vorticity(cfg, seed=4)
+    sys_ = sp.NavierStokesSystem(w0, nt=12, nx=nx, ny=nx, dt=2e-3,
+                                 nu=1e-3, dtype="float64")
+    u, v, p = (np.asarray(a) for a in sys_.simulate())
+
+    su, sv, sp_ = (np.asarray(a) for a in sys_.simulate_strided(12))
+    np.testing.assert_allclose(su, u, atol=1e-13)
+    np.testing.assert_allclose(sp_, p, atol=1e-13)
+
+    su2, _, _ = (np.asarray(a) for a in sys_.simulate_strided(6, stride=2))
+    np.testing.assert_allclose(su2, u[::2], atol=1e-13)
+
+    su3, _, _ = (np.asarray(a)
+                 for a in sys_.simulate_strided(9, spinup=3))
+    np.testing.assert_allclose(su3, u[3:], atol=1e-13)
+
+
+def test_simulate_strided_compact_engine():
+    """The strided rollout expands compact/real-GEMM carries correctly."""
+    import jax as _jax
+    from functools import partial as _partial
+
+    nx = 32
+    common = dict(nt=6, nx=nx, ny=nx, dt=2e-3, nu=1e-3, dtype="float64")
+    cfg_f = sp.SpectralPeriodicConfig(**common)
+    cfg_c = sp.SpectralPeriodicConfig(transform="matmul",
+                                      matmul_precision="highest",
+                                      compact_spectrum=True, **common)
+    w_raw = sp.decaying_turbulence_vorticity(cfg_f, seed=5)
+    ops = sp.make_ops(cfg_f)
+    w0 = jnp.fft.irfft2(jnp.where(ops["mask"], jnp.fft.rfft2(w_raw), 0.0),
+                        s=(nx, nx))
+    run = lambda cfg: tuple(np.asarray(a) for a in _jax.jit(
+        _partial(sp.simulate_strided, cfg),
+        static_argnames=("n_frames", "stride", "spinup"))(
+            w0, n_frames=3, stride=2, spinup=0))
+    uf, vf, pf = run(cfg_f)
+    uc, vc, pc = run(cfg_c)
+    np.testing.assert_allclose(uc, uf, atol=1e-10)
+    np.testing.assert_allclose(pc, pf, atol=1e-10)
+
+
 def test_system_api_shapes():
     cfg_nx = 32
     cfg = sp.SpectralPeriodicConfig(nx=cfg_nx, ny=cfg_nx)

@@ -97,31 +97,13 @@ def main():
                                     forcing_amp=args.forcing_amp)
 
     # strided rollout that materializes ONLY the saved frames (a full
-    # simulate() stack of nt*stride frames OOMs the chip past 64^2).
-    # Frame i = state after step 1 + i*stride, identical to
-    # simulate()[::stride]'s selection (simulate's frame 0 is post-step-1).
-    _step, _ = sp.make_step(cfg)
+    # simulate() stack of nt*stride frames OOMs the chip past 64^2) —
+    # the solver's simulate_strided, jitted once and reused across seeds
+    from functools import partial
 
-    def emit(c):
-        uu, vv, _w = sp.fields_from_hat(cfg, c[0])
-        return uu, vv, sp.pressure_from_hat(cfg, c[0])
-
-    def advance(c, n):
-        c, _ = jax.lax.scan(lambda cc, _: (_step(cc)[0], None), c, None,
-                            length=n)
-        return c
-
-    @jax.jit
-    def strided_rollout(state):
-        state = advance(state, 1 + spinup)
-        first = emit(state)
-
-        def outer(c, _):
-            c = advance(c, stride)
-            return c, emit(c)
-
-        _, rest = jax.lax.scan(outer, state, None, length=args.nt - 1)
-        return first, rest
+    strided_rollout = jax.jit(partial(sp.simulate_strided, cfg),
+                              static_argnames=("n_frames", "stride",
+                                               "spinup"))
 
     from ns_tpu.utils.host import to_host
 
@@ -129,10 +111,9 @@ def main():
         w0 = sp.decaying_turbulence_vorticity(cfg, seed=seed,
                                               k_peak=max(4.0, args.nx / 12))
         # to_host: the rollout executable contains complex spectral ops
-        first, rest = to_host(strided_rollout(sp.init_from_vorticity(cfg,
-                                                                     w0)))
-        return tuple(np.concatenate([f[None], r])
-                     for f, r in zip(first, rest))
+        return tuple(np.asarray(a) for a in to_host(
+            strided_rollout(w0, n_frames=args.nt, stride=stride,
+                            spinup=spinup)))
 
     tmp = tempfile.mkdtemp()
     npz = os.path.join(tmp, "data.npz")
