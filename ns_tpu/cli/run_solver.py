@@ -204,8 +204,11 @@ def main(argv=None):
                    help="chorin_fd: precision of the ADI/dst/helmholtz "
                         "GEMMs (default: per-path policy — dst/helmholtz "
                         "eigenbasis GEMMs run HIGHEST, ADI sweep matmuls "
-                        "keep the jnp default; see RESULTS.md precision "
-                        "menu)")
+                        "keep the jnp default); chorin_spectral: "
+                        "precision of every per-step operator GEMM "
+                        "(default HIGHEST = true f32; 'default' is ~3.5x "
+                        "faster at 512^2 at ~7%% field error — RESULTS.md "
+                        "precision menus)")
     p.add_argument("--pallas-momentum", action="store_true",
                    help="chorin_fd --method explicit: run the fused "
                         "advection+diffusion+BC predictor as one Pallas "
@@ -376,7 +379,9 @@ def main(argv=None):
                                   nit=args.nit or 200, nx=nx, ny=nx,
                                   dt=args.dt, rho=args.rho, nu=args.nu,
                                   beta=args.beta, dtype=dtype,
-                                  quirk_compat=not args.corrected)
+                                  quirk_compat=not args.corrected,
+                                  matmul_precision=(args.gemm_precision
+                                                    or "highest"))
         u, v, pr = _run_cavity(sys_, args)
         default_out = "data.npz"
     else:

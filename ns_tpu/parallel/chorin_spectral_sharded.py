@@ -288,8 +288,11 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
 
     @jax.jit
     def step(state: FlowState) -> FlowState:
-        u, v, p, u_prev, v_prev = sharded(state.u, state.v, state.u_prev,
-                                          state.v_prev, state.p)
+        # honor cfg.matmul_precision like the single-chip make_step (the
+        # context is trace-time config, so it reaches the shard_map body)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            u, v, p, u_prev, v_prev = sharded(
+                state.u, state.v, state.u_prev, state.v_prev, state.p)
         return FlowState(u=u, v=v, p=p, u_prev=u_prev, v_prev=v_prev)
 
     return step, NamedSharding(mesh, spec)

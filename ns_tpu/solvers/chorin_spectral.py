@@ -175,6 +175,12 @@ class _FieldOps:
         # host copies kept for operator-equality detection (all-Dirichlet
         # BCs give u and v identical operators -> batched Helmholtz solve)
         self._Mx_np, self._My_np = Mx, My
+        # the BC constants/data enter per-step math: cast to the solver
+        # dtype NOW (Mx/My above needed the f64 numpy originals) — f64
+        # host leftovers silently promote the f32 boundary rows under
+        # jax_enable_x64 (soon a hard error in jax scatter)
+        cast = lambda d: {k: jnp.asarray(v, dtype) for k, v in d.items()}
+        self.kx, self.ky, self.g = cast(self.kx), cast(self.ky), cast(self.g)
         lamx, P = cheb.eig_real(Mx, "helmholtz-x")
         lamy, Q = cheb.eig_real(My, "helmholtz-y")
         self.lamx = jnp.asarray(lamx, dtype)
@@ -450,8 +456,13 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         return u_next, v_next, p_next
 
     def step(state: FlowState) -> FlowState:
-        ui, vi = predictor(state.u, state.v, state.u_prev, state.v_prev)
-        u_next, v_next, p_next = correction(ui, vi, state.p)
+        # cfg.matmul_precision is applied HERE, not in the wrapper, so
+        # every consumer of make_step (benchmarks, serving, CLI) honors
+        # it — the context must be live while the body TRACES
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            ui, vi = predictor(state.u, state.v, state.u_prev,
+                               state.v_prev)
+            u_next, v_next, p_next = correction(ui, vi, state.p)
         return FlowState(u=u_next, v=v_next, p=p_next,
                          u_prev=state.u, v_prev=state.v)
 
@@ -483,24 +494,20 @@ class NavierStokesSystem:
     def __init__(self, u_ic, v_ic, p_ic, u_bc, v_bc, nt=200, nit=50,
                  nx=50, ny=50, dt=0.001, rho=1, nu=1, beta=1.25,
                  dtype=jnp.float64, quirk_compat=True,
-                 deflate_pressure_nullspace=None):
+                 deflate_pressure_nullspace=None,
+                 matmul_precision="highest"):
         if deflate_pressure_nullspace is None:
             deflate_pressure_nullspace = not quirk_compat
         self.cfg = ChorinSpectralConfig(
             nt=nt, nit=nit, nx=nx, ny=ny, dt=dt, rho=rho, nu=nu, beta=beta,
             quirk_compat=quirk_compat,
-            deflate_pressure_nullspace=deflate_pressure_nullspace)
+            deflate_pressure_nullspace=deflate_pressure_nullspace,
+            matmul_precision=matmul_precision)
         self.u_bc, self.v_bc = list(u_bc), list(v_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, dtype=dtype)
-        raw_step = make_step(self.cfg, self.u_bc, self.v_bc, dtype=dtype)
-        prec = self.cfg.matmul_precision
-
-        # the precision context must be live while the function BODY traces
-        def step(state):
-            with jax.default_matmul_precision(prec):
-                return raw_step(state)
-
+        # precision is baked into make_step's body (cfg.matmul_precision)
+        step = make_step(self.cfg, self.u_bc, self.v_bc, dtype=dtype)
         self._step = jax.jit(step)
         self._simulate = jax.jit(partial(simulate, self.cfg, step_fn=step))
 

@@ -172,6 +172,34 @@ def test_corrected_mode_is_stable_and_divergence_free():
     assert np.abs(div).max() < 1e-10
 
 
+def test_make_step_bakes_matmul_precision():
+    """cfg.matmul_precision must reach EVERY consumer of make_step, not
+    just the wrapper: the round-2 benchmark harnesses called make_step
+    directly and silently ran at the jnp default (bf16-class) while the
+    user-facing wrapper ran 'highest' — a 3.5x speed / 7%-fidelity gap
+    between what was measured and what users get (RESULTS.md). Assert
+    structurally on the lowered StableHLO (precision has no numeric
+    effect on CPU, so a value test can't catch this)."""
+    import jax as _jax
+
+    nx = 16
+    bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
+    z = np.zeros((nx, nx), np.float32)
+
+    def lowered(prec):
+        cfg = chorin_spectral.ChorinSpectralConfig(
+            nt=2, nx=nx, ny=nx, dt=1e-3, rho=1, nu=0.1,
+            quirk_compat=False, matmul_precision=prec,
+            deflate_pressure_nullspace=True)
+        step = chorin_spectral.make_step(cfg, bc0, bc0, dtype=jnp.float32)
+        s0 = chorin_spectral.init_state(cfg, z, z, z, bc0, bc0,
+                                        dtype=jnp.float32)
+        return _jax.jit(step).lower(s0).as_text()
+
+    assert "HIGHEST" in lowered("highest")
+    assert "HIGHEST" not in lowered("default")
+
+
 def test_corrected_dp_matrix_differentiates():
     N = 21
     xi = cheb.gauss_lobatto(N)[1:-1]
