@@ -55,25 +55,113 @@ def _dst_basis(m: int, h: float) -> tuple[np.ndarray, np.ndarray]:
     return S, lam
 
 
+def _parity_split_ops(S_h: np.ndarray, dtype, precision):
+    """Half-flop application of a symmetric reversal-parity transform.
+
+    The DST-I matrix satisfies  S[m-1-a, b] = (-1)^b S[a, b]  (and, being
+    symmetric, the same with the roles of a and b swapped): its columns
+    split into a symmetric (even-index) and an antisymmetric (odd-index)
+    family under index reversal. Splitting the operand into its symmetric
+    and antisymmetric halves therefore turns every m x m GEMM into two
+    (m/2) x (m/2) GEMMs — exactly half the MACs — at the cost of one
+    add/subtract pass and contiguous flips/concats (no strided interleave:
+    eigen-space stays in even-first PERMUTED order between the forward and
+    inverse transforms, and the inverse reconstructs natural order from
+    mirrored halves, so only `lax.rev` + `concatenate` touch the layout).
+
+    Returns (fwd_l, fwd_r, inv_l, inv_r, perm):
+      fwd_l(X) = S @ X   with rows in even-first permuted order
+      fwd_r(X) = X @ S   with columns in even-first permuted order
+      inv_l(G) = S @ G   taking permuted-row G back to natural order
+      inv_r(G) = G @ S   taking permuted-column G back to natural order
+      perm     = the even-first index permutation (for eigenvalue tables)
+    Exact up to fp reassociation vs. the full GEMMs (locked by tests).
+    """
+    m = S_h.shape[0]
+    q, ce = m // 2, (m + 1) // 2  # pair count, even-family size
+    odd = (m % 2 == 1)
+    E_h = np.ascontiguousarray(S_h[0::2, :ce])  # (ce, ce)
+    O_h = np.ascontiguousarray(S_h[1::2, :q])   # (q, q)
+    E = jnp.asarray(E_h, dtype)
+    O = jnp.asarray(O_h, dtype)
+    Et = jnp.asarray(E_h.T.copy(), dtype)
+    Ot = jnp.asarray(O_h.T.copy(), dtype)
+    mm = partial(jnp.matmul, precision=precision)
+
+    def fwd_l(X: Array) -> Array:
+        s = X[:q] + X[m - q:][::-1]
+        d = X[:q] - X[m - q:][::-1]
+        if odd:  # middle row pairs with itself; feeds the even family only
+            s = jnp.concatenate([s, X[q:q + 1]], axis=0)
+        return jnp.concatenate([mm(E, s), mm(O, d)], axis=0)
+
+    def fwd_r(X: Array) -> Array:
+        s = X[:, :q] + X[:, m - q:][:, ::-1]
+        d = X[:, :q] - X[:, m - q:][:, ::-1]
+        if odd:
+            s = jnp.concatenate([s, X[:, q:q + 1]], axis=1)
+        return jnp.concatenate([mm(s, Et), mm(d, Ot)], axis=1)
+
+    def inv_l(G: Array) -> Array:
+        A = mm(Et, G[:ce])   # symmetric-family contribution (mirror-even)
+        B = mm(Ot, G[ce:])   # antisymmetric contribution (mirror-odd)
+        return jnp.concatenate(
+            [A[:q] + B, A[q:ce], (A[:q] - B)[::-1]], axis=0)
+
+    def inv_r(G: Array) -> Array:
+        A = mm(G[:, :ce], E)
+        B = mm(G[:, ce:], O)
+        return jnp.concatenate(
+            [A[:, :q] + B, A[:, q:ce], (A[:, :q] - B)[:, ::-1]], axis=1)
+
+    perm = np.concatenate([np.arange(0, m, 2), np.arange(1, m, 2)])
+    return fwd_l, fwd_r, inv_l, inv_r, perm
+
+
+# grids below this interior size keep the plain 4-GEMM path: at small m the
+# half-size GEMMs stop being MXU-fat and the extra add/flip/concat passes
+# dominate the halved MACs (measured crossover on v5e is between 128^2 and
+# 256^2 full grids — RESULTS.md "Parity-split DST")
+_PARITY_MIN_DIM = 192
+
+
+def _resolve_parity(parity_split, m: int, k: int) -> bool:
+    if parity_split is None:
+        return min(m, k) >= _PARITY_MIN_DIM
+    return bool(parity_split)
+
+
 def make_dst_poisson(nx: int, ny: int, dx: float, dy: float,
                      dtype=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST):
+                     precision=jax.lax.Precision.HIGHEST,
+                     parity_split: bool | None = None):
     """Build `solve(p, f) -> p` replacing p's interior with the exact
     solution of  laplace(p) = f  (5-point), keeping p's boundary ring
     fixed (the same system every `pressure_mode` iterates on; this one is
     direct). Pure and jit/scan-safe; constants close over the returned
-    function."""
+    function.
+
+    parity_split=None (auto) switches the four transform GEMMs to the
+    half-flop even/odd engine (`_parity_split_ops`) on large grids; True/
+    False force it. Results differ from the full-GEMM path only by fp
+    reassociation."""
     if nx < 3 or ny < 3:
         raise ValueError(f"need nx, ny >= 3, got {nx}x{ny}")
     m, k = nx - 2, ny - 2
     Sx_h, lamx = _dst_basis(m, dx)
     Sy_h, lamy = _dst_basis(k, dy)
     inv_denom_h = 1.0 / (lamx[:, None] + lamy[None, :])  # all < 0: safe
+    use_parity = _resolve_parity(parity_split, m, k)
 
-    Sx = jnp.asarray(Sx_h, dtype)
-    Sy = jnp.asarray(Sy_h, dtype)
-    inv_denom = jnp.asarray(inv_denom_h, dtype)
-    mm = partial(jnp.matmul, precision=precision)
+    if use_parity:
+        fxl, _, ixl, _, permx = _parity_split_ops(Sx_h, dtype, precision)
+        _, fyr, _, iyr, permy = _parity_split_ops(Sy_h, dtype, precision)
+        inv_denom = jnp.asarray(inv_denom_h[np.ix_(permx, permy)], dtype)
+    else:
+        Sx = jnp.asarray(Sx_h, dtype)
+        Sy = jnp.asarray(Sy_h, dtype)
+        inv_denom = jnp.asarray(inv_denom_h, dtype)
+        mm = partial(jnp.matmul, precision=precision)
 
     def solve(p: Array, f: Array) -> Array:
         p = p.astype(dtype)
@@ -86,8 +174,12 @@ def make_dst_poisson(nx: int, ny: int, dx: float, dy: float,
         fi = fi.at[:, 0].add(-p[1:-1, 0] * inv_dy2)
         fi = fi.at[:, -1].add(-p[1:-1, -1] * inv_dy2)
         # P = Sx ((Sx F' Sy) * inv_denom) Sy   (Sx, Sy symmetric)
-        G = mm(mm(Sx, fi), Sy) * inv_denom
-        P = mm(mm(Sx, G), Sy)
+        if use_parity:
+            G = fyr(fxl(fi)) * inv_denom  # eigen-space in permuted order
+            P = iyr(ixl(G))
+        else:
+            G = mm(mm(Sx, fi), Sy) * inv_denom
+            P = mm(mm(Sx, G), Sy)
         return p.at[1:-1, 1:-1].set(P)
 
     return solve
@@ -95,7 +187,8 @@ def make_dst_poisson(nx: int, ny: int, dx: float, dy: float,
 
 def make_dst_helmholtz(nx: int, ny: int, dx: float, dy: float, coeff: float,
                        dtype=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST):
+                       precision=jax.lax.Precision.HIGHEST,
+                       parity_split: bool | None = None):
     """Build `solve(ring, rhs_int) -> w` for the Helmholtz problem
 
         (I - coeff * laplace) w = rhs   (5-point) on the interior,
@@ -115,11 +208,17 @@ def make_dst_helmholtz(nx: int, ny: int, dx: float, dy: float, coeff: float,
     Sx_h, lamx = _dst_basis(m, dx)
     Sy_h, lamy = _dst_basis(k, dy)
     inv_den_h = 1.0 / (1.0 - coeff * (lamx[:, None] + lamy[None, :]))
+    use_parity = _resolve_parity(parity_split, m, k)
 
-    Sx = jnp.asarray(Sx_h, dtype)
-    Sy = jnp.asarray(Sy_h, dtype)
-    inv_den = jnp.asarray(inv_den_h, dtype)
-    mm = partial(jnp.matmul, precision=precision)
+    if use_parity:
+        fxl, _, ixl, _, permx = _parity_split_ops(Sx_h, dtype, precision)
+        _, fyr, _, iyr, permy = _parity_split_ops(Sy_h, dtype, precision)
+        inv_den = jnp.asarray(inv_den_h[np.ix_(permx, permy)], dtype)
+    else:
+        Sx = jnp.asarray(Sx_h, dtype)
+        Sy = jnp.asarray(Sy_h, dtype)
+        inv_den = jnp.asarray(inv_den_h, dtype)
+        mm = partial(jnp.matmul, precision=precision)
 
     def solve(ring: Array, rhs_int: Array) -> Array:
         ring = ring.astype(dtype)
@@ -132,8 +231,12 @@ def make_dst_helmholtz(nx: int, ny: int, dx: float, dy: float, coeff: float,
         rhs = rhs.at[-1, :].add(cx * ring[-1, 1:-1])
         rhs = rhs.at[:, 0].add(cy * ring[1:-1, 0])
         rhs = rhs.at[:, -1].add(cy * ring[1:-1, -1])
-        G = mm(mm(Sx, rhs), Sy) * inv_den
-        W = mm(mm(Sx, G), Sy)
+        if use_parity:
+            G = fyr(fxl(rhs)) * inv_den
+            W = iyr(ixl(G))
+        else:
+            G = mm(mm(Sx, rhs), Sy) * inv_den
+            W = mm(mm(Sx, G), Sy)
         return ring.at[1:-1, 1:-1].set(W)
 
     return solve

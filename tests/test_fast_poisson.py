@@ -91,6 +91,71 @@ def test_chorin_fd_dst_mode_matches_converged_sor():
     np.testing.assert_allclose(p2, p1, atol=1e-5)
 
 
+# --- parity-split (half-flop) transform engine ------------------------------
+
+
+@pytest.mark.parametrize("nx,ny", [
+    (18, 18),   # even interior (m=16), square
+    (19, 19),   # odd interior (m=17): middle row/col self-pairing
+    (18, 23),   # even x odd, rectangular
+    (4, 3),     # smallest nontrivial interior (m=2, k=1)
+])
+def test_parity_split_matches_full_gemm_poisson(nx, ny):
+    """parity_split=True is the same linear map as the full-GEMM path
+    (exact up to fp reassociation; f64 makes that ~1e-12)."""
+    rng = np.random.default_rng(11)
+    p0 = jnp.asarray(rng.normal(size=(nx, ny)))
+    f = jnp.asarray(rng.normal(size=(nx, ny)))
+    dx, dy = 0.07, 0.11
+    full = make_dst_poisson(nx, ny, dx, dy, dtype=jnp.float64,
+                            parity_split=False)(p0, f)
+    half = make_dst_poisson(nx, ny, dx, dy, dtype=jnp.float64,
+                            parity_split=True)(p0, f)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                               atol=1e-11)
+
+
+@pytest.mark.parametrize("nx,ny", [(18, 18), (19, 19), (20, 15)])
+def test_parity_split_matches_full_gemm_helmholtz(nx, ny):
+    from ns_tpu.ops.fast_poisson import make_dst_helmholtz
+    rng = np.random.default_rng(12)
+    ring = jnp.asarray(rng.normal(size=(nx, ny)))
+    rhs = jnp.asarray(rng.normal(size=(nx - 2, ny - 2)))
+    c = 0.021
+    full = make_dst_helmholtz(nx, ny, 0.08, 0.13, c, dtype=jnp.float64,
+                              parity_split=False)(ring, rhs)
+    half = make_dst_helmholtz(nx, ny, 0.08, 0.13, c, dtype=jnp.float64,
+                              parity_split=True)(ring, rhs)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                               atol=1e-11)
+
+
+def test_parity_split_exact_inverse_and_jit():
+    """Forced parity path still inverts the 5-point operator to machine
+    precision, under jit, odd interior."""
+    import jax
+    nx, ny, dx, dy = 21, 21, 0.1, 0.1
+    rng = np.random.default_rng(13)
+    p_true = rng.normal(size=(nx, ny))
+    f_full = np.zeros((nx, ny))
+    f_full[1:-1, 1:-1] = five_point(p_true, dx, dy)
+    p0 = p_true.copy()
+    p0[1:-1, 1:-1] = 0.0
+    solve = jax.jit(make_dst_poisson(nx, ny, dx, dy, dtype=jnp.float64,
+                                     parity_split=True))
+    p = np.asarray(solve(jnp.asarray(p0), jnp.asarray(f_full)))
+    np.testing.assert_allclose(p, p_true, atol=1e-10)
+
+
+def test_parity_auto_threshold():
+    """auto = on iff min interior dim >= _PARITY_MIN_DIM."""
+    from ns_tpu.ops.fast_poisson import _PARITY_MIN_DIM, _resolve_parity
+    assert not _resolve_parity(None, _PARITY_MIN_DIM - 1, _PARITY_MIN_DIM)
+    assert _resolve_parity(None, _PARITY_MIN_DIM, _PARITY_MIN_DIM)
+    assert _resolve_parity(True, 4, 4)
+    assert not _resolve_parity(False, 4096, 4096)
+
+
 # --- helmholtz (unsplit CN predictor) --------------------------------------
 
 
