@@ -163,6 +163,30 @@ def test_chorin_spectral_gather_budget():
     assert counts == {"all_gather": 10, "all_reduce": 8}
 
 
+def test_spectral3d_one_all_to_all_per_transform():
+    """Pencil-sharded 3D (scaling.md): each 3D transform costs exactly ONE
+    all_to_all; the 6-field nonlinear inverse and 3-field forward are each
+    one batched site. rollout-final = 3 init sites (fwd + batched
+    nonlinear pair) + 2 per step + 1 output inverse; simulate adds the
+    per-step output inverse to the loop body."""
+    from ns_tpu.parallel.spectral3d_sharded import (make_sharded_rollout3d,
+                                                    make_sharded_simulate3d)
+    from ns_tpu.solvers import spectral3d as s3
+    cfg = s3.Spectral3DConfig(nt=3, nx=16, ny=12, nz=12, dt=1e-3, nu=1e-3,
+                              dtype="float64", transform="matmul",
+                              matmul_precision="highest")
+    mesh = _mesh4()
+    u0 = np.asarray(s3.taylor_green_velocity(cfg))
+
+    roll, sh = make_sharded_rollout3d(cfg, mesh)
+    assert collective_counts(
+        roll.lower(jax.device_put(u0, sh))) == {"all_to_all": 6}
+
+    sim, sh2 = make_sharded_simulate3d(cfg, mesh)
+    assert collective_counts(
+        sim.lower(jax.device_put(u0, sh2))) == {"all_to_all": 6}
+
+
 def test_ensemble_axis_never_communicates():
     """Ensemble data-parallelism (scaling.md): ZERO hot-loop collectives —
     trajectories are independent; the only collectives in a 2D
