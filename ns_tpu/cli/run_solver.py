@@ -12,11 +12,15 @@ presets"):
                      cavity; add --corrected for the stable operator mode)
   taylor_green     — periodic Fourier showcase (BASELINE.json config)
   decaying_turbulence — periodic 2D turbulence at --nx resolution
+  taylor_green_3d  — 3D Taylor-Green vortex (the canonical DNS benchmark;
+                     nu defaults to 1/1600). npz carries u/v/w/p.
+  decaying_turbulence_3d — 3D isotropic decaying turbulence
 
 Examples:
   python -m ns_tpu.cli.run_solver direct_fd --out data.npz
   python -m ns_tpu.cli.run_solver chorin_fd --method semi_implicit
   python -m ns_tpu.cli.run_solver taylor_green --nx 256 --nt 500
+  python -m ns_tpu.cli.run_solver taylor_green_3d --nx 128 --nt 100
 """
 
 import argparse
@@ -171,13 +175,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("family", choices=["direct_fd", "chorin_fd",
                                       "chorin_spectral", "taylor_green",
-                                      "decaying_turbulence"])
+                                      "decaying_turbulence",
+                                      "taylor_green_3d",
+                                      "decaying_turbulence_3d"])
     p.add_argument("--nt", type=int, default=200)
     p.add_argument("--nit", type=int, default=None)
     p.add_argument("--nx", type=int, default=None)
     p.add_argument("--dt", type=float, default=0.001)
     p.add_argument("--rho", type=float, default=1.0)
-    p.add_argument("--nu", type=float, default=0.1)
+    p.add_argument("--nu", type=float, default=None,
+                   help="viscosity (default: 0.1 for the 2D families, "
+                        "1/1600 — the canonical TGV Reynolds number — "
+                        "for the 3D ones)")
     p.add_argument("--beta", type=float, default=1.25)
     p.add_argument("--method", default="semi_implicit",
                    choices=["semi_implicit", "explicit", "helmholtz"])
@@ -280,19 +289,32 @@ def main(argv=None):
                         "operator families (cli.train fno/fno_w/rnn)")
     args = p.parse_args(argv)
 
+    periodic_2d = args.family in ("taylor_green", "decaying_turbulence")
+    periodic_3d = args.family in ("taylor_green_3d",
+                                  "decaying_turbulence_3d")
+    if args.nu is None:
+        args.nu = 6.25e-4 if periodic_3d else 0.1
+
     # mis-scoped flag combinations fail BEFORE any compute (a pod-scale
     # rollout must not run for minutes and then hit argument validation)
     if args.pallas_momentum and args.family != "chorin_fd":
         p.error("--pallas-momentum applies to chorin_fd only")
-    if args.forcing != "none" and args.family not in (
-            "taylor_green", "decaying_turbulence"):
+    if args.forcing != "none" and not (periodic_2d or periodic_3d):
         p.error("--forcing applies to the periodic families only")
+    if periodic_3d and args.forcing == "fno":
+        p.error("the 3D family supports --forcing kolmogorov only")
+    if periodic_3d and (args.dist or args.stream_dir or args.progress
+                        or args.guard or args.n_traj > 1 or args.compact):
+        p.error("--dist/--stream-dir/--progress/--guard/--n-traj/--compact "
+                "are not supported for the 3D families (the matmul engine "
+                "is always compact; sharded 3D runs use "
+                "ns_tpu/parallel/spectral3d_sharded.py directly)")
     if args.frame_stride < 1:
         p.error(f"--frame-stride must be >= 1, got {args.frame_stride}")
     if args.spinup < 0:
         p.error(f"--spinup must be >= 0, got {args.spinup}")
     if args.frame_stride > 1 or args.spinup:
-        if args.family not in ("taylor_green", "decaying_turbulence"):
+        if not (periodic_2d or periodic_3d):
             p.error("--frame-stride/--spinup apply to the periodic "
                     "families only")
         if args.dist or args.stream_dir or args.progress or args.guard:
@@ -384,6 +406,37 @@ def main(argv=None):
                                                     or "highest"))
         u, v, pr = _run_cavity(sys_, args)
         default_out = "data.npz"
+    elif periodic_3d:
+        from ns_tpu.solvers import spectral3d as s3
+        nx = args.nx or 64
+        cfg = s3.Spectral3DConfig(
+            nt=args.nt, nx=nx, ny=nx, nz=nx, dt=args.dt, nu=args.nu,
+            rho=args.rho, dtype=args.dtype, transform=args.transform,
+            matmul_precision=args.precision, forcing=args.forcing,
+            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp)
+        if args.family == "taylor_green_3d":
+            u0 = s3.taylor_green_velocity(cfg)
+        else:
+            u0 = s3.random_solenoidal_velocity(cfg, seed=args.seed)
+        sys_ = s3.NavierStokesSystem3D(
+            u0, nt=args.nt, nx=nx, ny=nx, nz=nx, dt=args.dt, nu=args.nu,
+            rho=args.rho, dtype=args.dtype, transform=args.transform,
+            matmul_precision=args.precision, forcing=args.forcing,
+            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp)
+        if args.frame_stride > 1 or args.spinup > 0:
+            fields = sys_.simulate_strided(args.nt, stride=args.frame_stride,
+                                           spinup=args.spinup)
+        else:
+            fields = sys_.simulate()
+        u3, v3, w3, p3 = to_host(fields)
+        elapsed = time.perf_counter() - t0
+        out = args.out or f"{args.family}.npz"
+        np.savez(out, u=np.asarray(u3), v=np.asarray(v3),
+                 w=np.asarray(w3), p=np.asarray(p3))
+        print(f"{args.family}: nt={args.nt} (stride {args.frame_stride}, "
+              f"spinup {args.spinup}) grid={nx}^3 in {elapsed:.2f}s "
+              f"({args.nt / elapsed:.1f} frames/s) -> {out}")
+        return
     else:
         from ns_tpu.solvers import spectral_periodic as sp
         nx = args.nx or 256

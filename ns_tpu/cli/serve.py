@@ -25,12 +25,18 @@ def main(argv=None):
                           "instead of a surrogate — the ORACLE behind the "
                           "same request contract, for on-demand ground "
                           "truth / A-B against a surrogate endpoint")
+    p.add_argument("--dims", type=int, default=2, choices=[2, 3],
+                   help="solver mode: 2 serves the periodic spectral "
+                        "solver ((3, nx, nx) u/v/p frames); 3 serves the "
+                        "3D family ((4, nx, nx, nx) u/v/w/p frames, nu "
+                        "default 1/1600)")
     p.add_argument("--nx", type=int, default=64,
                    help="solver mode: grid size")
     p.add_argument("--dt", type=float, default=1e-3,
                    help="solver mode: time step")
-    p.add_argument("--nu", type=float, default=1e-3,
-                   help="solver mode: viscosity")
+    p.add_argument("--nu", type=float, default=None,
+                   help="solver mode: viscosity (default 1e-3 for "
+                        "--dims 2, 1/1600 for --dims 3)")
     p.add_argument("--stride", type=int, default=1,
                    help="solver mode: solver steps per served frame "
                         "(match a surrogate trained on strided frames)")
@@ -57,12 +63,29 @@ def main(argv=None):
     if args.forcing != "none" and not args.solver:
         p.error("--forcing applies to --solver mode only (a surrogate's "
                 "dynamics are whatever it was trained on)")
+    if args.dims == 3:
+        if not args.solver:
+            p.error("--dims 3 applies to --solver mode (surrogate "
+                    "checkpoints carry their own dimensionality)")
+        if args.forcing == "fno":
+            p.error("the 3D solver supports --forcing kolmogorov only")
 
     from ns_tpu.serve.server import serve
 
-    if args.solver:
+    if args.solver and args.dims == 3:
+        from ns_tpu.serve.solver import SolverEngine3D
+        engine = SolverEngine3D(args.nx, args.nx, args.nx, dt=args.dt,
+                                nu=(args.nu if args.nu is not None
+                                    else 6.25e-4),
+                                stride=args.stride, chunk=args.chunk,
+                                forcing=args.forcing,
+                                forcing_k=args.forcing_k,
+                                forcing_amp=args.forcing_amp)
+    elif args.solver:
         from ns_tpu.serve.solver import SolverEngine
-        engine = SolverEngine(args.nx, args.nx, dt=args.dt, nu=args.nu,
+        engine = SolverEngine(args.nx, args.nx, dt=args.dt,
+                              nu=(args.nu if args.nu is not None
+                                  else 1e-3),
                               stride=args.stride, chunk=args.chunk,
                               forcing=args.forcing,
                               forcing_k=args.forcing_k,

@@ -16,6 +16,7 @@ is the checkpoint-driven surrogate half.
 
 from ns_tpu.serve.client import ServeClient, ServeError
 from ns_tpu.serve.engine import InferenceEngine
-from ns_tpu.serve.solver import SolverEngine
+from ns_tpu.serve.solver import SolverEngine, SolverEngine3D
 
-__all__ = ["InferenceEngine", "SolverEngine", "ServeClient", "ServeError"]
+__all__ = ["InferenceEngine", "SolverEngine", "SolverEngine3D",
+           "ServeClient", "ServeError"]

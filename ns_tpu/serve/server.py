@@ -8,11 +8,13 @@ concurrent clients queue rather than interleave device programs.
 Protocol (all bodies are raw `.npy` bytes — `np.save`/`np.load` on a
 buffer, allow_pickle always off):
 
-  GET  /health           -> {"ok": true, "model": ..., "grid": [nx, ny],
-                             "n_models": M}
+  GET  /health           -> {"ok": true, "model": ..., "grid": [nx, ny]
+                             (or [nx, ny, nz] for the 3D solver
+                             endpoint), "n_models": M}
   GET  /stats            -> serve.engine.InferenceEngine.stats() JSON
   POST /rollout?steps=N[&reduce=members|mean|spread]
        body:  frame0 .npy, (3, nx, ny) or (B, 3, nx, ny) float32
+              ((4, nx, ny, nz) for the 3D solver endpoint)
        reply: frames .npy per the engine contract; for ensemble
               checkpoints `reduce` collapses the member axis (default
               mean; `members` returns all, `spread` the per-cell std).
@@ -61,9 +63,11 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/health":
             model = getattr(self.engine, "model_name", None) or \
                 self.engine.cfg.model
+            grid = [self.engine.nx, self.engine.ny]
+            if getattr(self.engine, "nz", None):  # 3D solver endpoint
+                grid.append(self.engine.nz)
             self._reply_json(200, {
-                "ok": True, "model": model,
-                "grid": [self.engine.nx, self.engine.ny],
+                "ok": True, "model": model, "grid": grid,
                 "n_models": self.engine.n_models})
         elif path == "/stats":
             self._reply_json(200, self.engine.stats())
@@ -132,7 +136,9 @@ def serve(engine: InferenceEngine, host: str = "127.0.0.1",
           port: int = 8765, quiet: bool = False) -> None:
     httpd = make_server(engine, host, port, quiet=quiet)
     model = getattr(engine, "model_name", None) or engine.cfg.model
+    nz = getattr(engine, "nz", None)
     print(f"serving {model} ({engine.nx}x{engine.ny}"
+          f"{f'x{nz}' if nz else ''}"
           f"{f', {engine.n_models} members' if engine.n_models > 1 else ''})"
           f" on http://{host}:{httpd.server_address[1]}", flush=True)
     try:

@@ -262,22 +262,27 @@ def make_compact_transforms(cfg: Spectral3DConfig):
     over leading dims (the step batches 6 fields through one chain)."""
     M = _dft_constants_np(cfg)
     f32 = np.float32 if cfg.dtype == "float32" else np.float64
-    dev = {k: jax.lax.complex(jnp.asarray(v.real.astype(f32)),
-                              jnp.asarray(v.imag.astype(f32)))
-           for k, v in M.items()}
+    # constants stay REAL (re, im) pairs; complex is formed only inside
+    # the traced functions. Eagerly-built complex device arrays get
+    # embedded as MLIR constants when a jit closes over them, and that
+    # embedding reads them back to host — which the axon tunnel cannot do
+    # for complex buffers (discovered live: the serve chunk program).
+    dev = {k: (jnp.asarray(v.real.astype(f32)),
+               jnp.asarray(v.imag.astype(f32))) for k, v in M.items()}
     prec = cfg.matmul_precision
     ein = lambda s, a, b: jnp.einsum(s, a, b, precision=prec)
+    cplx = lambda k: jax.lax.complex(*dev[k])
 
     def fwd(w):
         # contract the axis that shrinks most first (z: nz -> Kzc)
-        t = ein("...xyz,kz->...xyk", w.astype(cfg.complex_dtype), dev["Fz_t"])
-        t = ein("...xyk,by->...xbk", t, dev["Fy_t"])
-        return ein("...xbk,ax->...abk", t, dev["Fx_t"])
+        t = ein("...xyz,kz->...xyk", w.astype(cfg.complex_dtype), cplx("Fz_t"))
+        t = ein("...xyk,by->...xbk", t, cplx("Fy_t"))
+        return ein("...xbk,ax->...abk", t, cplx("Fx_t"))
 
     def inv(z):
-        a = ein("...abk,xa->...xbk", z, dev["Fxi_t"])
-        a = ein("...xbk,yb->...xyk", a, dev["Fyi_t"])
-        return ein("...xyk,kz->...xyz", a, dev["Bz"]).real
+        a = ein("...abk,xa->...xbk", z, cplx("Fxi_t"))
+        a = ein("...xbk,yb->...xyk", a, cplx("Fyi_t"))
+        return ein("...xyk,kz->...xyz", a, cplx("Bz")).real
 
     return fwd, inv
 

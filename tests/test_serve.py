@@ -413,3 +413,57 @@ def test_client_roundtrip(running_server):
     assert ei.value.status == 400
     with pytest.raises(ServeError, match="reduce"):
         c.rollout(frame0, 2, reduce="median")
+
+
+def test_solver_engine_3d_matches_simulate():
+    """3D oracle endpoint: served frames equal NavierStokesSystem3D's own
+    rollout, chunking-invariant; frame 0 echoes the (projected) input."""
+    import jax as _jax
+    from ns_tpu.serve.solver import SolverEngine3D
+    from ns_tpu.solvers import spectral3d as s3
+
+    n = 12
+    cfg = s3.Spectral3DConfig(nt=5, nx=n, ny=n, nz=n, dt=1e-3, nu=1e-3,
+                              dtype="float32")
+    u0 = np.asarray(s3.random_solenoidal_velocity(cfg, seed=0, k_peak=2.0))
+    sys3 = s3.NavierStokesSystem3D(u0, nt=5, nx=n, ny=n, nz=n, dt=1e-3,
+                                   nu=1e-3, dtype="float32")
+    u, v, w, p = (np.asarray(a) for a in sys3.simulate())
+
+    carry0 = s3.init_from_velocity(cfg, u0)
+    vel0 = np.asarray(_jax.jit(
+        lambda z: s3.fields_from_hat(cfg, z))(carry0[0]))
+    p0 = np.asarray(_jax.jit(
+        lambda z: s3.pressure_from_hat(cfg, z))(carry0[0]))
+    frame0 = np.concatenate([vel0, p0[None]])
+
+    for chunk in (2, 16):
+        eng = SolverEngine3D(n, n, n, dt=1e-3, nu=1e-3, chunk=chunk,
+                             transform="fft")  # match sys3's engine
+        out = eng.predict(frame0, 5)
+        assert out.shape == (6, 4, n, n, n)
+        np.testing.assert_allclose(out[1:, 0], u, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out[1:, 1], v, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out[1:, 2], w, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(out[1:, 3], p, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(out[0], frame0, rtol=1e-5, atol=1e-6)
+    assert eng.stats()["model"] == "solver:spectral3d"
+
+
+def test_solver_engine_3d_validation():
+    from ns_tpu.serve.solver import SolverEngine3D
+    eng = SolverEngine3D(8, 8, 8)
+    with pytest.raises(ValueError):
+        eng.predict(np.zeros((3, 8, 8, 8), np.float32), 1)
+    with pytest.raises(ValueError):
+        eng.predict(np.zeros((4, 8, 8, 8), np.float32), -1)
+    with pytest.raises(ValueError):
+        SolverEngine3D(8, 8, 8, stride=0)
+
+
+def test_serve_cli_3d_validation():
+    from ns_tpu.cli.serve import main as serve_main
+    for bad in (["--ckpt", "x", "--dims", "3"],
+                ["--solver", "--dims", "3", "--forcing", "fno"]):
+        with pytest.raises(SystemExit):
+            serve_main(bad)

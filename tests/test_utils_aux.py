@@ -265,3 +265,34 @@ def test_chunked_simulate_rejects_bad_chunk():
     with pytest.raises(ValueError, match="chunk"):
         chunked_simulate(lambda s: s, jnp.zeros(2), 4,
                          lambda s: {"x": s}, chunk=0)
+
+
+def test_run_solver_cli_3d(tmp_path):
+    """CLI: the 3D presets write u/v/w/p npz; strided + forced runs and
+    mis-scoped flags validate before compute."""
+    import numpy as np
+    import pytest
+    from ns_tpu.cli.run_solver import main as run_main
+
+    out = tmp_path / "tg3.npz"
+    run_main(["taylor_green_3d", "--nx", "8", "--nt", "3",
+              "--transform", "matmul", "--precision", "highest",
+              "--out", str(out)])
+    d = np.load(out)
+    for k in ("u", "v", "w", "p"):
+        assert d[k].shape == (3, 8, 8, 8) and np.isfinite(d[k]).all(), k
+
+    out2 = tmp_path / "dt3.npz"
+    run_main(["decaying_turbulence_3d", "--nx", "8", "--nt", "2",
+              "--frame-stride", "2", "--spinup", "1",
+              "--forcing", "kolmogorov", "--forcing-k", "2",
+              "--out", str(out2)])
+    d2 = np.load(out2)
+    assert d2["u"].shape == (2, 8, 8, 8) and np.isfinite(d2["u"]).all()
+
+    for bad in (["taylor_green_3d", "--compact"],
+                ["taylor_green_3d", "--forcing", "fno"],
+                ["taylor_green_3d", "--guard"],
+                ["decaying_turbulence_3d", "--n-traj", "2"]):
+        with pytest.raises(SystemExit):
+            run_main(bad + ["--nx", "8", "--nt", "2"])
