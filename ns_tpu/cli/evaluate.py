@@ -33,12 +33,15 @@ def _window_metrics(pred: np.ndarray, obs: np.ndarray,
         "rel_l2": rel_l2(pred, obs),
         "persistence_rel_l2": rel_l2(persist, obs),
         "fields": {name: rel_l2(pred[:, i], obs[:, i])
-                   for i, name in enumerate(("u", "v", "p"))},
+                   for i, name in enumerate(
+                       ("u", "v", "p") if pred.shape[1] == 3
+                       else ("u", "v", "w", "p"))},
     }
 
 
 def evaluate(pred: np.ndarray, obs: np.ndarray, n_train: int) -> dict:
-    """pred, obs: frame-aligned (nt, 3, nx, ny); n_train: frames the
+    """pred, obs: frame-aligned (nt, 3, nx, ny) — or (nt, 4, nx, ny, nz)
+    for 3D (u, v, w, p) rollouts; n_train: frames the
     model was trained on (train window = [0, n_train), extrapolation
     window = [n_train, nt))."""
     nt = obs.shape[0]
@@ -114,13 +117,14 @@ def physics_metrics(pred: np.ndarray, obs: np.ndarray) -> dict:
 def _print_report(report: dict) -> None:
     print(f"frames: {report['n_frames']} (train window "
           f"{report['n_train']})")
-    print("| window | rel L2 | persistence | u | v | p |")
-    print("|---|---|---|---|---|---|")
+    field_names = list(next(iter(
+        report["windows"].values()))["fields"])  # (u,v,p) or (u,v,w,p)
+    print(f"| window | rel L2 | persistence | {' | '.join(field_names)} |")
+    print("|---" * (3 + len(field_names)) + "|")
     for name, w in report["windows"].items():
-        f = w["fields"]
+        cells = " | ".join(f"{w['fields'][k]:.4f}" for k in field_names)
         print(f"| {name} | {w['rel_l2']:.4f} | "
-              f"{w['persistence_rel_l2']:.4f} | {f['u']:.4f} | "
-              f"{f['v']:.4f} | {f['p']:.4f} |")
+              f"{w['persistence_rel_l2']:.4f} | {cells} |")
     curve = " -> ".join(f"{m['rel_l2']:.3f}@{m['frame']}"
                         for m in report["horizon_curve"])
     print(f"horizon: {curve}")
@@ -173,13 +177,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     d = np.load(args.npz_path)
-    u, v, p = d["u"], d["v"], d["p"]
-    if u.ndim == 4:  # (M, nt, nx, ny) multi-trajectory dataset
-        if not 0 <= args.traj < u.shape[0]:
-            raise SystemExit(f"--traj must be in [0, {u.shape[0]}), got "
-                             f"{args.traj}")
-        u, v, p = u[args.traj], v[args.traj], p[args.traj]
-    obs = np.stack([u, v, p], axis=1).astype(np.float32)
+    is_3d = "w" in d  # run_solver *_3d rollouts carry (u, v, w, p)
+    names = ("u", "v", "w", "p") if is_3d else ("u", "v", "p")
+    fields = [d[k] for k in names]
+    multi_rank = 5 if is_3d else 4
+    if fields[0].ndim == multi_rank:  # multi-trajectory dataset
+        if not 0 <= args.traj < fields[0].shape[0]:
+            raise SystemExit(f"--traj must be in [0, "
+                             f"{fields[0].shape[0]}), got {args.traj}")
+        fields = [f[args.traj] for f in fields]
+    if is_3d and args.physics:
+        raise SystemExit("--physics observables are 2D-periodic only")
+    obs = np.stack(fields, axis=1).astype(np.float32)
     nt = obs.shape[0]
     n_train = args.n_frames
 
@@ -199,9 +208,10 @@ def main(argv=None):
             pred = pred.mean(axis=0)
     else:
         pred = np.load(args.extrapolation).astype(np.float32)
-        if pred.ndim != 4:
-            raise ValueError(f"extrapolation must be (nt, 3, nx, ny); got "
-                             f"{pred.shape}")
+        if pred.ndim != (5 if is_3d else 4):
+            raise ValueError(f"extrapolation rank does not match the "
+                             f"observations; got {pred.shape} for "
+                             f"{'3D' if is_3d else '2D'} data")
 
     if not 0 <= args.offset < nt:
         raise SystemExit(f"--offset must be in [0, {nt}), got {args.offset}")

@@ -35,36 +35,37 @@ def main(argv=None):
                    help="checkpoint interval; also the per-dispatch train "
                         "chunk size (larger = faster on high-latency links)")
     p.add_argument("--fno-rollout-steps", type=int, default=1,
-                   help="fno only: k-step rollout training (pushforward)")
+                   help="fno families: k-step rollout training (pushforward)")
     p.add_argument("--fno-modes", type=int, default=12,
-                   help="fno only: spectral modes kept per axis")
+                   help="fno families: spectral modes kept per axis")
     p.add_argument("--fno-width", type=int, default=32,
-                   help="fno only: channel width")
+                   help="fno families: channel width")
     p.add_argument("--fno-transform", default="auto",
                    choices=["auto", "fft", "matmul"],
-                   help="fno/fno_w: spectral-transform engine (matmul = "
+                   help="fno families: spectral-transform engine (matmul = "
                         "retained-mode DFT GEMMs on the MXU, faster at "
                         "small/medium grids; engines agree to fp "
                         "rounding)")
     p.add_argument("--fno-precision", default=None,
                    choices=["default", "high", "highest"],
-                   help="fno/fno_w: GEMM precision in the FNO layers "
+                   help="fno families: GEMM precision in the FNO layers "
                         "(default: jnp default — bf16-class on TPU; "
                         "'highest' tightens TPU cross-engine checkpoint "
                         "transfer to CPU-test tolerance)")
     p.add_argument("--input-noise", type=float, default=0.0,
-                   help="fno/fno_w: train-time Gaussian input noise, as a "
+                   help="fno families: train-time Gaussian input noise, as a "
                         "fraction of the data std (autoregressive "
                         "stabilizer); 0 disables")
     p.add_argument("--fno-remat", action="store_true",
-                   help="fno/fno_w: rematerialize each k-step unroll step "
+                   help="fno families: rematerialize each k-step unroll step "
                         "(trades ~2x recompute for O(k) less activation "
                         "memory; use when rollout training OOMs)")
     p.add_argument("--fno-project", action="store_true",
-                   help="fno only: compose the exact spectral divergence "
-                        "projection into the autoregressive rollout")
+                   help="fno/fno3d: compose the exact spectral divergence "
+                        "(2D) / Leray (3D) projection into the "
+                        "autoregressive rollout")
     p.add_argument("--no-fno-dealias", action="store_true",
-                   help="fno_w only: disable the 2/3-band rollout filter")
+                   help="fno_w/fno3d: disable the 2/3-band rollout filter")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n-models", type=int, default=1,
                    help=">1 trains an ensemble of independently-seeded "

@@ -20,6 +20,8 @@ any model's outputs or inside a training loss.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
@@ -115,3 +117,107 @@ def project_bounded(u: Array, v: Array, dx: float, dy: float,
     gx = jnp.zeros_like(u).at[:, :-1].set((phi[:, 1:] - phi[:, :-1]) / dx)
     gy = jnp.zeros_like(v).at[:-1, :].set((phi[1:, :] - phi[:-1, :]) / dy)
     return u - gx, v - gy
+
+
+def project_leray3d(u: Array, v: Array, w: Array
+                    ) -> tuple[Array, Array, Array]:
+    """Exact spectral Leray projection on [0, 2*pi)^3 grids of any shape
+    (..., nx, ny, nz) — the 3D counterpart of project_periodic, for 3D
+    surrogate rollouts (u <- u - grad(inv_lap(div u)), diagonal in
+    Fourier space). Jitted internally (axon eager-complex hazard)."""
+    return _project_leray3d_jit(u, v, w)
+
+
+@jax.jit
+def _project_leray3d_jit(u: Array, v: Array, w: Array):
+    import numpy as np
+
+    nx, ny, nz = u.shape[-3], u.shape[-2], u.shape[-1]
+    kx = np.fft.fftfreq(nx, d=1.0 / nx)[:, None, None].copy()
+    ky = np.fft.fftfreq(ny, d=1.0 / ny)[None, :, None].copy()
+    kz = np.fft.rfftfreq(nz, d=1.0 / nz)[None, None, :].copy()
+    # zero the unpaired Nyquist modes in the derivative operators — i*k on
+    # a lone -N/2 mode is not the spectrum of any real field, so keeping
+    # it breaks exactness through the irfftn Hermitian projection (same
+    # treatment as _project_periodic_jit above)
+    if nx % 2 == 0:
+        kx[nx // 2] = 0.0
+    if ny % 2 == 0:
+        ky[0, ny // 2] = 0.0
+    if nz % 2 == 0:
+        kz[0, 0, -1] = 0.0
+    k2 = kx * kx + ky * ky + kz * kz
+    inv_k2 = np.where(k2 == 0.0, 0.0, 1.0 / np.where(k2 == 0.0, 1.0, k2))
+    kxj = jnp.asarray(kx, u.dtype)
+    kyj = jnp.asarray(ky, u.dtype)
+    kzj = jnp.asarray(kz, u.dtype)
+    inv = jnp.asarray(inv_k2, u.dtype)
+    axes = (-3, -2, -1)
+    uh = jnp.fft.rfftn(u, axes=axes)
+    vh = jnp.fft.rfftn(v, axes=axes)
+    wh = jnp.fft.rfftn(w, axes=axes)
+    kdot = kxj * uh + kyj * vh + kzj * wh
+    corr = kdot * inv
+    s = (nx, ny, nz)
+    return (jnp.fft.irfftn(uh - kxj * corr, s=s, axes=axes),
+            jnp.fft.irfftn(vh - kyj * corr, s=s, axes=axes),
+            jnp.fft.irfftn(wh - kzj * corr, s=s, axes=axes))
+
+
+@lru_cache(maxsize=8)
+def _rollout_filter3d_jit(project: bool, dealias: bool):
+    """Jitted (u, v, w, p)-stacked 3D rollout filter, cached per flag
+    combination (a fresh jit per call would recompile every rollout)."""
+
+    @jax.jit
+    def filt(x):
+        import numpy as np
+
+        nx, ny, nz = x.shape[-3], x.shape[-2], x.shape[-1]
+        axes = (-3, -2, -1)
+        xh = jnp.fft.rfftn(x, axes=axes)
+        if dealias:
+            mx = np.abs(np.fft.fftfreq(nx, 1 / nx)) < nx / 3.0
+            my = np.abs(np.fft.fftfreq(ny, 1 / ny)) < ny / 3.0
+            mz = np.abs(np.fft.rfftfreq(nz, 1 / nz)) < nz / 3.0
+            mask = (mx[:, None, None] & my[None, :, None]
+                    & mz[None, None, :])
+            xh = jnp.where(jnp.asarray(mask), xh, 0.0)
+        if project:
+            kx = np.fft.fftfreq(nx, d=1.0 / nx)[:, None, None].copy()
+            ky = np.fft.fftfreq(ny, d=1.0 / ny)[None, :, None].copy()
+            kz = np.fft.rfftfreq(nz, d=1.0 / nz)[None, None, :].copy()
+            if nx % 2 == 0:
+                kx[nx // 2] = 0.0
+            if ny % 2 == 0:
+                ky[0, ny // 2] = 0.0
+            if nz % 2 == 0:
+                kz[0, 0, -1] = 0.0
+            k2 = kx * kx + ky * ky + kz * kz
+            inv = np.where(k2 == 0.0, 0.0,
+                           1.0 / np.where(k2 == 0.0, 1.0, k2))
+            kxj, kyj, kzj = (jnp.asarray(a, x.dtype) for a in (kx, ky, kz))
+            invj = jnp.asarray(inv, x.dtype)
+            uh = xh[..., 0, :, :, :]
+            vh = xh[..., 1, :, :, :]
+            wh = xh[..., 2, :, :, :]
+            corr = (kxj * uh + kyj * vh + kzj * wh) * invj
+            xh = jnp.stack([uh - kxj * corr, vh - kyj * corr,
+                            wh - kzj * corr, xh[..., 3, :, :, :]],
+                           axis=-4)
+        return jnp.fft.irfftn(xh, s=(nx, ny, nz), axes=axes)
+
+    return filt
+
+
+def rollout_filter3d(x: Array, project: bool = True,
+                     dealias: bool = True) -> Array:
+    """Constraint filter for 3D surrogate rollouts on channel-stacked
+    (..., 4, nx, ny, nz) (u, v, w, p) states: 2/3-band dealias of every
+    channel (the rollout stability filter — high-wavenumber prediction
+    noise compounds autoregressively, the 2D fno_w lesson) and/or the
+    exact Nyquist-safe Leray projection of the velocity channels. One
+    spectral round trip for both. Jitted internally."""
+    if not (project or dealias):
+        return x
+    return _rollout_filter3d_jit(bool(project), bool(dealias))(x)

@@ -49,7 +49,8 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _build_model(cfg: TrainConfig, nx: int, ny: int):
+def _build_model(cfg: TrainConfig, nx: int, ny: int,
+                 nz: int = None):
     """Model construction mirroring train.trainer.Trainer.__init__ (the
     single source of family -> constructor truth; kept in lockstep by
     tests/test_serve.py round-trips)."""
@@ -70,6 +71,11 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int):
         channels = 1 if cfg.model == "fno_w" else 3
         return FNO2D(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
                      channels=channels, transform=cfg.fno_transform,
+                     precision=cfg.fno_precision)
+    if cfg.model == "fno3d":
+        from ns_tpu.models.fno3d import FNO3D
+        return FNO3D(nx, ny, nz, width=cfg.fno_width, modes=cfg.fno_modes,
+                     channels=4, transform=cfg.fno_transform,
                      precision=cfg.fno_precision)
     if cfg.model == "rnn":
         from ns_tpu.models.gru import FullFieldGRU
@@ -135,12 +141,13 @@ class InferenceEngine(ServingBase):
     """
 
     def __init__(self, cfg: TrainConfig, params, nx: int, ny: int,
-                 chunk: int = 64, n_models: int = 1):
+                 chunk: int = 64, n_models: int = 1, nz: int = None):
         if chunk < 1:
             raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.cfg, self.nx, self.ny, self.chunk = cfg, nx, ny, chunk
+        self.nz = nz  # set for the 3D operator family (fno3d)
         self.n_models = n_models
-        self.model = _build_model(cfg, nx, ny)
+        self.model = _build_model(cfg, nx, ny, nz)
         # resident on device once: host-numpy params would be re-uploaded
         # on EVERY request (tens of MB through a ~20 MB/s device tunnel
         # dominated serving latency before this)
@@ -162,14 +169,16 @@ class InferenceEngine(ServingBase):
         cfg = TrainConfig(**{k: v for k, v in meta["config"].items()
                              if k in fields})
         if "grid" in meta:
-            nx, ny = (int(v) for v in meta["grid"])
+            grid = [int(v) for v in meta["grid"]]  # [nx, ny(, nz)]
         else:
             # pre-grid checkpoints: recover the grid from the data file the
             # model was trained on (same path resolution as training)
             from ns_tpu.train.trainer import load_obs
             obs = load_obs(cfg.npz_path, 1)
-            nx, ny = obs.shape[-2], obs.shape[-1]
-        model = _build_model(cfg, nx, ny)
+            grid = list(obs.shape[3:])
+        nx, ny = grid[0], grid[1]
+        nz = grid[2] if len(grid) == 3 else None
+        model = _build_model(cfg, nx, ny, nz)
         n_models = int(meta.get("n_models", 1))
         if n_models > 1:  # EnsembleTrainer checkpoint: leading member axis
             from ns_tpu.train.ensemble import init_ensemble
@@ -178,7 +187,8 @@ class InferenceEngine(ServingBase):
             template = model.init(jax.random.PRNGKey(cfg.seed))
         # restore only the params subtree: serving has no optimizer
         params = load_checkpoint_params(ckpt, template)
-        return cls(cfg, params, nx, ny, chunk=chunk, n_models=n_models)
+        return cls(cfg, params, nx, ny, chunk=chunk, n_models=n_models,
+                   nz=nz)
 
     # -- per-family compiled programs ---------------------------------------
 
@@ -240,8 +250,9 @@ class InferenceEngine(ServingBase):
 
     def _predict_fno(self, frame0: np.ndarray, n_steps: int) -> np.ndarray:
         cfg = self.cfg
-        batched = frame0.ndim == 4
-        x = jnp.asarray(frame0 if batched else frame0[None])  # (B, 3, nx, ny)
+        # single-state rank: 3 for 2D (C, nx, ny), 4 for fno3d
+        batched = frame0.ndim == (5 if self.nz else 4)
+        x = jnp.asarray(frame0 if batched else frame0[None])  # (B, C, ...)
         b = x.shape[0]
         bucket = _next_pow2(b)    # bound compiles at O(log max_batch)
         if bucket != b:
@@ -354,28 +365,33 @@ class InferenceEngine(ServingBase):
 
     def predict(self, frame0: np.ndarray, n_steps: int) -> np.ndarray:
         frame0 = np.asarray(frame0, dtype=np.float32)
-        if frame0.ndim not in (3, 4) or frame0.shape[-3:] != (3, self.nx,
-                                                              self.ny):
+        state_shape = ((4, self.nx, self.ny, self.nz) if self.nz
+                       else (3, self.nx, self.ny))
+        r = len(state_shape)
+        if (frame0.ndim not in (r, r + 1)
+                or frame0.shape[-r:] != state_shape):
             raise ValueError(
-                f"frame0 must be (3, {self.nx}, {self.ny}) or (B, 3, "
-                f"{self.nx}, {self.ny}); got {frame0.shape}")
+                f"frame0 must be {state_shape} or (B,) + {state_shape}; "
+                f"got {frame0.shape}")
         if n_steps < 0:
             raise ValueError(f"n_steps must be >= 0, got {n_steps}")
         t0 = time.perf_counter()
-        if self.cfg.model in ("fno", "fno_w"):
+        if self.cfg.model in ("fno", "fno_w", "fno3d"):
             out = self._predict_fno(frame0, n_steps)
         elif self.cfg.model == "rnn":
             out = self._predict_rnn(frame0, n_steps)
         else:
             out = self._predict_basis(frame0, n_steps)
-        nb = frame0.shape[0] if frame0.ndim == 4 else 1
+        nb = frame0.shape[0] if frame0.ndim == r + 1 else 1
         self._record(time.perf_counter() - t0, n_steps * nb)
         return out
 
     def warmup(self, n_steps: int = 1, batch: int = 1) -> None:
         """Pay the compile cost up front for the given request shape."""
-        shape = (batch, 3, self.nx, self.ny) if batch > 1 else (
-            3, self.nx, self.ny)
+        shape = ((4, self.nx, self.ny, self.nz) if self.nz
+                 else (3, self.nx, self.ny))
+        if batch > 1:
+            shape = (batch,) + shape
         self.predict(np.zeros(shape, np.float32), n_steps)
 
     def stats(self) -> dict:

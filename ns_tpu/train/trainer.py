@@ -38,7 +38,11 @@ from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
 MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-          "rnn", "fno", "fno_w")
+          "rnn", "fno", "fno_w", "fno3d")
+
+# the operator families: next-step maps whose training objective batches
+# trajectories and supports pushforward/noise (build_forward fno branch)
+FNO_FAMILIES = ("fno", "fno_w", "fno3d")
 
 
 @dataclasses.dataclass
@@ -81,8 +85,9 @@ class TrainConfig:
     # layer internals) to O(k * field), the standard trade for deep
     # unrolls that OOM (e.g. 8-step at 128^2); ~2x forward recompute
     fno_remat: bool = False
-    # fno_w only: dealias-filter each fed-back prediction onto the 2/3
-    # band the training data lives on (rollout stability filter)
+    # fno_w/fno3d: dealias-filter each fed-back prediction onto the 2/3
+    # band the training data lives on (rollout stability filter; for
+    # fno3d it shares one spectral round trip with fno_project)
     fno_dealias: bool = True
     # fno/fno_w: spectral-transform engine for the FNO layers — 'matmul'
     # computes only the retained mode block as MXU GEMMs (faster at small
@@ -114,8 +119,23 @@ class TrainConfig:
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):
-    """npz rollout -> obs (nt, 1, 3, nx, ny) float32 (ref :158-166)."""
+    """npz rollout -> obs (nt, M, C, *spatial) float32 (ref :158-166).
+
+    2D rollouts (u, v, p keys) -> (nt, M, 3, nx, ny); 3D rollouts (the
+    run_solver *_3d presets carry a w key) -> (nt, M, 4, nx, ny, nz).
+    M > 1 for multi-trajectory datasets (run_solver --n-traj)."""
     data = np.load(npz_path)
+    if "w" in data:  # 3D rollout: (nt, nx, ny, nz) or (M, nt, ...)
+        fields = [data[k] for k in ("u", "v", "w", "p")]
+        if fields[0].ndim == 5:  # multi-trajectory
+            if n_frames is not None:
+                fields = [f[:, :n_frames] for f in fields]
+            obs = np.stack(fields, axis=2).astype(np.float32)
+            return jnp.asarray(np.swapaxes(obs, 0, 1))
+        if n_frames is not None:
+            fields = [f[:n_frames] for f in fields]
+        obs = np.stack(fields, axis=1).astype(np.float32)
+        return jnp.asarray(obs[:, None])  # (nt, 1, 4, nx, ny, nz)
     u, v, p = data["u"], data["v"], data["p"]
     if u.ndim == 4:
         # multi-trajectory dataset (M, nt, nx, ny) — e.g. run_solver
@@ -148,6 +168,17 @@ def rollout_post(cfg):
             return jnp.stack([u_p, v_p, x[..., 2, :, :]], axis=-3)
 
         return post
+    if cfg.model == "fno3d" and (getattr(cfg, "fno_project", False)
+                                 or cfg.fno_dealias):
+        from functools import partial
+
+        from ns_tpu.models.projection import rollout_filter3d
+        # one spectral round trip does both: 2/3-band dealias of every
+        # channel (high-k prediction noise compounds autoregressively —
+        # the 2D fno_w lesson) and the exact Leray projection of (u,v,w)
+        return partial(rollout_filter3d,
+                       project=getattr(cfg, "fno_project", False),
+                       dealias=cfg.fno_dealias)
     return None
 
 
@@ -175,8 +206,8 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
             obs_flat = jnp.swapaxes(obs, 0, 1).reshape(m, nt, -1)
             pred = model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
-        if cfg.model in ("fno", "fno_w"):
-            # (nt, M, C, nx, ny): the trajectory axis is a batch axis of
+        if cfg.model in FNO_FAMILIES:
+            # (nt, M, C, *spatial): the trajectory axis is a batch axis of
             # the next-step operator (M=1 for reference-protocol data)
             frames = (w_frames if cfg.model == "fno_w" else obs)
             k = cfg.fno_rollout_steps
@@ -223,8 +254,17 @@ class Trainer:
         self.cfg = cfg
         obs = load_obs(cfg.npz_path, cfg.n_frames)
         self.obs = obs
-        self.nt, n_traj, _, self.nx, self.ny = obs.shape
-        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "rnn"):
+        self.nt, n_traj = obs.shape[0], obs.shape[1]
+        spatial = obs.shape[3:]
+        self.nx, self.ny = spatial[0], spatial[1]
+        self.nz = spatial[2] if len(spatial) == 3 else None
+        if (self.nz is not None) != (cfg.model == "fno3d"):
+            raise ValueError(
+                f"{cfg.model!r} expects "
+                f"{'3D (u,v,w,p)' if cfg.model == 'fno3d' else '2D (u,v,p)'}"
+                f" data; {cfg.npz_path} has spatial shape {spatial}")
+        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "fno3d",
+                                            "rnn"):
             raise ValueError(
                 f"multi-trajectory data (M={n_traj}) needs an operator "
                 f"family (fno/fno_w) or rnn; {cfg.model!r} learns a single "
@@ -239,7 +279,7 @@ class Trainer:
             self.model = BasisGRU(cfg.n_coeffs, self.nx, self.ny)
         elif cfg.model == "basis_ode_conv":
             self.model = BasisODEConv(cfg.n_coeffs, self.nx, self.ny)
-        elif cfg.model in ("fno", "fno_w"):
+        elif cfg.model in FNO_FAMILIES:
             if not 1 <= cfg.fno_rollout_steps < self.nt:
                 raise ValueError(
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
@@ -248,11 +288,19 @@ class Trainer:
             if cfg.input_noise < 0:
                 raise ValueError(
                     f"input_noise must be >= 0; got {cfg.input_noise}")
-            channels = 1 if cfg.model == "fno_w" else 3
-            self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
-                               modes=cfg.fno_modes, channels=channels,
-                               transform=cfg.fno_transform,
-                               precision=cfg.fno_precision)
+            if cfg.model == "fno3d":
+                from ns_tpu.models.fno3d import FNO3D
+                self.model = FNO3D(self.nx, self.ny, self.nz,
+                                   width=cfg.fno_width,
+                                   modes=cfg.fno_modes, channels=4,
+                                   transform=cfg.fno_transform,
+                                   precision=cfg.fno_precision)
+            else:
+                channels = 1 if cfg.model == "fno_w" else 3
+                self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
+                                   modes=cfg.fno_modes, channels=channels,
+                                   transform=cfg.fno_transform,
+                                   precision=cfg.fno_precision)
             if cfg.model == "fno_w":
                 # vorticity-space surrogate: train on the scalar w derived
                 # exactly from (u, v); (u, v, p) recovered exactly at eval
@@ -391,7 +439,9 @@ class Trainer:
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
                 "penalties": self.penalties,
-                "grid": [self.nx, self.ny],  # lets serve/ rebuild the model
+                # lets serve/ rebuild the model ([nx, ny] or [nx, ny, nz])
+                "grid": ([self.nx, self.ny] if self.nz is None
+                         else [self.nx, self.ny, self.nz]),
                 # the advanced input-noise stream, so resume continues it
                 # (to_host: the chunk executable may contain complex ops)
                 "noise_key": [int(x) for x in
@@ -438,7 +488,7 @@ class Trainer:
                 return jnp.stack([u, v, p], axis=1)
 
             return to_host(run_w(self.params, obs_full[0, 0]))
-        if self.cfg.model == "fno":
+        if self.cfg.model in ("fno", "fno3d"):
             post = rollout_post(self.cfg)
 
             @jax.jit
