@@ -170,3 +170,51 @@ def export_fd_rollout(family: str, cfg, u_bc, v_bc, p_bc, path: str,
 def load_fd_rollout_artifact(path: str) -> Callable:
     exported = _load_artifact(path)
     return lambda u0, v0, p0: exported.call(u0, v0, p0)
+
+
+# --- 3D spectral engine -----------------------------------------------------
+
+
+def _rollout3d_fn(cfg) -> Callable:
+    """physical (3, nx, ny, nz) u0 -> physical velocity after cfg.nt
+    steps of the 3D family (solvers/spectral3d.py), either engine."""
+    from ns_tpu.solvers import spectral3d as s3
+
+    def run(u0):
+        carry = s3.carry_from_velocity(cfg, u0)
+        final = s3.rollout_final(cfg, carry)
+        return s3.fields_from_hat(cfg, final[0])
+
+    return run
+
+
+class Rollout3DEngine:
+    """AOT-compiled 3D spectral rollout: build once, serve many (the 3D
+    counterpart of RolloutEngine)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        shape = jax.ShapeDtypeStruct((3, cfg.nx, cfg.ny, cfg.nz),
+                                     cfg.real_dtype)
+        self._compiled = jax.jit(_rollout3d_fn(cfg)).lower(shape).compile()
+
+    def __call__(self, u0):
+        return self._compiled(jnp.asarray(u0, self.cfg.real_dtype))
+
+    @property
+    def cost_analysis(self):
+        return self._compiled.cost_analysis()
+
+
+def export_rollout3d(cfg, path: str) -> str:
+    """Serialize the nt-step 3D rollout as a StableHLO artifact."""
+    shape = jax.ShapeDtypeStruct((3, cfg.nx, cfg.ny, cfg.nz),
+                                 cfg.real_dtype)
+    exported = jax_export.export(jax.jit(_rollout3d_fn(cfg)))(shape)
+    return _write_artifact(exported, path)
+
+
+def load_rollout3d_artifact(path: str) -> Callable:
+    """Load a serialized 3D rollout (no model-building code needed)."""
+    exported = _load_artifact(path)
+    return lambda u0: exported.call(u0)

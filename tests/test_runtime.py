@@ -174,3 +174,31 @@ def test_fd_rollout_engine_direct_fd():
     np.testing.assert_allclose(np.asarray(u), u_ref[-1], atol=1e-12)
     np.testing.assert_allclose(np.asarray(v), v_ref[-1], atol=1e-12)
     np.testing.assert_allclose(np.asarray(p), p_ref[-1], atol=1e-12)
+
+
+def test_rollout3d_engine_and_export(tmp_path):
+    """3D AOT engine matches the jit path; StableHLO round trip."""
+    import jax as _jax
+
+    from ns_tpu.runtime import (Rollout3DEngine, export_rollout3d,
+                                load_rollout3d_artifact)
+    from ns_tpu.solvers import spectral3d as s3
+
+    cfg = s3.Spectral3DConfig(nt=4, nx=8, ny=8, nz=8, dt=1e-3, nu=1e-2,
+                              dtype="float32", transform="matmul",
+                              matmul_precision="highest")
+    u0 = np.asarray(s3.random_solenoidal_velocity(cfg, seed=0, k_peak=1.5),
+                    np.float32)
+    ref_carry = s3.init_from_velocity(cfg, u0)
+    ref_final = _jax.jit(lambda c: s3.rollout_final(cfg, c))(ref_carry)
+    ref = np.asarray(_jax.jit(
+        lambda z: s3.fields_from_hat(cfg, z))(ref_final[0]))
+
+    eng = Rollout3DEngine(cfg)
+    np.testing.assert_allclose(np.asarray(eng(u0)), ref, atol=1e-6)
+    assert eng.cost_analysis  # flop/byte estimates exist
+
+    path = str(tmp_path / "r3d.stablehlo")
+    export_rollout3d(cfg, path)
+    run = load_rollout3d_artifact(path)
+    np.testing.assert_allclose(np.asarray(run(u0)), ref, atol=1e-6)
