@@ -114,6 +114,37 @@ def physics_metrics(pred: np.ndarray, obs: np.ndarray) -> dict:
     }
 
 
+def physics_metrics3d(pred: np.ndarray, obs: np.ndarray) -> dict:
+    """3D counterpart of physics_metrics on (nt, 4, nx, ny, nz)
+    (u, v, w, p) rollouts: time-mean shell-binned energy-spectrum error
+    and the max spectral divergence of the predicted velocity
+    (solvers/spectral3d.py diagnostics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ns_tpu.solvers import spectral3d as s3
+    from ns_tpu.utils.host import to_host
+
+    nx, ny, nz = obs.shape[-3], obs.shape[-2], obs.shape[-1]
+    cfg = s3.Spectral3DConfig(nx=nx, ny=ny, nz=nz)
+
+    @jax.jit
+    def per_seq(vel):                        # (nt, 3, nx, ny, nz)
+        u_hat = jnp.fft.rfftn(vel, axes=(-3, -2, -1))
+        _, spec = jax.vmap(lambda h: s3.energy_spectrum(cfg, h))(u_hat)
+        div = jax.vmap(lambda h: s3.divergence_max(cfg, h))(u_hat)
+        return spec.mean(axis=0), jnp.max(div)
+
+    spec_p, div_p = to_host(per_seq(jnp.asarray(pred[:, :3])))
+    spec_o, div_o = to_host(per_seq(jnp.asarray(obs[:, :3])))
+    return {
+        "spectrum_rel_l2": float(np.linalg.norm(spec_p - spec_o)
+                                 / np.linalg.norm(spec_o)),
+        "divergence_max_pred": float(div_p),
+        "divergence_max_obs": float(div_o),
+    }
+
+
 def _print_report(report: dict) -> None:
     print(f"frames: {report['n_frames']} (train window "
           f"{report['n_train']})")
@@ -171,7 +202,8 @@ def main(argv=None):
                    help="add periodic-grid physics observables: time-mean "
                         "energy-spectrum error and exact spectral "
                         "divergence of the prediction (2*pi-periodic "
-                        "data only — decaying_turbulence/taylor_green)")
+                        "data only — the decaying_turbulence/taylor_green "
+                        "presets, 2D and 3D)")
     p.add_argument("--json", default=None,
                    help="also write the full report as JSON here")
     args = p.parse_args(argv)
@@ -186,8 +218,6 @@ def main(argv=None):
             raise SystemExit(f"--traj must be in [0, "
                              f"{fields[0].shape[0]}), got {args.traj}")
         fields = [f[args.traj] for f in fields]
-    if is_3d and args.physics:
-        raise SystemExit("--physics observables are 2D-periodic only")
     obs = np.stack(fields, axis=1).astype(np.float32)
     nt = obs.shape[0]
     n_train = args.n_frames
@@ -232,7 +262,8 @@ def main(argv=None):
     if ensemble:
         report["ensemble"] = ensemble
     if args.physics:
-        report["physics"] = physics_metrics(pred, obs)
+        report["physics"] = (physics_metrics3d(pred, obs) if is_3d
+                             else physics_metrics(pred, obs))
     _print_report(report)
     if args.json:
         with open(args.json, "w") as f:

@@ -92,7 +92,7 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
 # ---------------------------------------------------------------------------
 
 ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-                   "fno", "fno_w")
+                   "fno", "fno_w", "fno3d")
 
 
 def ensemble_mesh(n_models: int) -> Optional[Mesh]:
@@ -136,25 +136,41 @@ class EnsembleTrainer:
         self.cfg, self.n_models = cfg, n_models
         obs = load_obs(cfg.npz_path, cfg.n_frames)
         self.obs = obs
-        self.nt, n_traj, _, self.nx, self.ny = obs.shape
-        if n_traj > 1 and cfg.model not in ("fno", "fno_w"):
+        self.nt, n_traj = obs.shape[0], obs.shape[1]
+        spatial = obs.shape[3:]
+        self.nx, self.ny = spatial[0], spatial[1]
+        self.nz = spatial[2] if len(spatial) == 3 else None
+        if (self.nz is not None) != (cfg.model == "fno3d"):
+            raise ValueError(
+                f"{cfg.model!r} expects "
+                f"{'3D (u,v,w,p)' if cfg.model == 'fno3d' else '2D (u,v,p)'}"
+                f" data; {cfg.npz_path} has spatial shape {spatial}")
+        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "fno3d"):
             raise ValueError(
                 f"multi-trajectory data (M={n_traj}) needs an operator "
-                f"family (fno/fno_w); {cfg.model!r} learns a single "
+                f"family (fno/fno_w/fno3d); {cfg.model!r} learns a single "
                 "coefficient trajectory by design")
         self._forward = None
-        if cfg.model in ("fno", "fno_w"):
+        if cfg.model in ("fno", "fno_w", "fno3d"):
             from ns_tpu.models.fno import FNO2D
             from ns_tpu.train.trainer import build_forward
             if not 1 <= cfg.fno_rollout_steps < self.nt:
                 raise ValueError(
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps}")
-            channels = 1 if cfg.model == "fno_w" else 3
-            self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
-                               modes=cfg.fno_modes, channels=channels,
-                               transform=cfg.fno_transform,
-                               precision=cfg.fno_precision)
+            if cfg.model == "fno3d":
+                from ns_tpu.models.fno3d import FNO3D
+                self.model = FNO3D(self.nx, self.ny, self.nz,
+                                   width=cfg.fno_width,
+                                   modes=cfg.fno_modes, channels=4,
+                                   transform=cfg.fno_transform,
+                                   precision=cfg.fno_precision)
+            else:
+                channels = 1 if cfg.model == "fno_w" else 3
+                self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
+                                   modes=cfg.fno_modes, channels=channels,
+                                   transform=cfg.fno_transform,
+                                   precision=cfg.fno_precision)
             self.w_frames = None
             if cfg.model == "fno_w":
                 from ns_tpu.models.vorticity import vorticity_from_uv
@@ -243,7 +259,9 @@ class EnsembleTrainer:
         from ns_tpu.train.checkpoint import save_checkpoint
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
-                "grid": [self.nx, self.ny],  # lets serve/ rebuild the model
+                # lets serve/ rebuild the model ([nx, ny] or [nx, ny, nz])
+                "grid": ([self.nx, self.ny] if self.nz is None
+                         else [self.nx, self.ny, self.nz]),
                 "n_models": self.n_models, "config": _dc.asdict(self.cfg)}
         return save_checkpoint(state, self.cfg.out_dir, meta=meta)
 
@@ -282,7 +300,7 @@ class EnsembleTrainer:
 
             return to_host(roll_w(self.params, obs_full[0, 0]))
 
-        if self.cfg.model == "fno":
+        if self.cfg.model in ("fno", "fno3d"):
             from ns_tpu.train.trainer import rollout_post
             post = rollout_post(self.cfg)
 

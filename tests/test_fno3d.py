@@ -177,7 +177,33 @@ def test_fno3d_serve_and_evaluate_roundtrip(tmp_path, capsys):
     # ckpt mode scores the engine directly
     eval_main(["--ckpt", str(tmp_path / "ckpt"), "--npz-path", str(npz)])
     assert "full" in capsys.readouterr().out
-    # --physics is 2D-only
-    with pytest.raises(SystemExit):
-        eval_main(["--extrapolation", str(ext), "--npz-path", str(npz),
-                   "--physics"])
+    # --physics: 3D observables (spectrum error + spectral divergence)
+    eval_main(["--extrapolation", str(ext), "--npz-path", str(npz),
+               "--physics", "--json", str(tmp_path / "p.json")])
+    rep = json.loads((tmp_path / "p.json").read_text())
+    ph = rep["physics"]
+    assert np.isfinite(ph["spectrum_rel_l2"])
+    # fno_project rollouts are exactly solenoidal (f32 rounding scale)
+    assert ph["divergence_max_pred"] < 1e-3
+
+
+def test_fno3d_ensemble_trains(tmp_path):
+    """EnsembleTrainer vmaps fno3d members; extrapolate stacks them."""
+    from ns_tpu.cli.run_solver import main as run_main
+    from ns_tpu.train.ensemble import EnsembleTrainer
+    from ns_tpu.train.trainer import TrainConfig
+
+    npz = tmp_path / "d3.npz"
+    run_main(["decaying_turbulence_3d", "--nx", "8", "--nt", "6",
+              "--nu", "1e-2", "--transform", "matmul",
+              "--precision", "highest", "--out", str(npz)])
+    cfg = TrainConfig(model="fno3d", npz_path=str(npz),
+                      out_dir=str(tmp_path / "ens"), n_iters=6,
+                      n_frames=6, ckpt_every=3, fno_modes=2, fno_width=4)
+    tr = EnsembleTrainer(cfg, n_models=2, mesh=None)
+    tr.train(progress=False)
+    assert len(tr.losses) == 6 and len(tr.losses[0]) == 2
+    out = tr.extrapolate()
+    assert out.shape == (2, 6, 4, 8, 8, 8) and np.isfinite(out).all()
+    # members differ (independent seeds)
+    assert np.abs(out[0] - out[1]).max() > 0

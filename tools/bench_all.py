@@ -173,6 +173,21 @@ def main():
                      f"{200/el:.0f} steps/s",
                      f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
 
+    # --- 3D spectral family (matmul engine; fft rows in the RESULTS 3D
+    # engine table — tools/bench_3d.py) --------------------------------------
+    from ns_tpu.solvers import spectral3d as s3
+    for n in (128, 256):
+        cfg3 = s3.Spectral3DConfig(nt=200, nx=n, ny=n, nz=n, dt=5e-4,
+                                   nu=6.25e-4, dtype="float32",
+                                   transform="matmul",
+                                   matmul_precision="default")
+        c0 = s3.init_from_velocity(cfg3, s3.taylor_green_velocity(cfg3))
+        roll3 = jax.jit(lambda c, cfg3=cfg3: s3.rollout_final(cfg3, c))
+        el = timeit(lambda: roll3(c0))
+        rows.append((f"spectral3d {n}^3 TGV (matmul/default), 200 steps",
+                     f"{200/el:.0f} steps/s",
+                     f"{200*n**3/el/1e9:.2f}e9 cell-updates/s"))
+
     out = ["# RESULTS — measured on " + str(dev), "",
            "Warm timings (compile excluded), best of repeats. Reference CPU",
            "oracle rates for comparison are in BASELINE.md (e.g. chorin_fd",
