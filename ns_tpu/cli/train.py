@@ -76,9 +76,47 @@ def main(argv=None):
                    help="ensemble mesh: 'auto' (largest usable device "
                         "count), 'none' (single device), only with "
                         "--n-models > 1")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="fno families: sample this many training windows "
+                        "per step (with replacement) instead of the "
+                        "reference's full-batch objective — the path that "
+                        "scales to large multi-trajectory datasets; 0 = "
+                        "full batch")
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="learning-rate schedule over n_iters (resume "
+                        "continues mid-schedule — the step count rides "
+                        "opt_state)")
+    p.add_argument("--warmup-iters", type=int, default=0,
+                   help="linear 0 -> lr warmup iterations (composes with "
+                        "either schedule)")
+    p.add_argument("--schedule-horizon", type=int, default=None,
+                   help="total iterations the schedule decays over "
+                        "(default: this run's --n-iters). Pass the planned "
+                        "total when training in stop/resume segments")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 disables); the usual "
+                        "guard for k-step pushforward training")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for single-model training "
+                        "(fno families shard the training-window axis, rnn "
+                        "the trajectory axis; params replicated, grads "
+                        "all-reduced). Composes with --dist for "
+                        "multi-host meshes; not with --n-models > 1 "
+                        "(ensembles already shard their own axis)")
+    p.add_argument("--dist", action="store_true",
+                   help="bootstrap jax.distributed from NS_TPU_* env "
+                        "(python -m ns_tpu.launch sets them) before "
+                        "building the data mesh")
     p.add_argument("--gpu-device", type=int, default=0,
                    help="accepted for reference-CLI compatibility; ignored")
     args = p.parse_args(argv)
+    if args.dist:
+        from ns_tpu.parallel import distributed
+        distributed.initialize()
+    if args.dp > 1 and args.n_models > 1:
+        p.error("--dp shards single-model training; --n-models > 1 "
+                "ensembles shard the 'ensemble' axis instead (use --mesh)")
 
     out_dir = args.out_dir or f"./checkpoints/{args.model}"
     out_dir = f"{out_dir}_{args.n_coeffs}"  # ref spectral_ode.py:150
@@ -96,7 +134,12 @@ def main(argv=None):
                       input_noise=args.input_noise,
                       fno_remat=args.fno_remat,
                       fno_dealias=not args.no_fno_dealias,
-                      resume=args.resume)
+                      resume=args.resume, dp=args.dp,
+                      lr_schedule=args.lr_schedule,
+                      warmup_iters=args.warmup_iters,
+                      schedule_horizon=args.schedule_horizon,
+                      grad_clip=args.grad_clip,
+                      batch_size=args.batch_size)
     if args.n_models > 1:
         from ns_tpu.train.ensemble import EnsembleTrainer
         mesh = "auto" if args.mesh == "auto" else None

@@ -122,10 +122,16 @@ class EnsembleTrainer:
     def __init__(self, cfg, n_models: int, mesh: Optional[Mesh] = "auto"):
         from ns_tpu.models.basis import (BasisGRU, BasisODE, BasisODE2,
                                          BasisODEConv)
-        from ns_tpu.train.trainer import load_obs
+        from ns_tpu.train.trainer import load_obs, make_optimizer
         if cfg.model not in ENSEMBLE_MODELS:
             raise ValueError(f"ensemble training supports {ENSEMBLE_MODELS}, "
                              f"got {cfg.model!r}")
+        if getattr(cfg, "batch_size", 0):
+            # the vmapped ensemble objective is keyless (full-batch by
+            # construction); window sampling needs the single-model
+            # Trainer's PRNG-threaded step
+            raise ValueError("batch_size (minibatch sampling) requires "
+                             "the single-model Trainer (--n-models 1)")
         if n_models < 2:
             raise ValueError("n_models must be >= 2 for ensemble training")
         if getattr(cfg, "input_noise", 0.0):
@@ -188,7 +194,7 @@ class EnsembleTrainer:
                    "basis_ode_conv": BasisODEConv}[cfg.model]
             self.model = cls(cfg.n_coeffs, self.nx, self.ny)
         self.mesh = ensemble_mesh(n_models) if mesh == "auto" else mesh
-        self.tx = optax.adam(cfg.lr)
+        self.tx = make_optimizer(cfg)
         self.params = init_ensemble(self.model, n_models, cfg.seed)
         self.opt_state = jax.vmap(self.tx.init)(self.params)
         self.losses: list = []   # one list of per-model loss vectors

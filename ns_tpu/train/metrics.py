@@ -38,7 +38,11 @@ def l2_loss(pred: Array, target: Array) -> Array:
     """Global L2 norm of the residual — torch.norm(pred - target, p=2)
     over all elements, the loss every reference driver uses
     (spectral_ode.py:182, rnn.py:99)."""
-    diff = (pred - target).ravel()
+    # summed over all axes directly (no ravel): a reshape that merges a
+    # mesh-sharded batch axis can force GSPMD to materialize the full
+    # residual, while the direct reduction stays per-shard + one scalar
+    # all-reduce (the data-parallel Trainer path shards pred/target)
+    diff = pred - target
     return jnp.sqrt(jnp.sum(diff * diff))
 
 

@@ -100,6 +100,43 @@ class TrainConfig:
     # at); 'highest' makes TPU cross-engine checkpoint transfer as tight
     # as the CPU tests (models/fno.py::resolve_precision).
     fno_precision: Optional[str] = None
+    # fno families: stochastic minibatch training — every step samples
+    # batch_size (window, trajectory-stack) starts uniformly WITH
+    # replacement from the nt-k training windows instead of the
+    # reference's full-batch objective (spectral_ode.py:182 fits all
+    # frames every step). 0 keeps full-batch. This is what scales to
+    # large multi-trajectory datasets (step cost independent of nt) and
+    # it composes with dp (the sampled batch is what shards). Sampling
+    # rides the same PRNG stream as input_noise, so RESUME continues the
+    # exact sample sequence.
+    batch_size: int = 0
+    # learning-rate schedule: 'constant' (the reference's fixed Adam lr,
+    # spectral_ode.py:171) or 'cosine' (decay to 0 over n_iters). Either
+    # composes with warmup_iters > 0 (linear 0 -> lr ramp — the standard
+    # stabilizer for operator training at larger lr/batch). The schedule
+    # step count lives in opt_state, so RESUME continues the schedule
+    # exactly where the checkpoint left it.
+    lr_schedule: str = "constant"
+    warmup_iters: int = 0
+    # total iterations the schedule decays over (None = this run's
+    # n_iters). Set it when training in SEGMENTS (stop early, resume
+    # later): every segment passes the same planned total so the decay
+    # curve is identical across segments, and the restored opt_state
+    # count lands each resume at the right point on it.
+    schedule_horizon: Optional[int] = None
+    # global-norm gradient clipping (0 disables) — the usual guard for
+    # the k-step pushforward objective, whose early-training gradients
+    # can spike when fed-back predictions leave the data manifold
+    grad_clip: float = 0.0
+    # data-parallel training over a {'data': dp} device mesh (1 = single
+    # device). The operator families (fno/fno_w/fno3d) shard the
+    # training-window (frame) batch axis; rnn shards the trajectory batch
+    # axis. Params stay replicated; the loss is a global reduction, so jit
+    # lowers the gradient sync to ONE scalar-tree all-reduce — the
+    # standard DP recipe, with no optimizer/step code changes. The basis
+    # families have no batch axis to shard (single learned coefficient
+    # trajectory — reference semantics) and reject dp > 1.
+    dp: int = 1
 
     def __post_init__(self):
         if self.model not in MODELS:
@@ -116,6 +153,28 @@ class TrainConfig:
             # 0 divides the chunk arithmetic, negatives loop forever
             raise ValueError(
                 f"ckpt_every must be >= 1, got {self.ckpt_every}")
+        if self.dp < 1:
+            raise ValueError(f"dp must be >= 1, got {self.dp}")
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(f"lr_schedule must be constant|cosine, "
+                             f"got {self.lr_schedule!r}")
+        if self.warmup_iters < 0:
+            raise ValueError(
+                f"warmup_iters must be >= 0, got {self.warmup_iters}")
+        if self.schedule_horizon is not None and self.schedule_horizon < 1:
+            raise ValueError(f"schedule_horizon must be >= 1, "
+                             f"got {self.schedule_horizon}")
+        if self.grad_clip < 0:
+            raise ValueError(
+                f"grad_clip must be >= 0 (0 disables), got {self.grad_clip}")
+        if self.batch_size < 0:
+            raise ValueError(f"batch_size must be >= 0 (0 = full batch), "
+                             f"got {self.batch_size}")
+        if self.batch_size > 0 and self.model not in FNO_FAMILIES:
+            raise ValueError(
+                f"batch_size samples next-step training windows, which "
+                f"only the operator families (fno/fno_w/fno3d) have; "
+                f"{self.model!r} trains on the whole trajectory")
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):
@@ -150,6 +209,33 @@ def load_obs(npz_path: str, n_frames: Optional[int]):
     return jnp.asarray(obs[:, None])  # (nt, 1, 3, nx, ny)
 
 
+def make_optimizer(cfg: TrainConfig):
+    """Adam under the configured lr schedule + optional global-norm clip.
+    The reference's protocol is plain Adam(lr) (spectral_ode.py:171) —
+    that stays the default; the schedule/clip knobs are the production
+    additions. Schedule progress rides opt_state (optax counts), so
+    checkpoints resume mid-schedule."""
+    horizon = (cfg.schedule_horizon if cfg.schedule_horizon is not None
+               else cfg.n_iters)
+    if cfg.lr_schedule == "cosine":
+        decay = max(horizon - cfg.warmup_iters, 1)
+        if cfg.warmup_iters > 0:
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=cfg.lr,
+                warmup_steps=cfg.warmup_iters,
+                decay_steps=cfg.warmup_iters + decay)
+        else:
+            sched = optax.cosine_decay_schedule(cfg.lr, decay_steps=decay)
+    elif cfg.warmup_iters > 0:
+        sched = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_iters)
+    else:
+        sched = cfg.lr
+    tx = optax.adam(sched)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
 def rollout_post(cfg):
     """The per-step constraint map composed into fno-family autoregression
     (None when the config enables none): 2/3-band dealias for fno_w,
@@ -182,7 +268,8 @@ def rollout_post(cfg):
     return None
 
 
-def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
+def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0,
+                  mesh=None):
     """forward(params, key=None) -> (pred, target): the per-family training
     objective on a fixed observation tensor. The single definition shared
     by Trainer (one model) and EnsembleTrainer (vmapped over a leading
@@ -198,33 +285,63 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
     nt = obs.shape[0]
     obs0 = obs[0]
 
+    if mesh is None:
+        shard_batch = lambda t: t  # noqa: E731 — single-device identity
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp_sharding = NamedSharding(mesh, P("data"))
+
+        def shard_batch(t):
+            # lay the BATCH axis of the objective over the 'data' mesh
+            # axis (with_sharding_constraint, not device_put: GSPMD's
+            # internal padding makes any batch size legal, so nt need not
+            # divide dp). obs itself stays replicated — it is the derived
+            # window/trajectory batch that parallelizes.
+            return jax.lax.with_sharding_constraint(t, dp_sharding)
+
     def forward(params, key=None):
         if cfg.model == "rnn":
             # teacher-forced next-frame prediction (ref rnn.py:86-99);
             # trajectories ride the GRU batch axis
             m = obs.shape[1]
-            obs_flat = jnp.swapaxes(obs, 0, 1).reshape(m, nt, -1)
+            obs_flat = shard_batch(jnp.swapaxes(obs, 0, 1).reshape(m, nt, -1))
             pred = model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
         if cfg.model in FNO_FAMILIES:
             # (nt, M, C, *spatial): the trajectory axis is a batch axis of
             # the next-step operator (M=1 for reference-protocol data)
             frames = (w_frames if cfg.model == "fno_w" else obs)
-            k = cfg.fno_rollout_steps
+            k = max(cfg.fno_rollout_steps, 1)
             sigma = cfg.input_noise
-            if k <= 1:
+            n_win = nt - k
+            idx = None
+            if cfg.batch_size > 0 and key is not None:
+                # stochastic minibatch: sample window starts uniformly
+                # with replacement (split first so the noise draw below
+                # stays on its own stream; batch_size=0 leaves `key`
+                # untouched, keeping pre-minibatch runs bitwise)
+                key, ks = jax.random.split(key)
+                idx = jax.random.randint(ks, (cfg.batch_size,), 0, n_win)
+
+            def window(j):
+                # frame-(start+j) of every training window: all n_win
+                # starts for the full-batch objective, the sampled ones
+                # for minibatch
+                return frames[j:n_win + j] if idx is None else frames[idx + j]
+
+            if k == 1:
                 # teacher-forced next-step operator on field frames
-                x = frames[:-1]
+                x = shard_batch(window(0))
                 if sigma > 0 and key is not None:
                     x = x + sigma * data_scale * jax.random.normal(
                         key, x.shape, x.dtype)
                 pred = model.apply(params, x)
-                return pred, frames[1:]
+                return pred, shard_batch(window(1))
             # k-step autoregressive training: predict frames j..j+k from
-            # frame j, batched over all window starts; noise perturbs only
+            # frame j, batched over the window starts; noise perturbs only
             # the initial input — later steps already see the model's own
             # (imperfect) outputs, which is the perturbation that matters
-            x = frames[:-k]
+            x = shard_batch(window(0))
             if sigma > 0 and key is not None:
                 x = x + sigma * data_scale * jax.random.normal(
                     key, x.shape, x.dtype)
@@ -240,7 +357,7 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0):
             for j in range(1, k + 1):
                 pred = apply(params, x)
                 preds.append(pred)
-                targets.append(frames[j:nt - k + j])
+                targets.append(shard_batch(window(j)))
                 x = post(pred) if post is not None else pred
             return jnp.stack(preds), jnp.stack(targets)
         pred = model.apply(params, obs0, nt)
@@ -269,6 +386,11 @@ class Trainer:
                 f"multi-trajectory data (M={n_traj}) needs an operator "
                 f"family (fno/fno_w) or rnn; {cfg.model!r} learns a single "
                 "coefficient trajectory by design (reference semantics)")
+        self.mesh = None
+        if cfg.dp > 1:
+            self.mesh = self._make_dp_mesh(cfg)
+            obs = self._place_obs(obs)
+            self.obs = obs
         self.obs0 = obs[0]  # (1, 3, nx, ny)
 
         if cfg.model == "basis_ode":
@@ -326,7 +448,7 @@ class Trainer:
         # consumes `key` itself, so fold rather than split to keep params
         # bitwise-identical to pre-noise checkpoints)
         self._noise_key = jax.random.fold_in(key, 0x6E5E)
-        self.tx = optax.adam(cfg.lr)
+        self.tx = make_optimizer(cfg)
         self.opt_state = self.tx.init(self.params)
         self.losses: list = []
         self.penalties: list = []
@@ -349,14 +471,61 @@ class Trainer:
                 self._noise_key = jnp.asarray(meta["noise_key"],
                                               jnp.uint32)
 
+        if self.mesh is not None:
+            # replicate the learnable state across the data mesh (grads
+            # come out of jit all-reduced because the loss is a global
+            # reduction over the sharded batch)
+            self.params = self._replicate(self.params)
+            self.opt_state = self._replicate(self.opt_state)
+
         self._chunk_cache: dict = {}
+
+    # -- data parallelism ---------------------------------------------------
+
+    @staticmethod
+    def _make_dp_mesh(cfg: TrainConfig):
+        """{'data': dp} mesh. obs stays replicated; build_forward lays the
+        objective's BATCH axis over it with a sharding constraint (fno:
+        next-step training windows, rnn: trajectories) — GSPMD pads, so no
+        divisibility requirement on n_frames or M."""
+        from ns_tpu.parallel.mesh import make_mesh
+        if cfg.model not in FNO_FAMILIES + ("rnn",):
+            raise ValueError(
+                f"dp={cfg.dp} needs a batched objective (fno/fno_w/fno3d "
+                f"shard training windows, rnn shards trajectories); "
+                f"{cfg.model!r} learns one coefficient trajectory with no "
+                "batch axis (reference semantics)")
+        ndev = len(jax.devices())
+        if cfg.dp > ndev:
+            raise ValueError(f"dp={cfg.dp} > {ndev} available devices")
+        return make_mesh({"data": cfg.dp}, devices=jax.devices()[:cfg.dp])
+
+    def _place_obs(self, obs):
+        """Replicate obs across the data mesh (the sharded quantity is the
+        derived window batch, not the frame stack). Multi-controller runs
+        build the global replicated array from every process's host copy;
+        single-process is a plain device_put."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            host = np.asarray(obs)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx])
+        return jax.device_put(obs, sharding)
+
+    def _replicate(self, tree):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), tree)
 
     # -- loss ---------------------------------------------------------------
 
     def _make_train_step(self):
         fwd = build_forward(self.cfg, self.model, self.obs,
                             getattr(self, "w_frames", None),
-                            getattr(self, "_data_scale", 1.0))
+                            getattr(self, "_data_scale", 1.0),
+                            mesh=self.mesh)
 
         def loss_fn(params, key):
             pred, target = fwd(params, key)
@@ -401,7 +570,11 @@ class Trainer:
         from ns_tpu.utils.jsonl import JSONLLogger
         loss_meter = AverageMeter()
         t0 = time.perf_counter()
-        with JSONLLogger(os.path.join(cfg.out_dir, "metrics.jsonl")) as jlog:
+        # multi-controller: every process trains the identical replicated
+        # state; only the coordinator owns the canonical metrics stream
+        mname = ("metrics.jsonl" if jax.process_index() == 0
+                 else f"metrics.proc{jax.process_index():04d}.jsonl")
+        with JSONLLogger(os.path.join(cfg.out_dir, mname)) as jlog:
             it = self.start_iter - 1  # completed iterations
             while it < cfg.n_iters:
                 n = min(cfg.ckpt_every - it % cfg.ckpt_every, cfg.n_iters - it)
@@ -436,6 +609,11 @@ class Trainer:
 
     def save(self, it: int, is_best: bool = False):
         from ns_tpu.utils.host import to_host
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-controller DP: params/opt_state are replicated, so the
+            # coordinator's copy is the whole state — one writer, no races
+            # on shared filesystems
+            return None
         state = {"params": self.params, "opt_state": self.opt_state}
         meta = {"iter": it, "losses": self.losses,
                 "penalties": self.penalties,

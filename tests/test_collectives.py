@@ -217,3 +217,28 @@ def test_ensemble_axis_never_communicates():
         for g in eval(groups):
             rows = {d // 4 for d in g}
             assert len(rows) == 1, f"collective crosses ensemble rows: {g}"
+
+
+def test_dp_train_step_grad_sync_only(tmp_path):
+    """Data-parallel training (TrainConfig.dp, scaling.md): the sharded
+    window batch makes every comm an ALL-REDUCE (loss + gradient sync) —
+    no all_gather/all_to_all of field-sized data may appear."""
+    from ns_tpu.train.trainer import TrainConfig, Trainer
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "dpc.npz")
+    np.savez(path, **{k: rng.normal(size=(9, 8, 8)) for k in "uvp"})
+    tr = Trainer(TrainConfig(model="fno", npz_path=path,
+                             out_dir=str(tmp_path / "o"), n_iters=2,
+                             n_frames=9, ckpt_every=2, fno_modes=3,
+                             fno_width=6, dp=4))
+    chunk = tr._train_chunk(2)
+    # sharding here comes from with_sharding_constraint under plain jit,
+    # so the collectives only exist AFTER the SPMD partitioner runs —
+    # count them in the compiled HLO, not the StableHLO
+    hlo = chunk.lower(tr.params, tr.opt_state,
+                      tr._noise_key).compile().as_text()
+    ops = Counter(re.findall(r"\b(all-reduce|all-gather|all-to-all|"
+                             r"collective-permute)(?:-start)?\b", hlo))
+    assert ops.get("all-reduce", 0) >= 1, ops
+    assert ops.get("all-gather", 0) == 0, ops
+    assert ops.get("all-to-all", 0) == 0, ops

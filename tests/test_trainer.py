@@ -387,3 +387,164 @@ def test_run_solver_n_traj(tmp_path):
     assert d["u"].shape == (2, 3, 16, 16)
     # distinct seeds -> distinct trajectories
     assert not np.allclose(d["u"][0], d["u"][1])
+
+
+# -- data-parallel training (TrainConfig.dp) --------------------------------
+
+
+def test_dp_fno_matches_single_device(tmp_path):
+    """dp=4 shards the fno training-window axis over a {'data': 4} mesh;
+    params stay replicated and the grad sync is jit's all-reduce, so the
+    loss trajectory matches the single-device run to fp reduction order."""
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "dp.npz")
+    np.savez(path, **{k: rng.normal(size=(9, 8, 8)) for k in "uvp"})
+    kw = dict(model="fno", npz_path=path, n_iters=4, n_frames=9,
+              ckpt_every=4, fno_modes=3, fno_width=6)
+    l1 = Trainer(TrainConfig(out_dir=str(tmp_path / "s"), **kw)).train(
+        progress=False)
+    tr = Trainer(TrainConfig(out_dir=str(tmp_path / "d"), dp=4, **kw))
+    assert tr.mesh is not None and tr.mesh.shape == {"data": 4}
+    ldp = tr.train(progress=False)
+    np.testing.assert_allclose([float(x) for x in ldp],
+                               [float(x) for x in l1], rtol=1e-4)
+    out = tr.extrapolate()
+    assert out.shape == (9, 3, 8, 8) and np.isfinite(out).all()
+
+
+def test_dp_fno_w_and_pushforward(tmp_path):
+    """dp composes with the vorticity family and the k-step objective
+    (sharded windows feed back through the rollout constraint map)."""
+    rng = np.random.default_rng(8)
+    path = str(tmp_path / "dpw.npz")
+    np.savez(path, **{k: rng.normal(size=(9, 8, 8)) for k in "uvp"})
+    cfg = TrainConfig(model="fno_w", npz_path=path,
+                      out_dir=str(tmp_path / "w"), n_iters=3, n_frames=9,
+                      ckpt_every=3, fno_modes=3, fno_width=6,
+                      fno_rollout_steps=2, dp=2)
+    losses = Trainer(cfg).train(progress=False)
+    assert np.isfinite(losses).all()
+
+
+def test_dp_rnn_shards_trajectories(tmp_path):
+    path, m, nt, nx = _multi_npz(tmp_path, name="dp_rnn.npz")
+    assert m % 2 == 0
+    cfg = TrainConfig(model="rnn", npz_path=path,
+                      out_dir=str(tmp_path / "r"), n_iters=3,
+                      n_frames=nt, ckpt_every=3, hidden_dim=16, dp=2)
+    losses = Trainer(cfg).train(progress=False)
+    assert np.isfinite(losses).all()
+
+
+def test_dp_rejects_basis_and_bad_sizes(tmp_path, small_npz):
+    with pytest.raises(ValueError, match="batch axis"):
+        Trainer(TrainConfig(model="basis_ode", npz_path=small_npz,
+                            out_dir=str(tmp_path / "x"), n_frames=8, dp=2))
+    with pytest.raises(ValueError, match="devices"):
+        Trainer(TrainConfig(model="fno", npz_path=small_npz,
+                            out_dir=str(tmp_path / "y"), n_frames=8,
+                            fno_modes=3, fno_width=6, dp=999))
+    with pytest.raises(ValueError, match="dp must be"):
+        TrainConfig(model="fno", dp=0)
+
+
+# -- lr schedule / warmup / grad clip ---------------------------------------
+
+
+def test_lr_schedule_and_clip_train(small_npz, tmp_path):
+    cfg = TrainConfig(model="basis_gru", npz_path=small_npz,
+                      out_dir=str(tmp_path / "sched"), n_iters=10,
+                      n_coeffs=2, n_frames=8, ckpt_every=5,
+                      lr_schedule="cosine", warmup_iters=3, grad_clip=1.0)
+    losses = Trainer(cfg).train(progress=False)
+    assert np.isfinite(losses).all() and len(losses) == 10
+
+
+def test_lr_schedule_resumes_mid_schedule(small_npz, tmp_path):
+    """The schedule count rides opt_state, so 5 iters + resume-to-10
+    reproduces the one-shot 10-iter run."""
+    kw = dict(model="basis_gru", npz_path=small_npz, n_coeffs=2,
+              n_frames=8, ckpt_every=5, lr_schedule="cosine",
+              warmup_iters=2, schedule_horizon=10)
+    full = Trainer(TrainConfig(out_dir=str(tmp_path / "f"), n_iters=10,
+                               **kw))
+    full.train(progress=False)
+    half = Trainer(TrainConfig(out_dir=str(tmp_path / "h"), n_iters=5,
+                               **kw))
+    half.train(progress=False)
+    resumed = Trainer(TrainConfig(
+        out_dir=str(tmp_path / "r"), n_iters=10,
+        resume=os.path.join(str(tmp_path / "h"), "checkpoint.npz"), **kw))
+    resumed.train(progress=False)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_schedule_validation():
+    with pytest.raises(ValueError, match="lr_schedule"):
+        TrainConfig(lr_schedule="step")
+    with pytest.raises(ValueError, match="warmup_iters"):
+        TrainConfig(warmup_iters=-1)
+    with pytest.raises(ValueError, match="grad_clip"):
+        TrainConfig(grad_clip=-0.5)
+
+
+# -- stochastic minibatch training (TrainConfig.batch_size) -----------------
+
+
+def test_minibatch_training(tmp_path):
+    """Sampled-window training runs for k=1 and k-step objectives, and the
+    per-step cost no longer binds the loss to all nt windows (losses are
+    on the sampled batch, so they differ from full-batch)."""
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "mb.npz")
+    np.savez(path, **{k: rng.normal(size=(12, 8, 8)) for k in "uvp"})
+    kw = dict(model="fno", npz_path=path, n_iters=4, n_frames=12,
+              ckpt_every=4, fno_modes=3, fno_width=6)
+    lfull = Trainer(TrainConfig(out_dir=str(tmp_path / "f"),
+                                **kw)).train(progress=False)
+    lmb = Trainer(TrainConfig(out_dir=str(tmp_path / "m"), batch_size=4,
+                              **kw)).train(progress=False)
+    assert np.isfinite(lmb).all()
+    assert not np.allclose(lmb, lfull)
+    # composes with the pushforward objective and dp sharding
+    cfg = TrainConfig(model="fno", npz_path=path,
+                      out_dir=str(tmp_path / "k"), n_iters=3, n_frames=12,
+                      ckpt_every=3, fno_modes=3, fno_width=6,
+                      fno_rollout_steps=3, batch_size=4, dp=2)
+    assert np.isfinite(Trainer(cfg).train(progress=False)).all()
+
+
+def test_minibatch_sample_stream_survives_resume(tmp_path):
+    """The window-sampling PRNG rides the noise-key stream, so a resumed
+    run replays the exact remaining sample sequence."""
+    rng = np.random.default_rng(10)
+    path = str(tmp_path / "mbr.npz")
+    np.savez(path, **{k: rng.normal(size=(10, 8, 8)) for k in "uvp"})
+    kw = dict(model="fno", npz_path=path, n_coeffs=2, n_frames=10,
+              ckpt_every=3, fno_modes=3, fno_width=6, batch_size=3)
+    full = Trainer(TrainConfig(out_dir=str(tmp_path / "f"), n_iters=6, **kw))
+    lf = full.train(progress=False)
+    half = Trainer(TrainConfig(out_dir=str(tmp_path / "h"), n_iters=3, **kw))
+    half.train(progress=False)
+    res = Trainer(TrainConfig(
+        out_dir=str(tmp_path / "r"), n_iters=6,
+        resume=os.path.join(str(tmp_path / "h"), "checkpoint.npz"), **kw))
+    lr_ = res.train(progress=False)
+    np.testing.assert_allclose([float(x) for x in lr_[3:]],
+                               [float(x) for x in lf[3:]], rtol=1e-5)
+
+
+def test_minibatch_validation(small_npz, tmp_path):
+    with pytest.raises(ValueError, match="operator families"):
+        TrainConfig(model="basis_ode", batch_size=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        TrainConfig(model="fno", batch_size=-1)
+    from ns_tpu.train.ensemble import EnsembleTrainer
+    with pytest.raises(ValueError, match="single-model Trainer"):
+        EnsembleTrainer(TrainConfig(model="fno", npz_path=small_npz,
+                                    out_dir=str(tmp_path / "e"),
+                                    n_frames=8, batch_size=2), 2)
