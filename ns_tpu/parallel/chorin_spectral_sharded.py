@@ -34,7 +34,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ns_tpu.core.state import FlowState
-from ns_tpu.solvers.chorin_spectral import ChorinSpectralConfig, _setup
+from ns_tpu.solvers.chorin_spectral import (
+    ChorinSpectralConfig, _add_dense_pressure_eig, _setup)
 
 Array = jnp.ndarray
 
@@ -74,7 +75,13 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
     dt, rho, nu = cfg.dt, cfg.rho, cfg.nu
     dt_eff = nu * dt  # corrected mode applies the configured viscosity
 
-    u_ops, v_ops, C = _setup(cfg, u_bc, v_bc, dtype)
+    # sharded mode keeps the dense eigen engine (the parity-split engine's
+    # fold/concat layout does not commute with the column sharding; the
+    # single-chip path owns that optimization — cfg.parity_split docstring)
+    u_ops, v_ops, C, host = _setup(cfg, u_bc, v_bc, dtype)
+    u_ops.build_dense_eig()
+    v_ops.build_dense_eig()
+    _add_dense_pressure_eig(C, host, dtype)
     h = lambda a: np.asarray(a)  # device const -> host for padding
 
     # ---- padded right-multipliers (host-built, device constants) --------

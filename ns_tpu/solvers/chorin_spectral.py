@@ -81,6 +81,16 @@ class ChorinSpectralConfig:
     # ~13 digits of cancellation in the velocity update). Defaults on for
     # the corrected mode, off for exact reference parity.
     deflate_pressure_nullspace: bool = False
+    # Half-flop parity-split GEMMs (ops/parity.py): on the symmetric
+    # Gauss-Lobatto grid every corrected-mode operator is reversal-even
+    # (Helmholtz/Uzawa, D^2) or reversal-odd (D, D-hat), so each per-step
+    # GEMM becomes two half-size GEMMs — the DST trick of
+    # ops/fast_poisson.py generalized. None = auto (corrected mode at
+    # interior >= 192, the measured MXU-fatness crossover); True forces it
+    # (raises if an operator has no parity — quirk matrices never do);
+    # False forces the dense path. Results differ from dense only by fp
+    # reassociation (f64 equality tests in tests/test_parity_cheb.py).
+    parity_split: bool | None = None
 
     @property
     def dx(self) -> float:
@@ -174,25 +184,37 @@ class _FieldOps:
                 self.ky["b0"] * Dy_sqr[1:-1, 0] + self.ky["bN"] * Dy_sqr[1:-1, -1])
         # host copies kept for operator-equality detection (all-Dirichlet
         # BCs give u and v identical operators -> batched Helmholtz solve)
+        # and for the parity-split eigen path (ops/parity.py::ParityEig)
         self._Mx_np, self._My_np = Mx, My
+        self._dtype = dtype
         # the BC constants/data enter per-step math: cast to the solver
         # dtype NOW (Mx/My above needed the f64 numpy originals) — f64
         # host leftovers silently promote the f32 boundary rows under
         # jax_enable_x64 (soon a hard error in jax scatter)
         cast = lambda d: {k: jnp.asarray(v, dtype) for k, v in d.items()}
         self.kx, self.ky, self.g = cast(self.kx), cast(self.ky), cast(self.g)
-        lamx, P = cheb.eig_real(Mx, "helmholtz-x")
-        lamy, Q = cheb.eig_real(My, "helmholtz-y")
+        self.b0_x = jnp.asarray(self.kx["b0"], dtype)
+        self.bN_x = jnp.asarray(self.kx["bN"], dtype)
+        self.b0_y = jnp.asarray(self.ky["b0"], dtype)
+        self.bN_y = jnp.asarray(self.ky["bN"], dtype)
+        self._dense_eig_done = False
+
+    def build_dense_eig(self):
+        """Full-operator eigendecomposition for the dense Helmholtz path.
+        Deferred so the parity-split path (which eigendecomposes the two
+        half-size parity blocks instead) skips the O(m^3) work."""
+        if self._dense_eig_done:
+            return
+        dtype = self._dtype
+        lamx, P = cheb.eig_real(self._Mx_np, "helmholtz-x")
+        lamy, Q = cheb.eig_real(self._My_np, "helmholtz-y")
         self.lamx = jnp.asarray(lamx, dtype)
         self.lamy = jnp.asarray(lamy, dtype)
         self.P = jnp.asarray(P, dtype)
         self.Q = jnp.asarray(Q, dtype)
         self.P_inv = jnp.asarray(np.linalg.inv(P), dtype)
         self.Q_inv = jnp.asarray(np.linalg.inv(Q), dtype)
-        self.b0_x = jnp.asarray(self.kx["b0"], dtype)
-        self.bN_x = jnp.asarray(self.kx["bN"], dtype)
-        self.b0_y = jnp.asarray(self.ky["b0"], dtype)
-        self.bN_y = jnp.asarray(self.ky["bN"], dtype)
+        self._dense_eig_done = True
 
 
 def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
@@ -215,9 +237,10 @@ def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
     DPy = cheb.d_matrix_pn_minus_2(Ny, quirk_compat=cfg.quirk_compat)
     DxDPx = Dx[1:-1, 1:-1] @ DPx
     DyDPy = Dy[1:-1, 1:-1] @ DPy
-    plamx, PP = cheb.eig_real(DxDPx, "pressure-x")
-    plamy, PQ = cheb.eig_real(DyDPy, "pressure-y")
 
+    host = dict(Dx_rows=Dx[1:-1, :], Dy_rows=Dy[1:-1, :],
+                Dx_sqr_rows=Dx_sqr[1:-1, :], Dy_sqr_rows=Dy_sqr[1:-1, :],
+                DPx=DPx, DPy=DPy, DxDPx=DxDPx, DyDPy=DyDPy)
     consts = dict(
         Dx_int=jnp.asarray(Dx[1:-1, 1:-1], dtype),
         Dy_int=jnp.asarray(Dy[1:-1, 1:-1], dtype),
@@ -236,6 +259,16 @@ def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
         DyDPy=jnp.asarray(DyDPy, dtype),
         DPx=jnp.asarray(DPx, dtype),
         DPy=jnp.asarray(DPy, dtype),
+    )
+    return u_ops, v_ops, consts, host
+
+
+def _add_dense_pressure_eig(consts: dict, host: dict, dtype) -> None:
+    """Full-operator pressure eigendecomposition (dense path only; the
+    parity path eigendecomposes the half-size parity blocks instead)."""
+    plamx, PP = cheb.eig_real(host["DxDPx"], "pressure-x")
+    plamy, PQ = cheb.eig_real(host["DyDPy"], "pressure-y")
+    consts.update(
         p_lamx=jnp.asarray(plamx, dtype),
         p_lamy=jnp.asarray(plamy, dtype),
         p_P=jnp.asarray(PP, dtype),
@@ -243,7 +276,58 @@ def _setup(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype):
         p_P_inv=jnp.asarray(np.linalg.inv(PP), dtype),
         p_Q_inv=jnp.asarray(np.linalg.inv(PQ), dtype),
     )
-    return u_ops, v_ops, consts
+
+
+# interior size at/above which auto mode enables parity splitting — the
+# same MXU-fatness crossover as the DST engine (fast_poisson.py:121-125)
+_PARITY_MIN_INTERIOR = 192
+
+_PARITY_EXPECTED = (  # (host key, expected reversal sign)
+    ("Dx_rows", -1), ("Dy_rows", -1),
+    ("Dx_sqr_rows", +1), ("Dy_sqr_rows", +1),
+    ("DPx", -1), ("DPy", -1),
+    ("DxDPx", +1), ("DyDPy", +1),
+)
+
+
+def _resolve_parity_split(cfg: ChorinSpectralConfig, u_ops, v_ops, host):
+    """Decide whether this step runs the parity-split engine.
+
+    Explicit True validates every per-step operator's reversal parity and
+    raises naming the first violator (quirk matrices never qualify —
+    ops/parity.py module docstring; per-side-asymmetric Robin/Neumann BC
+    operators may not either). Auto (None) enables it silently when
+    eligible: corrected mode, interior >= the MXU crossover, all
+    operators parity-clean."""
+    from ns_tpu.ops.parity import reversal_parity
+
+    if cfg.parity_split is False:
+        return False
+    explicit = cfg.parity_split is True
+    if cfg.quirk_compat:
+        if explicit:
+            raise ValueError(
+                "parity_split=True needs quirk_compat=False: the "
+                "reference's quirk matrices (M=N sin denominators, "
+                "single-endpoint bar_c) are not reversal-symmetric")
+        return False
+    if not explicit and min(cfg.nx, cfg.ny) - 2 < _PARITY_MIN_INTERIOR:
+        return False
+    bad = [k for k, want in _PARITY_EXPECTED
+           if reversal_parity(host[k]) != want]
+    for label, ops in (("u", u_ops), ("v", v_ops)):
+        if reversal_parity(ops._Mx_np) != +1:
+            bad.append(f"helmholtz-x[{label}]")
+        if reversal_parity(ops._My_np) != +1:
+            bad.append(f"helmholtz-y[{label}]")
+    if bad:
+        if explicit:
+            raise ValueError(
+                f"parity_split=True: operators without the required "
+                f"reversal parity: {bad} (asymmetric BC data can break "
+                "the operator's reflection equivariance)")
+        return False
+    return True
 
 
 def _helmholtz_solve(F, ops: _FieldOps, dt):
@@ -291,7 +375,7 @@ def _assemble(nx, ny, interior, edges, dtype):
 
 
 def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
-    u_ops, v_ops, C = _setup(cfg, u_bc, v_bc, dtype)
+    u_ops, v_ops, C, host = _setup(cfg, u_bc, v_bc, dtype)
     dt, rho = cfg.dt, cfg.rho
     Nx, Ny = cfg.nx, cfg.ny
 
@@ -306,12 +390,80 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
     # ref :258-298 — quirk mode keeps dt alone for parity)
     dt_eff = dt if cfg.quirk_compat else cfg.nu * dt
 
-    def _solve_uv(u_F, v_F):
-        if same_ops:
-            soln = _helmholtz_solve(jnp.stack([u_F, v_F]), u_ops, dt_eff)
-            return soln[0], soln[1]
-        return (_helmholtz_solve(u_F, u_ops, dt_eff),
-                _helmholtz_solve(v_F, v_ops, dt_eff))
+    use_parity = _resolve_parity_split(cfg, u_ops, v_ops, host)
+
+    if use_parity:
+        # half-flop engine (ops/parity.py; cfg.parity_split docstring):
+        # every per-step GEMM — derivative applications, Helmholtz eigen
+        # transforms, Uzawa eigen transforms, projection — runs as two
+        # half-size GEMMs via the operators' reversal parity
+        from ns_tpu.ops.parity import ParityEig, make_parity_apply
+        u_hx = ParityEig(u_ops._Mx_np, "helmholtz-x[u]", dtype)
+        u_hy = ParityEig(u_ops._My_np, "helmholtz-y[u]", dtype)
+        v_hx = u_hx if same_ops else ParityEig(v_ops._Mx_np,
+                                               "helmholtz-x[v]", dtype)
+        v_hy = u_hy if same_ops else ParityEig(v_ops._My_np,
+                                               "helmholtz-y[v]", dtype)
+        p_px = ParityEig(host["DxDPx"], "pressure-x", dtype)
+        p_py = ParityEig(host["DyDPy"], "pressure-y", dtype)
+        dx_l = make_parity_apply(host["Dx_rows"], dtype, "left")
+        dy_r = make_parity_apply(host["Dy_rows"], dtype, "right")
+        dx2_l = make_parity_apply(host["Dx_sqr_rows"], dtype, "left")
+        dy2_r = make_parity_apply(host["Dy_sqr_rows"], dtype, "right")
+        dpx_l = make_parity_apply(host["DPx"], dtype, "left")
+        dpy_r = make_parity_apply(host["DPy"], dtype, "right")
+
+        def _hsolve(F, hx, hy):
+            G = hy.forward(hx.forward(F, -2), -1)
+            denom = (2.0 - dt_eff * hx.lam[:, None]
+                     - dt_eff * hy.lam[None, :])
+            return hx.inverse(hy.inverse(G / denom, -1), -2)
+
+        def _solve_uv(u_F, v_F):
+            if same_ops:
+                soln = _hsolve(jnp.stack([u_F, v_F]), u_hx, u_hy)
+                return soln[0], soln[1]
+            return _hsolve(u_F, u_hx, u_hy), _hsolve(v_F, v_hx, v_hy)
+
+        def _psolve(H):
+            H_hat = p_py.forward(p_px.forward(H, -2), -1)
+            denom = p_px.lam[:, None] + p_py.lam[None, :]
+            if cfg.deflate_pressure_nullspace:
+                keep = jnp.abs(denom) > 1e-8 * jnp.max(jnp.abs(denom))
+                Q_hat = jnp.where(keep,
+                                  H_hat / jnp.where(keep, denom, 1.0), 0.0)
+            else:
+                Q_hat = H_hat / denom
+            return p_px.inverse(p_py.inverse(Q_hat, -1), -2)
+    else:
+        u_ops.build_dense_eig()
+        v_ops.build_dense_eig()
+        _add_dense_pressure_eig(C, host, dtype)
+        dx_l = lambda X: C["Dx_rows"] @ X
+        dy_r = lambda X: X @ C["Dy_rows"].T
+        dx2_l = lambda X: C["Dx_sqr_rows"] @ X
+        dy2_r = lambda X: X @ C["Dy_sqr_rows"].T
+        dpx_l = lambda X: C["DPx"] @ X
+        dpy_r = lambda X: X @ C["DPy"].T
+
+        def _solve_uv(u_F, v_F):
+            if same_ops:
+                soln = _helmholtz_solve(jnp.stack([u_F, v_F]), u_ops,
+                                        dt_eff)
+                return soln[0], soln[1]
+            return (_helmholtz_solve(u_F, u_ops, dt_eff),
+                    _helmholtz_solve(v_F, v_ops, dt_eff))
+
+        def _psolve(H):
+            H_hat = (C["p_P_inv"] @ H) @ C["p_Q_inv"].T
+            denom = C["p_lamx"][:, None] + C["p_lamy"][None, :]
+            if cfg.deflate_pressure_nullspace:
+                keep = jnp.abs(denom) > 1e-8 * jnp.max(jnp.abs(denom))
+                Q_hat = jnp.where(keep,
+                                  H_hat / jnp.where(keep, denom, 1.0), 0.0)
+            else:
+                Q_hat = H_hat / denom
+            return C["p_P"] @ (Q_hat @ C["p_Q"].T)
 
     def predictor_ref(un, vn, un1, vn1):
         """AB advection + CN diffusion RHS, Helmholtz solve — exact reference
@@ -348,16 +500,14 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
 
         which is the standard collocation treatment the reference omits.
         """
-        Dxr, Dyr = C["Dx_rows"], C["Dy_rows"]
-        Dx2r, Dy2r = C["Dx_sqr_rows"], C["Dy_sqr_rows"]
         _un, _vn = un[1:-1, 1:-1], vn[1:-1, 1:-1]
         _un1, _vn1 = un1[1:-1, 1:-1], vn1[1:-1, 1:-1]
 
         def F_of(h_full, h1_full, ops):
             h, h1 = h_full[1:-1, 1:-1], h1_full[1:-1, 1:-1]
-            h_dx, h_dy = Dxr @ h_full[:, 1:-1], h_full[1:-1, :] @ Dyr.T
-            h1_dx, h1_dy = Dxr @ h1_full[:, 1:-1], h1_full[1:-1, :] @ Dyr.T
-            h_ddx, h_ddy = Dx2r @ h_full[:, 1:-1], h_full[1:-1, :] @ Dy2r.T
+            h_dx, h_dy = dx_l(h_full[:, 1:-1]), dy_r(h_full[1:-1, :])
+            h1_dx, h1_dy = dx_l(h1_full[:, 1:-1]), dy_r(h1_full[1:-1, :])
+            h_ddx, h_ddy = dx2_l(h_full[:, 1:-1]), dy2_r(h_full[1:-1, :])
             # NOTE the nu factor: the reference stores self.nu but never
             # multiplies any diffusion term by it (ref :258-298 — its
             # momentum equation effectively runs at nu = 1 regardless of
@@ -418,16 +568,8 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         else:
             # corrected form: H = (rho/dt) * div(u*) on interior rows with
             # the boundary columns (lid flux) included directly
-            H = rho / dt * (C["Dx_rows"] @ ui[:, 1:-1]
-                            + vi[1:-1, :] @ C["Dy_rows"].T)
-        H_hat = (C["p_P_inv"] @ H) @ C["p_Q_inv"].T
-        denom = C["p_lamx"][:, None] + C["p_lamy"][None, :]
-        if cfg.deflate_pressure_nullspace:
-            keep = jnp.abs(denom) > 1e-8 * jnp.max(jnp.abs(denom))
-            Q_hat = jnp.where(keep, H_hat / jnp.where(keep, denom, 1.0), 0.0)
-        else:
-            Q_hat = H_hat / denom
-        Q = C["p_P"] @ (Q_hat @ C["p_Q"].T)
+            H = rho / dt * (dx_l(ui[:, 1:-1]) + dy_r(vi[1:-1, :]))
+        Q = _psolve(H)
 
         if cfg.quirk_compat:
             # the reference subtracts (Dx @ DPx) @ Q — a second-derivative
@@ -439,8 +581,8 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
             # corrected projection: u <- u* - (dt/rho) * grad_{P_{N-2}} Q, so
             # Dx (DPx Q) + (Q DPy^T) Dy^T equals the Uzawa LHS and the
             # interior divergence of u^{n+1} vanishes by construction.
-            u_int = ui[1:-1, 1:-1] - (C["DPx"] @ Q) * dt / rho
-            v_int = vi[1:-1, 1:-1] - (Q @ C["DPy"].T) * dt / rho
+            u_int = ui[1:-1, 1:-1] - dpx_l(Q) * dt / rho
+            v_int = vi[1:-1, 1:-1] - dpy_r(Q) * dt / rho
             # the boundary values are functions of the interior (via the
             # Robin reconstruction), so re-derive them from the projected
             # interior; for pure Dirichlet this reproduces the fixed values
@@ -495,14 +637,14 @@ class NavierStokesSystem:
                  nx=50, ny=50, dt=0.001, rho=1, nu=1, beta=1.25,
                  dtype=jnp.float64, quirk_compat=True,
                  deflate_pressure_nullspace=None,
-                 matmul_precision="highest"):
+                 matmul_precision="highest", parity_split=None):
         if deflate_pressure_nullspace is None:
             deflate_pressure_nullspace = not quirk_compat
         self.cfg = ChorinSpectralConfig(
             nt=nt, nit=nit, nx=nx, ny=ny, dt=dt, rho=rho, nu=nu, beta=beta,
             quirk_compat=quirk_compat,
             deflate_pressure_nullspace=deflate_pressure_nullspace,
-            matmul_precision=matmul_precision)
+            matmul_precision=matmul_precision, parity_split=parity_split)
         self.u_bc, self.v_bc = list(u_bc), list(v_bc)
         self.state0 = init_state(self.cfg, u_ic, v_ic, p_ic,
                                  self.u_bc, self.v_bc, dtype=dtype)
