@@ -73,19 +73,24 @@ def save_checkpoint(state: dict, folder: str, is_best: bool = False,
 
 
 class _Shaped:
-    """Minimal `.shape` carrier so _check_manifest never needs real
-    template arrays (template leaves may live on device)."""
+    """Minimal `.shape`/`.dtype` carrier so _check_manifest never needs
+    real template arrays (template leaves may live on device)."""
 
-    def __init__(self, shape):
+    def __init__(self, shape, dtype):
         self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
 
 
-def _check_manifest(path: str, data, template_arrays: dict) -> None:
+def _check_manifest(path: str, data, template_arrays: dict,
+                    allow_cast: bool = False) -> None:
     """Leaf-by-leaf compatibility check of saved checkpoint vs template.
 
     Raises ValueError naming every missing / unexpected / shape-mismatched
-    leaf, so 'wrong optimizer config for this checkpoint' errors point at
-    the offending entries instead of a whole-treedef repr diff."""
+    / dtype-mismatched leaf, so 'wrong optimizer config for this
+    checkpoint' errors point at the offending entries instead of a
+    whole-treedef repr diff. Dtype mismatches (e.g. an f64-trained
+    checkpoint restored into an f32 template — silent precision loss) are
+    errors unless `allow_cast`."""
     if "__manifest__" in data:
         manifest = json.loads(bytes(data["__manifest__"]).decode())
         version = manifest.get("format_version")
@@ -93,19 +98,24 @@ def _check_manifest(path: str, data, template_arrays: dict) -> None:
             raise ValueError(
                 f"checkpoint {path} has format_version {version}; this "
                 f"build reads version {CKPT_FORMAT_VERSION}")
-        saved = {k: tuple(v["shape"]) for k, v in manifest["leaves"].items()}
+        saved = {k: (tuple(v["shape"]), np.dtype(v["dtype"]))
+                 for k, v in manifest["leaves"].items()}
     elif "__treedef__" in data:  # v1 checkpoints: derive the table from npz
-        saved = {k: np.shape(data[k]) for k in data.files
+        saved = {k: (np.shape(data[k]), data[k].dtype) for k in data.files
                  if k != "__treedef__"}
     else:
-        saved = {k: np.shape(data[k]) for k in data.files}
+        saved = {k: (np.shape(data[k]), data[k].dtype) for k in data.files}
 
-    here = {k: v.shape for k, v in template_arrays.items()}
+    here = {k: (v.shape, v.dtype) for k, v in template_arrays.items()}
     missing = sorted(set(here) - set(saved))
     unexpected = sorted(set(saved) - set(here))
-    mismatched = sorted(k for k in set(here) & set(saved)
-                        if tuple(saved[k]) != tuple(here[k]))
-    if missing or unexpected or mismatched:
+    both = set(here) & set(saved)
+    mismatched = sorted(k for k in both
+                        if tuple(saved[k][0]) != tuple(here[k][0]))
+    cast_bad = [] if allow_cast else sorted(
+        k for k in both if k not in mismatched
+        and saved[k][1] != here[k][1])
+    if missing or unexpected or mismatched or cast_bad:
         lines = [f"checkpoint {path} does not match the template pytree "
                  "(wrong model/optimizer config for this checkpoint?):"]
         if missing:
@@ -116,29 +126,46 @@ def _check_manifest(path: str, data, template_arrays: dict) -> None:
                          f"{unexpected}")
         for k in mismatched:
             lines.append(f"  shape mismatch at {k!r}: saved "
-                         f"{tuple(saved[k])} vs template {tuple(here[k])}")
+                         f"{tuple(saved[k][0])} vs template "
+                         f"{tuple(here[k][0])}")
+        for k in cast_bad:
+            lines.append(f"  dtype mismatch at {k!r}: saved "
+                         f"{saved[k][1]} vs template {here[k][1]} "
+                         "(pass allow_cast=True to cast explicitly)")
         raise ValueError("\n".join(lines))
 
 
-def load_checkpoint(path: str, like: Any) -> Any:
+def _leaf_dtype(leaf) -> np.dtype:
+    dt = getattr(leaf, "dtype", None)
+    return np.dtype(dt) if dt is not None else np.asarray(leaf).dtype
+
+
+def load_checkpoint(path: str, like: Any, allow_cast: bool = False) -> Any:
     """Restore a pytree saved by save_checkpoint into the structure of
     `like` (a template pytree with the same key paths — e.g. a freshly
     initialized train state). Reads v2 (manifest) checkpoints and v1
     (__treedef__) ones; the compatibility check is key-path based either
-    way."""
+    way.
+
+    Dtypes must match the template exactly unless `allow_cast=True` —
+    restoring an f64-trained checkpoint into an f32 state would otherwise
+    truncate silently. (Serving has its own intentional-cast loader,
+    serve/engine.py::load_checkpoint_params, whose f32 contract is the
+    documented conversion point.)"""
     data = np.load(path)
     flat = jax.tree_util.tree_flatten_with_path(like)[0]
     # shapes/dtypes come from the template leaves' metadata — no host
     # transfer of the (possibly device-resident) template is ever needed
-    template_shapes = {_path_key(p): _Shaped(np.shape(leaf))
+    template_shapes = {_path_key(p): _Shaped(np.shape(leaf),
+                                             _leaf_dtype(leaf))
                        for p, leaf in flat}
-    _check_manifest(path, data, template_shapes)
+    _check_manifest(path, data, template_shapes, allow_cast=allow_cast)
     treedef = jax.tree_util.tree_structure(like)
     new_leaves = []
     for (pth, leaf) in flat:
         arr = data[_path_key(pth)]
-        dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
-        new_leaves.append(arr.astype(dtype).reshape(np.shape(leaf)))
+        new_leaves.append(arr.astype(_leaf_dtype(leaf))
+                          .reshape(np.shape(leaf)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
