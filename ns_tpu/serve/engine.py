@@ -72,10 +72,11 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int,
         return FNO2D(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
                      channels=channels, transform=cfg.fno_transform,
                      precision=cfg.fno_precision)
-    if cfg.model == "fno3d":
+    if cfg.model in ("fno3d", "fno3d_w"):
         from ns_tpu.models.fno3d import FNO3D
         return FNO3D(nx, ny, nz, width=cfg.fno_width, modes=cfg.fno_modes,
-                     channels=4, transform=cfg.fno_transform,
+                     channels=3 if cfg.model == "fno3d_w" else 4,
+                     transform=cfg.fno_transform,
                      precision=cfg.fno_precision)
     if cfg.model == "rnn":
         from ns_tpu.models.gru import FullFieldGRU
@@ -207,8 +208,11 @@ class InferenceEngine(ServingBase):
         most log2(chunk) distinct programs exist."""
         post = self._fno_post()
         is_w = self.cfg.model == "fno_w"
+        is_w3 = self.cfg.model == "fno3d_w"
         if is_w:
             from ns_tpu.models.vorticity import uvp_from_w
+        if is_w3:
+            from ns_tpu.models.vorticity3d import uvwp_from_omega
 
         def build():
             def run1(params, x):
@@ -218,6 +222,10 @@ class InferenceEngine(ServingBase):
                     u, v, p = jax.vmap(uvp_from_w)(w_flat)
                     frames = jnp.stack([u, v, p], axis=1).reshape(
                         xs.shape[:-3] + (3, self.nx, self.ny))
+                elif is_w3:
+                    om_flat = xs.reshape(-1, 3, self.nx, self.ny, self.nz)
+                    frames = jax.vmap(uvwp_from_omega)(om_flat).reshape(
+                        xs.shape[:-4] + (4, self.nx, self.ny, self.nz))
                 else:
                     frames = xs
                 return frames, xs[-1]
@@ -231,18 +239,25 @@ class InferenceEngine(ServingBase):
         """jitted state echo in (u, v, p) space: ([M,] B, C, nx, ny) ->
         ([M,] B, 3, nx, ny) — frame 0 of every reply."""
         is_w = self.cfg.model == "fno_w"
+        is_w3 = self.cfg.model == "fno3d_w"
         if is_w:
             from ns_tpu.models.vorticity import uvp_from_w
+        if is_w3:
+            from ns_tpu.models.vorticity3d import uvwp_from_omega
 
         def build():
             @jax.jit
             def echo(state):
-                if not is_w:
-                    return state
-                w_flat = state.reshape(-1, self.nx, self.ny)
-                u, v, p = jax.vmap(uvp_from_w)(w_flat)
-                return jnp.stack([u, v, p], axis=1).reshape(
-                    state.shape[:-3] + (3, self.nx, self.ny))
+                if is_w:
+                    w_flat = state.reshape(-1, self.nx, self.ny)
+                    u, v, p = jax.vmap(uvp_from_w)(w_flat)
+                    return jnp.stack([u, v, p], axis=1).reshape(
+                        state.shape[:-3] + (3, self.nx, self.ny))
+                if is_w3:
+                    om = state.reshape(-1, 3, self.nx, self.ny, self.nz)
+                    return jax.vmap(uvwp_from_omega)(om).reshape(
+                        state.shape[:-4] + (4, self.nx, self.ny, self.nz))
+                return state
 
             return echo
 
@@ -272,6 +287,17 @@ class InferenceEngine(ServingBase):
                 return to_w
 
             state = self._program(("w",), build_w)(x)          # (B, 1, nx, ny)
+        elif cfg.model == "fno3d_w":
+            from ns_tpu.models.vorticity3d import vorticity3d_from_velocity
+
+            def build_w3():
+                @jax.jit
+                def to_w3(uvwp):
+                    return vorticity3d_from_velocity(uvwp[:, :3])
+
+                return to_w3
+
+            state = self._program(("w3",), build_w3)(x)  # (B, 3, nx, ny, nz)
         else:
             state = x                                          # (B, 3, nx, ny)
         m = self.n_models
@@ -376,7 +402,7 @@ class InferenceEngine(ServingBase):
         if n_steps < 0:
             raise ValueError(f"n_steps must be >= 0, got {n_steps}")
         t0 = time.perf_counter()
-        if self.cfg.model in ("fno", "fno_w", "fno3d"):
+        if self.cfg.model in ("fno", "fno_w", "fno3d", "fno3d_w"):
             out = self._predict_fno(frame0, n_steps)
         elif self.cfg.model == "rnn":
             out = self._predict_rnn(frame0, n_steps)

@@ -92,7 +92,7 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
 # ---------------------------------------------------------------------------
 
 ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-                   "fno", "fno_w", "fno3d")
+                   "fno", "fno_w", "fno3d", "fno3d_w")
 
 
 def ensemble_mesh(n_models: int) -> Optional[Mesh]:
@@ -146,29 +146,32 @@ class EnsembleTrainer:
         spatial = obs.shape[3:]
         self.nx, self.ny = spatial[0], spatial[1]
         self.nz = spatial[2] if len(spatial) == 3 else None
-        if (self.nz is not None) != (cfg.model == "fno3d"):
+        from ns_tpu.train.trainer import FNO_FAMILIES, W_FAMILIES
+        wants_3d = cfg.model in ("fno3d", "fno3d_w")
+        if (self.nz is not None) != wants_3d:
             raise ValueError(
                 f"{cfg.model!r} expects "
-                f"{'3D (u,v,w,p)' if cfg.model == 'fno3d' else '2D (u,v,p)'}"
+                f"{'3D (u,v,w,p)' if wants_3d else '2D (u,v,p)'}"
                 f" data; {cfg.npz_path} has spatial shape {spatial}")
-        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "fno3d"):
+        if n_traj > 1 and cfg.model not in FNO_FAMILIES:
             raise ValueError(
                 f"multi-trajectory data (M={n_traj}) needs an operator "
-                f"family (fno/fno_w/fno3d); {cfg.model!r} learns a single "
+                f"family {FNO_FAMILIES}; {cfg.model!r} learns a single "
                 "coefficient trajectory by design")
         self._forward = None
-        if cfg.model in ("fno", "fno_w", "fno3d"):
+        if cfg.model in FNO_FAMILIES:
             from ns_tpu.models.fno import FNO2D
             from ns_tpu.train.trainer import build_forward
             if not 1 <= cfg.fno_rollout_steps < self.nt:
                 raise ValueError(
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps}")
-            if cfg.model == "fno3d":
+            if cfg.model in ("fno3d", "fno3d_w"):
                 from ns_tpu.models.fno3d import FNO3D
+                channels = 3 if cfg.model == "fno3d_w" else 4
                 self.model = FNO3D(self.nx, self.ny, self.nz,
                                    width=cfg.fno_width,
-                                   modes=cfg.fno_modes, channels=4,
+                                   modes=cfg.fno_modes, channels=channels,
                                    transform=cfg.fno_transform,
                                    precision=cfg.fno_precision)
             else:
@@ -186,6 +189,11 @@ class EnsembleTrainer:
                     lambda a, b: vorticity_from_uv(a, b))(
                         self.obs[:, :, 0],
                         self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
+            elif cfg.model == "fno3d_w":
+                from ns_tpu.models.vorticity3d import \
+                    vorticity3d_from_velocity
+                self.w_frames = jax.jit(vorticity3d_from_velocity)(
+                    self.obs[:, :, :3])        # (nt, M, 3, nx, ny, nz)
             self._forward = build_forward(cfg, self.model, self.obs,
                                           self.w_frames)
         else:
@@ -305,6 +313,26 @@ class EnsembleTrainer:
                 return jax.vmap(one)(params)
 
             return to_host(roll_w(self.params, obs_full[0, 0]))
+
+        if self.cfg.model == "fno3d_w":
+            from ns_tpu.models.vorticity3d import (uvwp_from_omega,
+                                                   vorticity3d_from_velocity)
+            from ns_tpu.train.trainer import rollout_post
+            post = rollout_post(self.cfg)
+
+            @jax.jit
+            def roll_w3(params, uvw0):
+                om0 = vorticity3d_from_velocity(uvw0)  # (3, nx, ny, nz)
+
+                def one(p):
+                    om_seq = self.model.rollout(p, om0, nt_full - 1,
+                                                post=post)
+                    om_seq = jnp.concatenate([om0[None], om_seq], axis=0)
+                    return jax.vmap(uvwp_from_omega)(om_seq)
+
+                return jax.vmap(one)(params)
+
+            return to_host(roll_w3(self.params, obs_full[0, 0, :3]))
 
         if self.cfg.model in ("fno", "fno3d"):
             from ns_tpu.train.trainer import rollout_post

@@ -38,11 +38,17 @@ from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
 MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-          "rnn", "fno", "fno_w", "fno3d")
+          "rnn", "fno", "fno_w", "fno3d", "fno3d_w")
 
 # the operator families: next-step maps whose training objective batches
 # trajectories and supports pushforward/noise (build_forward fno branch)
-FNO_FAMILIES = ("fno", "fno_w", "fno3d")
+FNO_FAMILIES = ("fno", "fno_w", "fno3d", "fno3d_w")
+
+# the vorticity-representation members: train on the curl of the velocity
+# data (exactly derived), recover the full field contract at eval — the
+# representation makes every prediction exactly divergence-free
+# (models/vorticity.py 2D, models/vorticity3d.py 3D)
+W_FAMILIES = ("fno_w", "fno3d_w")
 
 
 @dataclasses.dataclass
@@ -265,6 +271,12 @@ def rollout_post(cfg):
         return partial(rollout_filter3d,
                        project=getattr(cfg, "fno_project", False),
                        dealias=cfg.fno_dealias)
+    if cfg.model == "fno3d_w" and cfg.fno_dealias:
+        # the omega channels need only the band filter: divergence-freedom
+        # comes from the representation itself (Biot-Savart recovery —
+        # models/vorticity3d.py), not a projection step
+        from ns_tpu.models.vorticity3d import dealias_field3d
+        return lambda x: dealias_field3d(x)
     return None
 
 
@@ -310,7 +322,7 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0,
         if cfg.model in FNO_FAMILIES:
             # (nt, M, C, *spatial): the trajectory axis is a batch axis of
             # the next-step operator (M=1 for reference-protocol data)
-            frames = (w_frames if cfg.model == "fno_w" else obs)
+            frames = (w_frames if cfg.model in W_FAMILIES else obs)
             k = max(cfg.fno_rollout_steps, 1)
             sigma = cfg.input_noise
             n_win = nt - k
@@ -375,13 +387,13 @@ class Trainer:
         spatial = obs.shape[3:]
         self.nx, self.ny = spatial[0], spatial[1]
         self.nz = spatial[2] if len(spatial) == 3 else None
-        if (self.nz is not None) != (cfg.model == "fno3d"):
+        wants_3d = cfg.model in ("fno3d", "fno3d_w")
+        if (self.nz is not None) != wants_3d:
             raise ValueError(
                 f"{cfg.model!r} expects "
-                f"{'3D (u,v,w,p)' if cfg.model == 'fno3d' else '2D (u,v,p)'}"
+                f"{'3D (u,v,w,p)' if wants_3d else '2D (u,v,p)'}"
                 f" data; {cfg.npz_path} has spatial shape {spatial}")
-        if n_traj > 1 and cfg.model not in ("fno", "fno_w", "fno3d",
-                                            "rnn"):
+        if n_traj > 1 and cfg.model not in FNO_FAMILIES + ("rnn",):
             raise ValueError(
                 f"multi-trajectory data (M={n_traj}) needs an operator "
                 f"family (fno/fno_w) or rnn; {cfg.model!r} learns a single "
@@ -410,11 +422,12 @@ class Trainer:
             if cfg.input_noise < 0:
                 raise ValueError(
                     f"input_noise must be >= 0; got {cfg.input_noise}")
-            if cfg.model == "fno3d":
+            if cfg.model in ("fno3d", "fno3d_w"):
                 from ns_tpu.models.fno3d import FNO3D
+                channels = 3 if cfg.model == "fno3d_w" else 4
                 self.model = FNO3D(self.nx, self.ny, self.nz,
                                    width=cfg.fno_width,
-                                   modes=cfg.fno_modes, channels=4,
+                                   modes=cfg.fno_modes, channels=channels,
                                    transform=cfg.fno_transform,
                                    precision=cfg.fno_precision)
             else:
@@ -435,10 +448,19 @@ class Trainer:
                     lambda a, b: vorticity_from_uv(a, b))(
                         self.obs[:, :, 0],
                         self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
+            elif cfg.model == "fno3d_w":
+                # 3D vorticity representation: omega = curl(u,v,w) derived
+                # exactly; (u,v,w,p) recovered by Biot-Savart at eval —
+                # every prediction exactly divergence-free
+                # (models/vorticity3d.py — periodic data only)
+                from ns_tpu.models.vorticity3d import \
+                    vorticity3d_from_velocity
+                self.w_frames = jax.jit(vorticity3d_from_velocity)(
+                    self.obs[:, :, :3])        # (nt, M, 3, nx, ny, nz)
             # noise std is relative to the data scale so one input_noise
             # value transfers across resolutions/field spaces
             self._data_scale = float(jnp.std(
-                self.w_frames if cfg.model == "fno_w" else self.obs))
+                self.w_frames if cfg.model in W_FAMILIES else self.obs))
         else:
             self.model = FullFieldGRU(3 * self.nx * self.ny, cfg.hidden_dim)
 
@@ -666,6 +688,22 @@ class Trainer:
                 return jnp.stack([u, v, p], axis=1)
 
             return to_host(run_w(self.params, obs_full[0, 0]))
+        if self.cfg.model == "fno3d_w":
+            from ns_tpu.models.vorticity3d import (uvwp_from_omega,
+                                                   vorticity3d_from_velocity)
+            post = rollout_post(self.cfg)
+
+            @jax.jit
+            def run_w3(params, uvw0):
+                om0 = vorticity3d_from_velocity(uvw0)  # (3, nx, ny, nz)
+                om_seq = self.model.rollout(params, om0, nt_full - 1,
+                                            post=post)
+                om_seq = jnp.concatenate([om0[None], om_seq], axis=0)
+                # exact (u,v,w,p) recovery per frame: divergence-free by
+                # construction (Biot-Savart), pressure diagnostic
+                return jax.vmap(uvwp_from_omega)(om_seq)
+
+            return to_host(run_w3(self.params, obs_full[0, 0, :3]))
         if self.cfg.model in ("fno", "fno3d"):
             post = rollout_post(self.cfg)
 
