@@ -147,10 +147,15 @@ def main(argv=None):
     else:
         tr = Trainer(cfg)
     tr.train()
-    extrap = tr.extrapolate()
-    out = os.path.join(out_dir, "extrapolation.npy")
-    np.save(out, extrap)
-    print(f"saved {out} shape={extrap.shape}")
+    import jax
+    if jax.process_index() == 0:
+        # multi-controller: train state is replicated, so the coordinator's
+        # rollout is the whole answer — one writer, no same-file races
+        # (the rollout itself is collective-free, safe to skip elsewhere)
+        extrap = tr.extrapolate()
+        out = os.path.join(out_dir, "extrapolation.npy")
+        np.save(out, extrap)
+        print(f"saved {out} shape={extrap.shape}")
 
 
 if __name__ == "__main__":

@@ -67,6 +67,51 @@ def test_launch_propagates_worker_failure():
     assert "FAILED" in r.stderr
 
 
+def test_distributed_training_matches_single_process(tmp_path):
+    """Multi-process TRAINING end-to-end (VERDICT r3 next #3): launcher ->
+    `cli.train --dp 4 --dist` on 2 processes x 2 devices must reproduce
+    the single-process dp=4 loss trajectory to fp tolerance, and only the
+    coordinator writes checkpoints/metrics/extrapolation."""
+    import json
+
+    from ns_tpu.cli.run_solver import main as run_main
+
+    npz = str(tmp_path / "turb.npz")
+    run_main(["decaying_turbulence", "--nx", "16", "--nt", "8",
+              "--transform", "matmul", "--out", npz])
+
+    def train(nprocs, devs_per_proc, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "ns_tpu.launch", "--nprocs", str(nprocs),
+             "--devices-per-proc", str(devs_per_proc), "--platform", "cpu",
+             "--", sys.executable, "-m", "ns_tpu.cli.train",
+             "--model", "fno", "--dist", "--dp", "4",
+             "--npz-path", npz, "--out-dir", str(tmp_path / out),
+             "--n-iters", "12", "--n-frames", "8", "--ckpt-every", "6",
+             "--fno-modes", "4", "--fno-width", "8",
+             "--fno-transform", "matmul", "--fno-precision", "highest"],
+            capture_output=True, text=True, timeout=600, cwd=REPO)
+        assert r.returncode == 0, r.stdout + r.stderr
+        d = tmp_path / (out + "_10")  # ref out-dir suffix convention
+        with open(d / "checkpoint.npz.meta.json") as f:
+            return d, json.load(f)["losses"]
+
+    d1, losses1 = train(1, 4, "single")
+    d2, losses2 = train(2, 2, "multi")
+    assert len(losses1) == len(losses2) == 12
+    # same global batch, same 4-device mesh, replicated params: the loss
+    # trajectories agree to cross-process-collective fp reassociation
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-4, atol=1e-6)
+
+    # single writer: the coordinator owns checkpoint + canonical metrics +
+    # extrapolation; the non-coordinator emits only its own metrics stream
+    names = sorted(p.name for p in d2.iterdir())
+    assert "checkpoint.npz" in names and "extrapolation.npy" in names
+    assert "metrics.jsonl" in names
+    assert "metrics.proc0001.jsonl" in names
+    assert not [n for n in names if n.startswith("checkpoint.proc")]
+
+
 # ---------------------------------------------------------------------------
 # In-process unit coverage of the distributed helpers (process_count == 1)
 # ---------------------------------------------------------------------------
