@@ -28,19 +28,24 @@ def raw_ensemble_step(model, tx, obs, nt: int, forward=None):
     """The unjitted vmapped N-model train step — the single definition
     shared by make_ensemble_train_step and EnsembleTrainer's scan chunks.
 
-    forward(params) -> (pred, target) overrides the default basis-family
-    objective (trainer.build_forward supplies the fno variants)."""
+    forward(params, key, frames) -> (pred, target) overrides the default
+    basis-family objective (trainer.build_forward supplies the fno
+    variants). `step` accepts the training tensor as an optional runtime
+    argument (trainer.build_forward docstring: a closure-captured tensor
+    embeds into the lowered HLO; at 3D scale that overflows the axon
+    remote-compile request); frames=None uses the build-time obs."""
     obs0 = obs[0]
 
-    def one_loss(params):
+    def one_loss(params, frames):
         if forward is not None:
-            pred, target = forward(params)
+            pred, target = forward(params, None, frames)
             return l2_loss(pred, target)
         pred = model.apply(params, obs0, nt)
         return l2_loss(pred, obs)
 
-    def step(params, opt_state):
-        losses, grads = jax.vmap(jax.value_and_grad(one_loss))(params)
+    def step(params, opt_state, frames=None):
+        losses, grads = jax.vmap(jax.value_and_grad(one_loss),
+                                 in_axes=(0, None))(params, frames)
         updates, opt_state = jax.vmap(tx.update)(grads, opt_state)
         params = jax.vmap(optax.apply_updates)(params, updates)
         return params, opt_state, losses
@@ -92,7 +97,7 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
 # ---------------------------------------------------------------------------
 
 ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-                   "fno", "fno_w", "fno3d", "fno3d_w")
+                   "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
 
 
 def ensemble_mesh(n_models: int) -> Optional[Mesh]:
@@ -174,6 +179,12 @@ class EnsembleTrainer:
                                    modes=cfg.fno_modes, channels=channels,
                                    transform=cfg.fno_transform,
                                    precision=cfg.fno_precision)
+            elif cfg.model == "fno_psi":
+                from ns_tpu.models.streamfunction import FNOPsi
+                self.model = FNOPsi(self.nx, self.ny, width=cfg.fno_width,
+                                    modes=cfg.fno_modes,
+                                    transform=cfg.fno_transform,
+                                    precision=cfg.fno_precision)
             else:
                 channels = 1 if cfg.model == "fno_w" else 3
                 self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
@@ -231,10 +242,11 @@ class EnsembleTrainer:
                                     forward=self._forward)
 
             @jax.jit
-            def chunk(params, opt_state):
+            def chunk(params, opt_state, frames):
                 def body(carry, _):
                     params, opt_state = carry
-                    params, opt_state, losses = raw(params, opt_state)
+                    params, opt_state, losses = raw(params, opt_state,
+                                                    frames)
                     return (params, opt_state), losses
 
                 (params, opt_state), losses = jax.lax.scan(
@@ -253,8 +265,11 @@ class EnsembleTrainer:
         while it < cfg.n_iters:
             n = min(cfg.ckpt_every - it % cfg.ckpt_every, cfg.n_iters - it)
             chunk = self._train_chunk(n)
+            from ns_tpu.train.trainer import W_FAMILIES
+            frames = (self.w_frames if self.cfg.model in W_FAMILIES
+                      else self.obs)  # w_frames set by the FNO init branch
             self.params, self.opt_state, losses = chunk(
-                self.params, self.opt_state)
+                self.params, self.opt_state, frames)
             # to_host: the fno train executable contains complex ops whose
             # outputs cannot be read back directly over the axon tunnel
             from ns_tpu.utils.host import to_host
@@ -334,7 +349,7 @@ class EnsembleTrainer:
 
             return to_host(roll_w3(self.params, obs_full[0, 0, :3]))
 
-        if self.cfg.model in ("fno", "fno3d"):
+        if self.cfg.model in ("fno", "fno_psi", "fno3d"):
             from ns_tpu.train.trainer import rollout_post
             post = rollout_post(self.cfg)
 

@@ -38,11 +38,11 @@ from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
 MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-          "rnn", "fno", "fno_w", "fno3d", "fno3d_w")
+          "rnn", "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
 
 # the operator families: next-step maps whose training objective batches
 # trajectories and supports pushforward/noise (build_forward fno branch)
-FNO_FAMILIES = ("fno", "fno_w", "fno3d", "fno3d_w")
+FNO_FAMILIES = ("fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
 
 # the vorticity-representation members: train on the curl of the velocity
 # data (exactly derived), recover the full field contract at eval — the
@@ -252,6 +252,14 @@ def rollout_post(cfg):
     if cfg.model == "fno_w" and cfg.fno_dealias:
         from ns_tpu.models.vorticity import dealias_field
         return lambda x: dealias_field(x)
+    if cfg.model == "fno_psi" and cfg.fno_dealias:
+        # divergence-freedom is the head's algebraic property
+        # (models/streamfunction.py); the rollout filter only needs the
+        # 2/3-band stabilizer, applied channelwise (a spectral mask
+        # commutes with the spectral derivatives, so it preserves the
+        # solenoidal property exactly)
+        from ns_tpu.models.vorticity import dealias_field
+        return lambda x: dealias_field(x)
     if cfg.model == "fno" and getattr(cfg, "fno_project", False):
         from ns_tpu.models.projection import project_periodic
 
@@ -288,14 +296,22 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0,
     model axis — the objective itself is per-model identical).
 
     obs is (nt, M, 3, nx, ny) — M trajectories share the operator (M=1
-    for the reference's single-rollout protocol); w_frames (fno_w only)
-    is (nt, M, 1, nx, ny); data_scale sets the absolute std of
+    for the reference's single-rollout protocol); w_frames (w families)
+    is the derived training tensor; data_scale sets the absolute std of
     cfg.input_noise's perturbation. The basis families are
     single-trajectory by design (one learned coefficient trajectory —
     reference semantics); Trainer rejects M > 1 for them.
+
+    The returned forward accepts the training tensor as an OPTIONAL
+    runtime argument: forward(params, key, frames). Passing it (what
+    Trainer/EnsembleTrainer do) keeps the data out of the traced
+    closure — a closure-captured device array is embedded into the
+    lowered HLO as a literal, which at 3D scale (100 x 3 x 64^3 f32 =
+    315 MB) overflows the axon remote-compile request (HTTP 413) and is
+    pure waste everywhere else. frames=None falls back to the build-time
+    tensor (small-model convenience paths).
     """
     nt = obs.shape[0]
-    obs0 = obs[0]
 
     if mesh is None:
         shard_batch = lambda t: t  # noqa: E731 — single-device identity
@@ -311,18 +327,20 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0,
             # window/trajectory batch that parallelizes.
             return jax.lax.with_sharding_constraint(t, dp_sharding)
 
-    def forward(params, key=None):
+    def forward(params, key=None, frames=None):
+        if frames is None:
+            frames = (w_frames if cfg.model in W_FAMILIES else obs)
         if cfg.model == "rnn":
             # teacher-forced next-frame prediction (ref rnn.py:86-99);
             # trajectories ride the GRU batch axis
-            m = obs.shape[1]
-            obs_flat = shard_batch(jnp.swapaxes(obs, 0, 1).reshape(m, nt, -1))
+            m = frames.shape[1]
+            obs_flat = shard_batch(
+                jnp.swapaxes(frames, 0, 1).reshape(m, nt, -1))
             pred = model.apply(params, obs_flat[:, :-1])
             return pred, obs_flat[:, 1:]
         if cfg.model in FNO_FAMILIES:
             # (nt, M, C, *spatial): the trajectory axis is a batch axis of
             # the next-step operator (M=1 for reference-protocol data)
-            frames = (w_frames if cfg.model in W_FAMILIES else obs)
             k = max(cfg.fno_rollout_steps, 1)
             sigma = cfg.input_noise
             n_win = nt - k
@@ -372,8 +390,8 @@ def build_forward(cfg, model, obs, w_frames=None, data_scale=1.0,
                 targets.append(shard_batch(window(j)))
                 x = post(pred) if post is not None else pred
             return jnp.stack(preds), jnp.stack(targets)
-        pred = model.apply(params, obs0, nt)
-        return pred, obs
+        pred = model.apply(params, frames[0], nt)
+        return pred, frames
 
     return forward
 
@@ -430,6 +448,15 @@ class Trainer:
                                    modes=cfg.fno_modes, channels=channels,
                                    transform=cfg.fno_transform,
                                    precision=cfg.fno_precision)
+            elif cfg.model == "fno_psi":
+                # uvp-contract family with a divergence-free velocity
+                # head: trains on (u,v,p) directly, the increment is an
+                # exact curl (models/streamfunction.py)
+                from ns_tpu.models.streamfunction import FNOPsi
+                self.model = FNOPsi(self.nx, self.ny, width=cfg.fno_width,
+                                    modes=cfg.fno_modes,
+                                    transform=cfg.fno_transform,
+                                    precision=cfg.fno_precision)
             else:
                 channels = 1 if cfg.model == "fno_w" else 3
                 self.model = FNO2D(self.nx, self.ny, width=cfg.fno_width,
@@ -549,17 +576,28 @@ class Trainer:
                             getattr(self, "_data_scale", 1.0),
                             mesh=self.mesh)
 
-        def loss_fn(params, key):
-            pred, target = fwd(params, key)
+        def loss_fn(params, key, frames):
+            pred, target = fwd(params, key, frames)
             return l2_loss(pred, target)
 
-        def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        def step(params, opt_state, key, frames):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, frames)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         return step
+
+    @property
+    def _train_frames(self):
+        """The training tensor the jitted chunk receives at RUNTIME (the
+        derived w-frames for the w families, obs otherwise) — an argument,
+        never a traced closure: closure-captured device arrays embed into
+        the lowered HLO as literals, which at 3D scale overflows the axon
+        remote-compile request (build_forward docstring)."""
+        if self.cfg.model in W_FAMILIES:
+            return self.w_frames
+        return self.obs
 
     def _train_chunk(self, n: int):
         """n train steps fused into ONE dispatch (lax.scan over the step) —
@@ -570,11 +608,12 @@ class Trainer:
             raw = self._make_train_step()
 
             @jax.jit
-            def chunk(params, opt_state, key):
+            def chunk(params, opt_state, key, frames):
                 def body(carry, _):
                     params, opt_state, key = carry
                     key, sub = jax.random.split(key)
-                    params, opt_state, loss = raw(params, opt_state, sub)
+                    params, opt_state, loss = raw(params, opt_state, sub,
+                                                  frames)
                     return (params, opt_state, key), loss
 
                 (params, opt_state, key), losses = jax.lax.scan(
@@ -602,7 +641,8 @@ class Trainer:
                 n = min(cfg.ckpt_every - it % cfg.ckpt_every, cfg.n_iters - it)
                 step_chunk = self._train_chunk(n)
                 self.params, self.opt_state, self._noise_key, losses = (
-                    step_chunk(self.params, self.opt_state, self._noise_key))
+                    step_chunk(self.params, self.opt_state, self._noise_key,
+                               self._train_frames))
                 # one bulk device->host transfer (per-scalar reads cost a
                 # full tunnel round trip each); to_host because the fno
                 # fft engine puts complex ops in the train executable
@@ -704,7 +744,7 @@ class Trainer:
                 return jax.vmap(uvwp_from_omega)(om_seq)
 
             return to_host(run_w3(self.params, obs_full[0, 0, :3]))
-        if self.cfg.model in ("fno", "fno3d"):
+        if self.cfg.model in ("fno", "fno_psi", "fno3d"):
             post = rollout_post(self.cfg)
 
             @jax.jit
