@@ -72,6 +72,11 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int,
         return FNO2D(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
                      channels=channels, transform=cfg.fno_transform,
                      precision=cfg.fno_precision)
+    if cfg.model == "fno_psi":
+        from ns_tpu.models.streamfunction import FNOPsi
+        return FNOPsi(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
+                      transform=cfg.fno_transform,
+                      precision=cfg.fno_precision)
     if cfg.model in ("fno3d", "fno3d_w"):
         from ns_tpu.models.fno3d import FNO3D
         return FNO3D(nx, ny, nz, width=cfg.fno_width, modes=cfg.fno_modes,
@@ -402,7 +407,8 @@ class InferenceEngine(ServingBase):
         if n_steps < 0:
             raise ValueError(f"n_steps must be >= 0, got {n_steps}")
         t0 = time.perf_counter()
-        if self.cfg.model in ("fno", "fno_w", "fno3d", "fno3d_w"):
+        if self.cfg.model in ("fno", "fno_w", "fno_psi", "fno3d",
+                              "fno3d_w"):
             out = self._predict_fno(frame0, n_steps)
         elif self.cfg.model == "rnn":
             out = self._predict_rnn(frame0, n_steps)

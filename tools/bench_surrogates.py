@@ -162,6 +162,10 @@ def main():
             ("fno_w (vorticity, 8-step)",
              dict(model="fno_w", fno_rollout_steps=8,
                   fno_modes=full_modes)),
+            ("fno_psi (streamfunction head, next-step)",
+             dict(model="fno_psi", fno_modes=modes)),
+            ("fno_psi (streamfunction head, 4-step)",
+             dict(model="fno_psi", fno_rollout_steps=4, fno_modes=modes)),
             ("fno (4-step + noise 0.02)",
              dict(model="fno", fno_rollout_steps=4, fno_modes=modes,
                   input_noise=0.02)),
@@ -175,12 +179,13 @@ def main():
                 if any(s in n for s in args.only)]
     if args.n_traj > 1:
         skipped = [n for n, kw in jobs
-                   if kw.get("model", "") not in ("fno", "fno_w", "rnn")]
+                   if kw.get("model", "") not in ("fno", "fno_w", "fno_psi", "rnn")]
         if skipped:
             print(f"(--n-traj: skipping single-trajectory families: "
                   f"{skipped})", flush=True)
         jobs = [(n, kw) for n, kw in jobs
-                if kw.get("model", "") in ("fno", "fno_w", "rnn")]
+                if kw.get("model", "") in ("fno", "fno_w", "fno_psi",
+                                           "rnn")]
     for name, kw in jobs:
         kw = dict(kw)
         n_models = kw.pop("n_models", 1)
