@@ -57,6 +57,11 @@ def main(argv=None):
                    help="compile + run this many rollout steps before "
                         "accepting requests (pays the first-compile cost "
                         "at startup, not on the first request)")
+    p.add_argument("--coalesce", type=int, default=0,
+                   help="> 0: coalesce up to N concurrent same-shape "
+                        "single-state requests into one batched device "
+                        "program (single-model surrogate engines only; "
+                        "docs/serving.md)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-request access logs")
     args = p.parse_args(argv)
@@ -98,7 +103,8 @@ def main(argv=None):
         print(f"warmup: compiling {args.warmup_steps}-step rollout ...",
               flush=True)
         engine.warmup(args.warmup_steps)
-    serve(engine, host=args.host, port=args.port, quiet=args.quiet)
+    serve(engine, host=args.host, port=args.port, quiet=args.quiet,
+          coalesce=args.coalesce)
 
 
 if __name__ == "__main__":

@@ -39,9 +39,11 @@ MAX_BODY_BYTES = 1 << 30
 
 
 class _Handler(BaseHTTPRequestHandler):
-    # engine + lock injected by make_server via a subclass attribute
+    # engine + lock (+ optional coalescer) injected by make_server via a
+    # subclass attribute
     engine: InferenceEngine = None
     lock: threading.Lock = None
+    dispatcher = None  # serve.batching.CoalescingDispatcher when enabled
     quiet: bool = True
 
     def log_message(self, fmt, *args):  # default stderr spam off
@@ -94,8 +96,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(400, {"error": str(e)})
             return
         try:
-            with self.lock:
-                out = self.engine.predict(frame0, steps)
+            # single-state requests ride the coalescer when enabled: the
+            # dispatcher stacks concurrent same-shape requests into ONE
+            # batched device program (serve/batching.py). Client-batched
+            # requests (an extra leading axis) and ensemble engines keep
+            # the serialized path.
+            state_rank = 4 if getattr(self.engine, "nz", None) else 3
+            if self.dispatcher is not None and frame0.ndim == state_rank:
+                out = self.dispatcher.submit(frame0, steps)
+            else:
+                with self.lock:
+                    out = self.engine.predict(frame0, steps)
             if self.engine.n_models > 1:
                 if reduce != "members":
                     out = out.mean(axis=0) if reduce == "mean" else \
@@ -119,9 +130,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                port: int = 8765, quiet: bool = True) -> ThreadingHTTPServer:
+                port: int = 8765, quiet: bool = True,
+                coalesce: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; call .serve_forever() or drive
-    it from a thread (tests)."""
+    it from a thread (tests).
+
+    coalesce > 0 turns on request coalescing for single-model surrogate
+    engines: up to `coalesce` concurrent same-shape requests share one
+    batched device program (serve/batching.py). Ensembles and the
+    single-state solver oracles keep the serialized lock path. The
+    returned server's .dispatcher (when set) owns a daemon thread;
+    server_close() shuts it down."""
 
     class Handler(_Handler):
         pass
@@ -129,12 +148,34 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     Handler.engine = engine
     Handler.lock = threading.Lock()
     Handler.quiet = quiet
-    return ThreadingHTTPServer((host, port), Handler)
+    dispatcher = None
+    if coalesce > 0:
+        if not (isinstance(engine, InferenceEngine)
+                and engine.n_models == 1):
+            raise ValueError(
+                "coalesce > 0 needs a single-model surrogate engine: the "
+                "solver oracles are single-state (serve/solver.py) and "
+                "ensemble replies already carry a member axis "
+                "(serve/batching.py scope note)")
+        from ns_tpu.serve.batching import CoalescingDispatcher
+        dispatcher = CoalescingDispatcher(engine, max_batch=coalesce)
+    Handler.dispatcher = dispatcher
+
+    class Server(ThreadingHTTPServer):
+        def server_close(self):
+            if dispatcher is not None:
+                dispatcher.close()
+            super().server_close()
+
+    srv = Server((host, port), Handler)
+    srv.dispatcher = dispatcher
+    return srv
 
 
 def serve(engine: InferenceEngine, host: str = "127.0.0.1",
-          port: int = 8765, quiet: bool = False) -> None:
-    httpd = make_server(engine, host, port, quiet=quiet)
+          port: int = 8765, quiet: bool = False,
+          coalesce: int = 0) -> None:
+    httpd = make_server(engine, host, port, quiet=quiet, coalesce=coalesce)
     model = getattr(engine, "model_name", None) or engine.cfg.model
     nz = getattr(engine, "nz", None)
     print(f"serving {model} ({engine.nx}x{engine.ny}"

@@ -467,3 +467,77 @@ def test_serve_cli_3d_validation():
                 ["--solver", "--dims", "3", "--forcing", "fno"]):
         with pytest.raises(SystemExit):
             serve_main(bad)
+
+
+# ---------------------------------------------------------------------------
+# Request coalescing (serve/batching.py — VERDICT r3 weak #5)
+# ---------------------------------------------------------------------------
+
+def test_coalescing_matches_serialized_and_batches(tmp_path):
+    """N concurrent clients through the coalescing server get byte-
+    identical replies to the serialized engine path, and the dispatcher
+    actually coalesces (fewer device batches than requests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ns_tpu.serve.server import make_server
+
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnocoal")
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
+    httpd = make_server(eng, host="127.0.0.1", port=0, coalesce=8)
+    assert httpd.dispatcher is not None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    rng = np.random.default_rng(0)
+    frames = [rng.standard_normal((3, nx, ny)).astype(np.float32)
+              for _ in range(12)]
+    want = [eng.predict(f, 5) for f in frames]  # serialized oracle
+    try:
+        with ThreadPoolExecutor(max_workers=12) as ex:
+            got = list(ex.map(
+                lambda f: _post_npy(port, "/rollout?steps=5", f), frames))
+        for (status, body), w in zip(got, want):
+            assert status == 200
+            out = np.load(io.BytesIO(body), allow_pickle=False)
+            assert out.shape == (6, 3, nx, ny)
+            # engine batch programs equal the single path to fp tolerance
+            # (same traced math, batched leading axis)
+            np.testing.assert_allclose(out, w, rtol=1e-4, atol=1e-5)
+        st = httpd.dispatcher.stats()
+        assert st["coalesced_requests"] >= 12
+        assert st["batches"] < 12  # something actually coalesced
+        # client-batched requests keep the serialized path (extra axis)
+        status, body = _post_npy(
+            port, "/rollout?steps=2", np.stack(frames[:2]))
+        assert status == 200
+        out = np.load(io.BytesIO(body), allow_pickle=False)
+        assert out.shape == (2, 3, 3, nx, ny)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    assert not httpd.dispatcher._thread.is_alive()
+
+
+def test_coalesce_rejected_for_solver_and_ensemble(tmp_path):
+    from ns_tpu.serve.server import make_server
+    from ns_tpu.serve.solver import SolverEngine
+
+    with pytest.raises(ValueError, match="single-model surrogate"):
+        make_server(SolverEngine(8, 8), port=0, coalesce=4)
+
+
+def test_coalescer_propagates_engine_errors(tmp_path):
+    """A request whose batch fails gets the engine's error, not a hang."""
+    from ns_tpu.serve.batching import CoalescingDispatcher
+
+    tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnoerr")
+    eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
+    d = CoalescingDispatcher(eng, max_batch=4)
+    try:
+        with pytest.raises(ValueError):
+            d.submit(np.zeros((3, nx, ny), np.float32), -1)
+        # still serviceable afterwards
+        out = d.submit(np.zeros((3, nx, ny), np.float32), 2)
+        assert out.shape == (3, 3, nx, ny)
+    finally:
+        d.close()
