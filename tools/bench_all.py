@@ -158,8 +158,9 @@ def main():
                      f"{200/el:.0f} steps/s",
                      f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
 
-    # --- chorin_spectral (corrected, stable) --------------------------------
-    for nx in (128, 256):
+    # --- chorin_spectral (corrected, stable; the parity-split half-flop
+    # engine auto-enables at interior >= 192 — ops/parity.py) ----------------
+    for nx in (128, 256, 512):
         bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
         x = cheb.gauss_lobatto(nx)
         X, Y = np.meshgrid(x, x, indexing="ij")
@@ -169,9 +170,10 @@ def main():
             u0, v0, np.zeros((nx, nx)), bc0, bc0, nt=200, nx=nx, ny=nx,
             dt=2e-4, rho=1, nu=0.1, dtype=jnp.float32, quirk_compat=False)
         el = timeit(lambda: s.simulate(), n=2)
-        rows.append((f"chorin_spectral(corrected) {nx}^2, 200 steps",
+        tag = ", parity-split" if nx - 2 >= 192 else ""
+        rows.append((f"chorin_spectral(corrected{tag}) {nx}^2, 200 steps",
                      f"{200/el:.0f} steps/s",
-                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+                     f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
 
     # --- 3D spectral family (matmul engine; fft rows in the RESULTS 3D
     # engine table — tools/bench_3d.py) --------------------------------------
@@ -207,6 +209,31 @@ def main():
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n" + tail)
     print("\n".join(out))
+
+    # --- keep BASELINE.md's measured section in lockstep -------------------
+    # BASELINE.md is the driver-facing oracle/summary file; its "Measured
+    # ns_tpu rows" section is OWNED by this script (VERDICT r3 weak #4:
+    # hand-maintained copies drifted 4x behind bench.py). The markers
+    # bracket the generated region; everything outside is hand-written.
+    bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "BASELINE.md")
+    begin = "<!-- BEGIN MEASURED (generated by tools/bench_all.py) -->"
+    end = "<!-- END MEASURED -->"
+    gen = [begin,
+           f"**Measured ns_tpu rows** ({dev}, float32; regenerated by "
+           "`python tools/bench_all.py` — identical to RESULTS.md's "
+           "table, quoted here so the driver-facing summary cannot "
+           "drift):", "",
+           "| workload | steps/s | throughput |", "|---|---|---|"]
+    gen += ["| " + " | ".join(r) + " |" for r in rows]
+    gen.append(end)
+    btxt = open(bpath).read()
+    i, j = btxt.find(begin), btxt.find(end)
+    if i == -1 or j == -1:
+        raise SystemExit(f"BASELINE.md is missing the {begin!r} / {end!r} "
+                         "markers; restore them before regenerating")
+    open(bpath, "w").write(btxt[:i] + "\n".join(gen) + btxt[j + len(end):])
+    print(f"(BASELINE.md measured section regenerated: {len(rows)} rows)")
 
 
 if __name__ == "__main__":
