@@ -82,6 +82,15 @@ class Spectral3DConfig:
     forcing_k: int = 4
     forcing_amp: float = 0.1
 
+    # VMEM-fused z+y transform stages (ops/pallas/transform3d_kernels.py):
+    # the inter-stage pencil stays on-chip instead of a full-grid complex
+    # HBM round trip. matmul engine + float32 only (Mosaic has no f64).
+    # Default off pending the per-grid measurement (RESULTS.md "VMEM-fused
+    # Pallas 3D transform"); pallas_interpret runs the kernels in
+    # interpreter mode (CPU parity tests).
+    use_pallas_transform: bool = False
+    pallas_interpret: bool = False
+
     # measured on v5e (RESULTS.md "3D spectral engines"): the compact
     # matmul-DFT beats XLA's emulated FFT at every size that fits one
     # chip; the crossover is kept as a config so 'auto' stays honest if
@@ -107,6 +116,12 @@ class Spectral3DConfig:
             raise ValueError("transform='matmul' carries the dealias-"
                              "truncated compact spectrum and needs "
                              "dealias=True")
+        if self.use_pallas_transform and (self.transform != "matmul"
+                                          or self.dtype != "float32"):
+            raise ValueError(
+                "use_pallas_transform fuses the compact matmul engine's "
+                "z+y stages and needs transform='matmul' + "
+                "dtype='float32' (Mosaic has no f64)")
 
     @property
     def real_dtype(self):
@@ -272,6 +287,28 @@ def make_compact_transforms(cfg: Spectral3DConfig):
     prec = cfg.matmul_precision
     ein = lambda s, a, b: jnp.einsum(s, a, b, precision=prec)
     cplx = lambda k: jax.lax.complex(*dev[k])
+
+    if cfg.use_pallas_transform:
+        # VMEM-fused z+y stages (ops/pallas/transform3d_kernels.py): the
+        # inter-stage pencil never round-trips HBM; the x-stage (which
+        # contracts across x-rows) stays the einsum on the truncated
+        # tensor. Same math as the einsum chain below to fp reassociation
+        # (interpret-mode parity test, repo convention).
+        from ns_tpu.ops.pallas.transform3d_kernels import (fused_yz_inverse,
+                                                           fused_zy_forward)
+
+        def fwd(w):
+            t = fused_zy_forward(w, M["Fz_t"], M["Fy_t"], precision=prec,
+                                 interpret=cfg.pallas_interpret)
+            return ein("...xbk,ax->...abk", t, cplx("Fx_t"))
+
+        def inv(z):
+            a = ein("...abk,xa->...xbk", z, cplx("Fxi_t"))
+            return fused_yz_inverse(a, M["Fyi_t"], M["Bz"], cfg.nz,
+                                    precision=prec,
+                                    interpret=cfg.pallas_interpret)
+
+        return fwd, inv
 
     def fwd(w):
         # contract the axis that shrinks most first (z: nz -> Kzc)

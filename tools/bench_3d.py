@@ -59,11 +59,13 @@ def main():
     for n in (int(s) for s in args.sizes.split(",")):
         u0 = np.asarray(s3.taylor_green_velocity(
             s3.Spectral3DConfig(nx=n, ny=n, nz=n)))
-        engines = [("fft", None)] + [("matmul", p) for p in
-                                     args.precisions.split(",")]
-        for transform, prec in engines:
+        engines = [("fft", None, False)] + [
+            ("matmul", p, f) for p in args.precisions.split(",")
+            for f in (False, True)]
+        for transform, prec, fused in engines:
             kw = dict(nt=args.nt, nx=n, ny=n, nz=n, dt=5e-4, nu=6.25e-4,
-                      dtype="float32", transform=transform)
+                      dtype="float32", transform=transform,
+                      use_pallas_transform=fused)
             if prec:
                 kw["matmul_precision"] = prec
             cfg = s3.Spectral3DConfig(**kw)
@@ -71,14 +73,16 @@ def main():
                 t = bench(cfg, u0)
             except Exception as e:  # OOM at large grids: record, continue
                 rows.append(dict(n=n, engine=transform, prec=prec,
-                                 error=str(e)[:120]))
+                                 fused=fused, error=str(e)[:120]))
                 print(rows[-1])
                 continue
             cups = args.nt * n**3 / t
-            rows.append(dict(n=n, engine=transform, prec=prec,
+            rows.append(dict(n=n, engine=transform, prec=prec, fused=fused,
                              ms_per_step=1e3 * t / args.nt, gcups=cups / 1e9))
-            print(f"{n}^3 {transform}{'/' + prec if prec else '':10s} "
-                  f"{1e3 * t / args.nt:8.3f} ms/step  {cups / 1e9:7.2f} Gcups")
+            tag = transform + ("/" + prec if prec else "") + \
+                ("+pallas" if fused else "")
+            print(f"{n}^3 {tag:22s} {1e3 * t / args.nt:8.3f} ms/step  "
+                  f"{cups / 1e9:7.2f} Gcups")
     print(json.dumps(rows))
 
 
