@@ -235,8 +235,8 @@ def test_dp_train_step_grad_sync_only(tmp_path):
     # sharding here comes from with_sharding_constraint under plain jit,
     # so the collectives only exist AFTER the SPMD partitioner runs —
     # count them in the compiled HLO, not the StableHLO
-    hlo = chunk.lower(tr.params, tr.opt_state,
-                      tr._noise_key).compile().as_text()
+    hlo = chunk.lower(tr.params, tr.opt_state, tr._noise_key,
+                      tr._train_frames).compile().as_text()
     ops = Counter(re.findall(r"\b(all-reduce|all-gather|all-to-all|"
                              r"collective-permute)(?:-start)?\b", hlo))
     assert ops.get("all-reduce", 0) >= 1, ops

@@ -45,13 +45,20 @@ def main():
     ap.add_argument("--frame-stride", type=int, default=100,
                     help="solver steps per saved frame")
     ap.add_argument("--nu", type=float, default=6.25e-4)
-    ap.add_argument("--fno-width", type=int, default=32)
+    ap.add_argument("--fno-width", type=int, default=24)
     ap.add_argument("--fno-modes", type=int, default=None,
-                    help="modes per axis (default: nx/4, capped 16)")
-    ap.add_argument("--batch-size", type=int, default=8,
+                    help="modes per axis (default: nx/4, capped 12 - "
+                         "width 24 / modes 12 / batch 4 fits the 16 GB "
+                         "chip with the 100-frame 64^3 dataset resident; "
+                         "modes 16 / width 32 / batch 8 OOMs)")
+    ap.add_argument("--batch-size", type=int, default=4,
                     help="training windows sampled per step (full-batch "
                          "3D training at 64^3 exceeds HBM; stochastic "
                          "minibatching is the 3D path)")
+    ap.add_argument("--data", default=None,
+                    help="npz cache path: reuse the solver dataset if it "
+                         "exists, else generate and save there (the 64^3 "
+                         "stride-100 rollout costs ~20 min)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="substring filter on job names (default: all)")
     ap.add_argument("--cpu", action="store_true",
@@ -99,15 +106,22 @@ def main():
 
     strided = jax.jit(partial(s3.simulate_strided, cfg),
                       static_argnames=("n_frames", "stride", "spinup"))
-    u0 = s3.random_solenoidal_velocity(cfg, seed=0, k_peak=max(3.0, n / 16))
-    t0 = time.perf_counter()
-    u, v, w, p = (np.asarray(a) for a in to_host(
-        strided(u0, n_frames=args.nt, stride=stride, spinup=spinup)))
-    print(f"(data: {args.nt} frames at {n}^3, stride {stride}, "
-          f"{time.perf_counter() - t0:.0f} s)", flush=True)
+    if args.data and os.path.exists(args.data):
+        d = np.load(args.data)
+        u, v, w, p = d["u"], d["v"], d["w"], d["p"]
+        print(f"(data: cached {args.data}, {u.shape})", flush=True)
+    else:
+        u0 = s3.random_solenoidal_velocity(cfg, seed=0,
+                                           k_peak=max(3.0, n / 16))
+        t0 = time.perf_counter()
+        u, v, w, p = (np.asarray(a) for a in to_host(
+            strided(u0, n_frames=args.nt, stride=stride, spinup=spinup)))
+        print(f"(data: {args.nt} frames at {n}^3, stride {stride}, "
+              f"{time.perf_counter() - t0:.0f} s)", flush=True)
     tmp = tempfile.mkdtemp()
-    npz = os.path.join(tmp, "data3d.npz")
-    np.savez(npz, u=u, v=v, w=w, p=p)
+    npz = args.data or os.path.join(tmp, "data3d.npz")
+    if not os.path.exists(npz):
+        np.savez(npz, u=u, v=v, w=w, p=p)
     obs_full = np.stack([u, v, w, p], axis=1)  # (nt, 4, nx, ny, nz)
 
     def rel(pred, target):
@@ -124,7 +138,7 @@ def main():
           f"{rel(persist, obs_full):.2f} | {spec_err(persist):.3f} | 0 s |",
           flush=True)
 
-    modes = args.fno_modes or min(16, n // 4)
+    modes = args.fno_modes or min(12, n // 4)
     jobs = [("fno3d (uvwp, next-step)", dict(model="fno3d")),
             ("fno3d (uvwp, 4-step + projection)",
              dict(model="fno3d", fno_rollout_steps=4, fno_project=True,
