@@ -114,6 +114,50 @@ def uvwp_from_omega(omega: Array, rho: float = 1.0,
     om_hat = jnp.fft.rfftn(omega, axes=(-3, -2, -1))
     u_hat = velocity_from_vorticity3d_hat(ops, om_hat)
     u = jnp.fft.irfftn(u_hat, s=(nx, ny, nz), axes=(-3, -2, -1))
+    return jnp.concatenate([u, _pressure_from_u(ops, u, rho)[None]],
+                           axis=0)
+
+
+def vecpot_from_velocity(uvw: Array, dtype: str = "float32") -> Array:
+    """Coulomb-gauge vector potential A with curl(A) = u:
+    A_hat = i k x u_hat / |k|^2 — (..., 3, nx, ny, nz) -> same shape.
+
+    The SMOOTH divergence-free representation: where omega = curl(u)
+    steepens the velocity spectrum by k (rough target, closed-loop
+    high-wavenumber noise is amplified on recovery), A flattens it by
+    1/k — prediction noise at high k is DAMPED by the curl recovery.
+    div A = 0 by construction (k . (k x a) = 0), and for solenoidal
+    zero-mean u, curl A = -(k x (k x u_hat))/|k|^2 = u_hat exactly on
+    the 2/3 band (same scope notes as the omega representation)."""
+    nx, ny, nz = uvw.shape[-3], uvw.shape[-2], uvw.shape[-1]
+    _, ops = _ops(nx, ny, nz, dtype)
+    u_hat = jnp.fft.rfftn(uvw, axes=(-3, -2, -1))
+    a_hat = jnp.where(ops["mask"], _curl_hat(ops, u_hat) * ops["inv_k2"],
+                      0.0)
+    return jnp.fft.irfftn(a_hat, s=(nx, ny, nz), axes=(-3, -2, -1))
+
+
+def uvwp_from_vecpot(A: Array, rho: float = 1.0,
+                     dtype: str = "float32") -> Array:
+    """Exact zero-mean (u, v, w, p) recovery from a (3, nx, ny, nz)
+    vector potential (vmap for batches): u = curl(A) — divergence-free
+    for ANY predicted A (div curl = 0 identically on the paired modes;
+    the band mask removes the unpaired Nyquist planes) — and the same
+    diagnostic spectral pressure as uvwp_from_omega."""
+    nx, ny, nz = A.shape[-3], A.shape[-2], A.shape[-1]
+    _, ops = _ops(nx, ny, nz, dtype)
+    a_hat = jnp.fft.rfftn(A, axes=(-3, -2, -1))
+    u_hat = jnp.where(ops["mask"], _curl_hat(ops, a_hat), 0.0)
+    u = jnp.fft.irfftn(u_hat, s=(nx, ny, nz), axes=(-3, -2, -1))
+    return jnp.concatenate([u, _pressure_from_u(ops, u, rho)[None]],
+                           axis=0)
+
+
+def _pressure_from_u(ops, u: Array, rho: float = 1.0) -> Array:
+    """Diagnostic spectral pressure from physical velocity (the shared
+    tail of uvwp_from_omega / uvwp_from_vecpot; solver formulas —
+    solvers/spectral3d.py::pressure_from_hat)."""
+    nx, ny, nz = u.shape[-3], u.shape[-2], u.shape[-1]
     prods = jnp.stack([u[0] * u[0], u[1] * u[1], u[2] * u[2],
                        u[0] * u[1], u[0] * u[2], u[1] * u[2]])
     T = jnp.fft.rfftn(prods, axes=(-3, -2, -1))
@@ -123,8 +167,15 @@ def uvwp_from_omega(omega: Array, rho: float = 1.0,
                    + ops["kx"] * ops["kz"] * T[4]
                    + ops["ky"] * ops["kz"] * T[5]))
     p_hat = -rho * kk * ops["inv_k2"]
-    p = jnp.fft.irfftn(p_hat, s=(nx, ny, nz), axes=(-3, -2, -1))
-    return jnp.concatenate([u, p[None]], axis=0)
+    return jnp.fft.irfftn(p_hat, s=(nx, ny, nz), axes=(-3, -2, -1))
+
+
+# 3D divergence-free representation registry: model name ->
+# (to_representation(uvw), to_uvwp(field)). Trainer/ensemble/serving all
+# dispatch through this table so adding a representation is one entry.
+def repr3d_fns(model: str):
+    return {"fno3d_w": (vorticity3d_from_velocity, uvwp_from_omega),
+            "fno3d_a": (vecpot_from_velocity, uvwp_from_vecpot)}[model]
 
 
 def dealias_field3d(x: Array) -> Array:

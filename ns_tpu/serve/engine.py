@@ -77,10 +77,10 @@ def _build_model(cfg: TrainConfig, nx: int, ny: int,
         return FNOPsi(nx, ny, width=cfg.fno_width, modes=cfg.fno_modes,
                       transform=cfg.fno_transform,
                       precision=cfg.fno_precision)
-    if cfg.model in ("fno3d", "fno3d_w"):
+    if cfg.model in ("fno3d", "fno3d_w", "fno3d_a"):
         from ns_tpu.models.fno3d import FNO3D
         return FNO3D(nx, ny, nz, width=cfg.fno_width, modes=cfg.fno_modes,
-                     channels=3 if cfg.model == "fno3d_w" else 4,
+                     channels=4 if cfg.model == "fno3d" else 3,
                      transform=cfg.fno_transform,
                      precision=cfg.fno_precision)
     if cfg.model == "rnn":
@@ -213,11 +213,12 @@ class InferenceEngine(ServingBase):
         most log2(chunk) distinct programs exist."""
         post = self._fno_post()
         is_w = self.cfg.model == "fno_w"
-        is_w3 = self.cfg.model == "fno3d_w"
+        is_w3 = self.cfg.model in ("fno3d_w", "fno3d_a")
         if is_w:
             from ns_tpu.models.vorticity import uvp_from_w
         if is_w3:
-            from ns_tpu.models.vorticity3d import uvwp_from_omega
+            from ns_tpu.models.vorticity3d import repr3d_fns
+            _, uvwp_from_repr = repr3d_fns(self.cfg.model)
 
         def build():
             def run1(params, x):
@@ -229,7 +230,7 @@ class InferenceEngine(ServingBase):
                         xs.shape[:-3] + (3, self.nx, self.ny))
                 elif is_w3:
                     om_flat = xs.reshape(-1, 3, self.nx, self.ny, self.nz)
-                    frames = jax.vmap(uvwp_from_omega)(om_flat).reshape(
+                    frames = jax.vmap(uvwp_from_repr)(om_flat).reshape(
                         xs.shape[:-4] + (4, self.nx, self.ny, self.nz))
                 else:
                     frames = xs
@@ -244,11 +245,12 @@ class InferenceEngine(ServingBase):
         """jitted state echo in (u, v, p) space: ([M,] B, C, nx, ny) ->
         ([M,] B, 3, nx, ny) — frame 0 of every reply."""
         is_w = self.cfg.model == "fno_w"
-        is_w3 = self.cfg.model == "fno3d_w"
+        is_w3 = self.cfg.model in ("fno3d_w", "fno3d_a")
         if is_w:
             from ns_tpu.models.vorticity import uvp_from_w
         if is_w3:
-            from ns_tpu.models.vorticity3d import uvwp_from_omega
+            from ns_tpu.models.vorticity3d import repr3d_fns
+            _, uvwp_from_repr = repr3d_fns(self.cfg.model)
 
         def build():
             @jax.jit
@@ -260,7 +262,7 @@ class InferenceEngine(ServingBase):
                         state.shape[:-3] + (3, self.nx, self.ny))
                 if is_w3:
                     om = state.reshape(-1, 3, self.nx, self.ny, self.nz)
-                    return jax.vmap(uvwp_from_omega)(om).reshape(
+                    return jax.vmap(uvwp_from_repr)(om).reshape(
                         state.shape[:-4] + (4, self.nx, self.ny, self.nz))
                 return state
 
@@ -292,17 +294,19 @@ class InferenceEngine(ServingBase):
                 return to_w
 
             state = self._program(("w",), build_w)(x)          # (B, 1, nx, ny)
-        elif cfg.model == "fno3d_w":
-            from ns_tpu.models.vorticity3d import vorticity3d_from_velocity
+        elif cfg.model in ("fno3d_w", "fno3d_a"):
+            from ns_tpu.models.vorticity3d import repr3d_fns
+            to_repr, _ = repr3d_fns(cfg.model)
 
             def build_w3():
                 @jax.jit
                 def to_w3(uvwp):
-                    return vorticity3d_from_velocity(uvwp[:, :3])
+                    return to_repr(uvwp[:, :3])
 
                 return to_w3
 
-            state = self._program(("w3",), build_w3)(x)  # (B, 3, nx, ny, nz)
+            state = self._program(("w3", cfg.model),
+                                  build_w3)(x)  # (B, 3, nx, ny, nz)
         else:
             state = x                                          # (B, 3, nx, ny)
         m = self.n_models
@@ -408,7 +412,7 @@ class InferenceEngine(ServingBase):
             raise ValueError(f"n_steps must be >= 0, got {n_steps}")
         t0 = time.perf_counter()
         if self.cfg.model in ("fno", "fno_w", "fno_psi", "fno3d",
-                              "fno3d_w"):
+                              "fno3d_w", "fno3d_a"):
             out = self._predict_fno(frame0, n_steps)
         elif self.cfg.model == "rnn":
             out = self._predict_rnn(frame0, n_steps)

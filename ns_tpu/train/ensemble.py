@@ -97,7 +97,8 @@ def train_ensemble(model, obs, nt: int, n_models: int, n_iters: int,
 # ---------------------------------------------------------------------------
 
 ENSEMBLE_MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-                   "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
+                   "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w",
+                   "fno3d_a")
 
 
 def ensemble_mesh(n_models: int) -> Optional[Mesh]:
@@ -152,7 +153,7 @@ class EnsembleTrainer:
         self.nx, self.ny = spatial[0], spatial[1]
         self.nz = spatial[2] if len(spatial) == 3 else None
         from ns_tpu.train.trainer import FNO_FAMILIES, W_FAMILIES
-        wants_3d = cfg.model in ("fno3d", "fno3d_w")
+        wants_3d = cfg.model in ("fno3d", "fno3d_w", "fno3d_a")
         if (self.nz is not None) != wants_3d:
             raise ValueError(
                 f"{cfg.model!r} expects "
@@ -171,9 +172,9 @@ class EnsembleTrainer:
                 raise ValueError(
                     f"fno_rollout_steps must be in [1, n_frames={self.nt}); "
                     f"got {cfg.fno_rollout_steps}")
-            if cfg.model in ("fno3d", "fno3d_w"):
+            if cfg.model in ("fno3d", "fno3d_w", "fno3d_a"):
                 from ns_tpu.models.fno3d import FNO3D
-                channels = 3 if cfg.model == "fno3d_w" else 4
+                channels = 4 if cfg.model == "fno3d" else 3
                 self.model = FNO3D(self.nx, self.ny, self.nz,
                                    width=cfg.fno_width,
                                    modes=cfg.fno_modes, channels=channels,
@@ -200,10 +201,10 @@ class EnsembleTrainer:
                     lambda a, b: vorticity_from_uv(a, b))(
                         self.obs[:, :, 0],
                         self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
-            elif cfg.model == "fno3d_w":
-                from ns_tpu.models.vorticity3d import \
-                    vorticity3d_from_velocity
-                self.w_frames = jax.jit(vorticity3d_from_velocity)(
+            elif cfg.model in ("fno3d_w", "fno3d_a"):
+                from ns_tpu.models.vorticity3d import repr3d_fns
+                to_repr, _ = repr3d_fns(cfg.model)
+                self.w_frames = jax.jit(to_repr)(
                     self.obs[:, :, :3])        # (nt, M, 3, nx, ny, nz)
             self._forward = build_forward(cfg, self.model, self.obs,
                                           self.w_frames)
@@ -329,21 +330,21 @@ class EnsembleTrainer:
 
             return to_host(roll_w(self.params, obs_full[0, 0]))
 
-        if self.cfg.model == "fno3d_w":
-            from ns_tpu.models.vorticity3d import (uvwp_from_omega,
-                                                   vorticity3d_from_velocity)
+        if self.cfg.model in ("fno3d_w", "fno3d_a"):
+            from ns_tpu.models.vorticity3d import repr3d_fns
             from ns_tpu.train.trainer import rollout_post
+            to_repr, to_uvwp = repr3d_fns(self.cfg.model)
             post = rollout_post(self.cfg)
 
             @jax.jit
             def roll_w3(params, uvw0):
-                om0 = vorticity3d_from_velocity(uvw0)  # (3, nx, ny, nz)
+                r0 = to_repr(uvw0)                     # (3, nx, ny, nz)
 
                 def one(p):
-                    om_seq = self.model.rollout(p, om0, nt_full - 1,
-                                                post=post)
-                    om_seq = jnp.concatenate([om0[None], om_seq], axis=0)
-                    return jax.vmap(uvwp_from_omega)(om_seq)
+                    r_seq = self.model.rollout(p, r0, nt_full - 1,
+                                               post=post)
+                    r_seq = jnp.concatenate([r0[None], r_seq], axis=0)
+                    return jax.vmap(to_uvwp)(r_seq)
 
                 return jax.vmap(one)(params)
 

@@ -38,17 +38,19 @@ from ns_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from ns_tpu.train.metrics import AverageMeter, l2_loss
 
 MODELS = ("basis_ode", "basis_ode2", "basis_gru", "basis_ode_conv",
-          "rnn", "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
+          "rnn", "fno", "fno_w", "fno_psi", "fno3d", "fno3d_w",
+          "fno3d_a")
 
 # the operator families: next-step maps whose training objective batches
 # trajectories and supports pushforward/noise (build_forward fno branch)
-FNO_FAMILIES = ("fno", "fno_w", "fno_psi", "fno3d", "fno3d_w")
+FNO_FAMILIES = ("fno", "fno_w", "fno_psi", "fno3d", "fno3d_w",
+                "fno3d_a")
 
 # the vorticity-representation members: train on the curl of the velocity
 # data (exactly derived), recover the full field contract at eval — the
 # representation makes every prediction exactly divergence-free
 # (models/vorticity.py 2D, models/vorticity3d.py 3D)
-W_FAMILIES = ("fno_w", "fno3d_w")
+W_FAMILIES = ("fno_w", "fno3d_w", "fno3d_a")
 
 
 @dataclasses.dataclass
@@ -279,7 +281,7 @@ def rollout_post(cfg):
         return partial(rollout_filter3d,
                        project=getattr(cfg, "fno_project", False),
                        dealias=cfg.fno_dealias)
-    if cfg.model == "fno3d_w" and cfg.fno_dealias:
+    if cfg.model in ("fno3d_w", "fno3d_a") and cfg.fno_dealias:
         # the omega channels need only the band filter: divergence-freedom
         # comes from the representation itself (Biot-Savart recovery —
         # models/vorticity3d.py), not a projection step
@@ -405,7 +407,7 @@ class Trainer:
         spatial = obs.shape[3:]
         self.nx, self.ny = spatial[0], spatial[1]
         self.nz = spatial[2] if len(spatial) == 3 else None
-        wants_3d = cfg.model in ("fno3d", "fno3d_w")
+        wants_3d = cfg.model in ("fno3d", "fno3d_w", "fno3d_a")
         if (self.nz is not None) != wants_3d:
             raise ValueError(
                 f"{cfg.model!r} expects "
@@ -440,9 +442,9 @@ class Trainer:
             if cfg.input_noise < 0:
                 raise ValueError(
                     f"input_noise must be >= 0; got {cfg.input_noise}")
-            if cfg.model in ("fno3d", "fno3d_w"):
+            if cfg.model in ("fno3d", "fno3d_w", "fno3d_a"):
                 from ns_tpu.models.fno3d import FNO3D
-                channels = 3 if cfg.model == "fno3d_w" else 4
+                channels = 4 if cfg.model == "fno3d" else 3
                 self.model = FNO3D(self.nx, self.ny, self.nz,
                                    width=cfg.fno_width,
                                    modes=cfg.fno_modes, channels=channels,
@@ -475,14 +477,15 @@ class Trainer:
                     lambda a, b: vorticity_from_uv(a, b))(
                         self.obs[:, :, 0],
                         self.obs[:, :, 1])[:, :, None]  # (nt, M, 1, nx, ny)
-            elif cfg.model == "fno3d_w":
-                # 3D vorticity representation: omega = curl(u,v,w) derived
-                # exactly; (u,v,w,p) recovered by Biot-Savart at eval —
-                # every prediction exactly divergence-free
-                # (models/vorticity3d.py — periodic data only)
-                from ns_tpu.models.vorticity3d import \
-                    vorticity3d_from_velocity
-                self.w_frames = jax.jit(vorticity3d_from_velocity)(
+            elif cfg.model in ("fno3d_w", "fno3d_a"):
+                # 3D divergence-free representations: omega = curl(u)
+                # (fno3d_w, Biot-Savart recovery) or the Coulomb-gauge
+                # vector potential A (fno3d_a, curl recovery) derived
+                # exactly; (u,v,w,p) recovered at eval — every prediction
+                # exactly divergence-free (models/vorticity3d.py)
+                from ns_tpu.models.vorticity3d import repr3d_fns
+                to_repr, _ = repr3d_fns(cfg.model)
+                self.w_frames = jax.jit(to_repr)(
                     self.obs[:, :, :3])        # (nt, M, 3, nx, ny, nz)
             # noise std is relative to the data scale so one input_noise
             # value transfers across resolutions/field spaces
@@ -728,20 +731,20 @@ class Trainer:
                 return jnp.stack([u, v, p], axis=1)
 
             return to_host(run_w(self.params, obs_full[0, 0]))
-        if self.cfg.model == "fno3d_w":
-            from ns_tpu.models.vorticity3d import (uvwp_from_omega,
-                                                   vorticity3d_from_velocity)
+        if self.cfg.model in ("fno3d_w", "fno3d_a"):
+            from ns_tpu.models.vorticity3d import repr3d_fns
+            to_repr, to_uvwp = repr3d_fns(self.cfg.model)
             post = rollout_post(self.cfg)
 
             @jax.jit
             def run_w3(params, uvw0):
-                om0 = vorticity3d_from_velocity(uvw0)  # (3, nx, ny, nz)
-                om_seq = self.model.rollout(params, om0, nt_full - 1,
-                                            post=post)
-                om_seq = jnp.concatenate([om0[None], om_seq], axis=0)
+                r0 = to_repr(uvw0)                     # (3, nx, ny, nz)
+                r_seq = self.model.rollout(params, r0, nt_full - 1,
+                                           post=post)
+                r_seq = jnp.concatenate([r0[None], r_seq], axis=0)
                 # exact (u,v,w,p) recovery per frame: divergence-free by
-                # construction (Biot-Savart), pressure diagnostic
-                return jax.vmap(uvwp_from_omega)(om_seq)
+                # construction, pressure diagnostic
+                return jax.vmap(to_uvwp)(r_seq)
 
             return to_host(run_w3(self.params, obs_full[0, 0, :3]))
         if self.cfg.model in ("fno", "fno_psi", "fno3d"):

@@ -143,3 +143,60 @@ def test_fno3d_w_ensemble_trains(tmp_path):
     out = tr.extrapolate()
     assert out.shape == (2, 6, 4, 8, 8, 8) and np.isfinite(out).all()
     assert np.abs(out[0] - out[1]).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Vector-potential representation (fno3d_a — the SMOOTH div-free repr)
+# ---------------------------------------------------------------------------
+
+def test_vecpot_round_trip_and_div_free():
+    """u -> A (Coulomb gauge) -> curl A recovers u exactly on the
+    zero-mean solenoidal band; curl of ARBITRARY A is exactly solenoidal."""
+    from ns_tpu.models.vorticity3d import uvwp_from_vecpot, \
+        vecpot_from_velocity
+    u = _solenoidal_velocity(seed=5)
+    A = vecpot_from_velocity(jnp.asarray(u), dtype="float64")
+    uvwp = np.asarray(uvwp_from_vecpot(jnp.asarray(np.asarray(A)),
+                                       dtype="float64"))
+    np.testing.assert_allclose(uvwp[:3], u, atol=1e-12)
+    rng = np.random.default_rng(6)
+    A_rand = jnp.asarray(rng.standard_normal((3, 12, 12, 12)))
+    out = uvwp_from_vecpot(A_rand, dtype="float64")
+    div = _spectral_div(np.asarray(out[:3]))
+    assert np.abs(div).max() < 1e-10 * np.abs(out[:3]).max()
+    # A is SMOOTHER than omega: its spectrum is the velocity's divided by
+    # |k|, so the high-k tail carries relatively less energy
+    from ns_tpu.models.vorticity3d import vorticity3d_from_velocity
+    om = np.asarray(vorticity3d_from_velocity(jnp.asarray(u),
+                                              dtype="float64"))
+    A_np = np.asarray(A)
+
+    def hi_frac(f):
+        fh = np.fft.rfftn(f, axes=(-3, -2, -1))
+        e = np.abs(fh) ** 2
+        return e[..., 3:, :, :].sum() / e.sum()
+
+    assert hi_frac(A_np) < hi_frac(u) < hi_frac(om)
+
+
+def test_fno3d_a_trains_and_extrapolates(tmp_path):
+    from ns_tpu.cli.run_solver import main as run_main
+    from ns_tpu.train.trainer import TrainConfig, Trainer
+
+    npz = tmp_path / "d3a.npz"
+    run_main(["decaying_turbulence_3d", "--nx", "8", "--nt", "8",
+              "--nu", "1e-2", "--transform", "matmul",
+              "--precision", "highest", "--out", str(npz)])
+    cfg = TrainConfig(model="fno3d_a", npz_path=str(npz),
+                      out_dir=str(tmp_path / "cka"), n_iters=20,
+                      n_frames=8, ckpt_every=10, fno_modes=3, fno_width=6)
+    tr = Trainer(cfg)
+    tr.train(progress=False)
+    assert tr.losses[-1] < tr.losses[0]
+    out = tr.extrapolate()
+    assert out.shape == (8, 4, 8, 8, 8) and np.isfinite(out).all()
+    obs = np.load(npz)
+    np.testing.assert_allclose(out[0, 0], obs["u"][0].astype(np.float32),
+                               atol=1e-5)
+    div = _spectral_div(out[-1, :3])
+    assert np.abs(div).max() < 1e-4 * max(np.abs(out[-1, :3]).max(), 1e-9)

@@ -148,6 +148,13 @@ def main():
              dict(model="fno3d_w", fno_rollout_steps=4, fno_remat=True)),
             ("fno3d_w (vorticity, 4-step + noise 0.02)",
              dict(model="fno3d_w", fno_rollout_steps=4, fno_remat=True,
+                  input_noise=0.02)),
+            ("fno3d_a (vector potential, next-step)",
+             dict(model="fno3d_a")),
+            ("fno3d_a (vector potential, 4-step)",
+             dict(model="fno3d_a", fno_rollout_steps=4, fno_remat=True)),
+            ("fno3d_a (vector potential, 4-step + noise 0.02)",
+             dict(model="fno3d_a", fno_rollout_steps=4, fno_remat=True,
                   input_noise=0.02))]
     if args.only:
         jobs = [(nm, kw) for nm, kw in jobs
