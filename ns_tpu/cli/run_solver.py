@@ -218,6 +218,13 @@ def main(argv=None):
                         "(default HIGHEST = true f32; 'default' is ~3.5x "
                         "faster at 512^2 at ~7%% field error — RESULTS.md "
                         "precision menus)")
+    p.add_argument("--pallas-transform", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="3D periodic families: VMEM-fused z+y transform "
+                        "stages (Pallas). 'auto' applies the measured win "
+                        "region (matmul engine, f32, --precision default, "
+                        "grid >= 256^3 — 1.18x there, RESULTS.md); "
+                        "on/off force it")
     p.add_argument("--pallas-momentum", action="store_true",
                    help="chorin_fd --method explicit: run the fused "
                         "advection+diffusion+BC predictor as one Pallas "
@@ -409,11 +416,14 @@ def main(argv=None):
     elif periodic_3d:
         from ns_tpu.solvers import spectral3d as s3
         nx = args.nx or 64
+        fuse = {"auto": "auto", "on": True, "off": False}[
+            args.pallas_transform]
         cfg = s3.Spectral3DConfig(
             nt=args.nt, nx=nx, ny=nx, nz=nx, dt=args.dt, nu=args.nu,
             rho=args.rho, dtype=args.dtype, transform=args.transform,
             matmul_precision=args.precision, forcing=args.forcing,
-            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp)
+            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp,
+            use_pallas_transform=fuse)
         if args.family == "taylor_green_3d":
             u0 = s3.taylor_green_velocity(cfg)
         else:
@@ -422,7 +432,8 @@ def main(argv=None):
             u0, nt=args.nt, nx=nx, ny=nx, nz=nx, dt=args.dt, nu=args.nu,
             rho=args.rho, dtype=args.dtype, transform=args.transform,
             matmul_precision=args.precision, forcing=args.forcing,
-            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp)
+            forcing_k=args.forcing_k, forcing_amp=args.forcing_amp,
+            use_pallas_transform=fuse)
         if args.frame_stride > 1 or args.spinup > 0:
             fields = sys_.simulate_strided(args.nt, stride=args.frame_stride,
                                            spinup=args.spinup)

@@ -16,6 +16,21 @@ already-truncated (B, nx, Ry, Kzc) tensor (whose traffic is small).
 RESULTS.md's "VMEM-fused Pallas 3D transform" paragraph carries the
 measurement (VERDICT r3 next #4: build or kill with numbers).
 
+Each program processes a BLOCK of bx x-rows (bx = largest of 8/4/2/1
+dividing nx): one (ny, nz)-slab per program leaves the MXU starved —
+(128, 128) @ (128, 43) GEMMs measured 2.4x SLOWER than XLA's einsum at
+128^3 — so the block's slabs are flattened into (bx*ny, nz) for the
+z-stage and regrouped in VMEM to (ny, bx*Kzc) for the y-stage, making
+both stages MXU-fat. The regroups are expressed as lane-axis
+concatenates / static slices with Kzc zero-padded to the 128-lane tile
+(P = ceil(Kzc/128)*128) so every band boundary is tile-aligned: a
+reshape merging Kzc=43 into the lane axis is an "unsupported shape
+cast" in Mosaic's layout inference, and concatenating lane slices taken
+at unaligned offsets hits "result/input offset mismatch on non-concat
+dimension" (both measured live). The padding triples the GEMM flops at
+Kzc=43 — irrelevant here: the kernel is DMA-bound and the padded GEMMs
+still hide under the slab transfers.
+
 Complex arithmetic runs as explicit (re, im) real GEMM pairs — Mosaic
 has no complex dtype, and the repo's device-transfer rules forbid
 complex constants anyway (CLAUDE.md). All matrices arrive pre-transposed
@@ -39,38 +54,94 @@ Array = jnp.ndarray
 
 
 def _prec(name: str):
+    # Mosaic's dot accepts DEFAULT and HIGHEST only ("Unsupported dot
+    # precision: HIGH", measured live); 'high' promotes to HIGHEST here —
+    # more accurate than the einsum twin's bf16x3, never less.
     return {"default": jax.lax.Precision.DEFAULT,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
-def _fwd_kernel(w_ref, fz_re, fz_im, fy_re, fy_im, o_re, o_im, *, prec):
-    """One (ny, nz) x-slab -> (Ry, Kzc) doubly-transformed slab.
+def _block_x(nx: int) -> int:
+    return next(b for b in (8, 4, 2, 1) if nx % b == 0)
 
-    z-stage: t1 = w @ Fz (contract nz; real input, so one GEMM per part);
-    y-stage: t2 = Fy @ t1 (contract ny; full complex product)."""
-    w = w_ref[0, 0]                                # (ny, nz) real
+
+_LANE = 128
+
+
+def _pad_cols(kzc: int) -> int:
+    return -(-kzc // _LANE) * _LANE
+
+
+def _fwd_kernel(w_ref, fz_re, fz_im, fy_re, fy_im, o_re, o_im, *, prec,
+                kzc):
+    """bx x-slabs (bx, ny, nz) -> (bx, Ry, Kzc) doubly-transformed slabs.
+
+    z-stage: t1 = w @ Fz over the flattened (bx*ny, nz) block (real
+    input, so one GEMM per part; Fz columns zero-padded to P); VMEM
+    regroup to the lane-banded (ny, bx*P); y-stage: t2 = Fy @ t1
+    (contract ny; full complex product) — both stages one fat GEMM per
+    re/im part."""
+    w = w_ref[0]                                   # (bx, ny, nz) real
+    bx, ny, nz = w.shape
     dot = partial(jnp.dot, precision=prec, preferred_element_type=w.dtype)
-    t1_re = dot(w, fz_re[...])                     # (ny, Kzc)
-    t1_im = dot(w, fz_im[...])
+    wf = w.reshape(bx * ny, nz)
+    t1_re = dot(wf, fz_re[...])                    # (bx*ny, P)
+    t1_im = dot(wf, fz_im[...])
+    P = t1_re.shape[-1]
+    if bx > 1:                                     # -> (ny, bx*P) banded
+        band = lambda t: jnp.concatenate(
+            [t[i * ny:(i + 1) * ny] for i in range(bx)], axis=1)
+        t1_re, t1_im = band(t1_re), band(t1_im)
     yr, yi = fy_re[...], fy_im[...]                # (Ry, ny)
-    o_re[0, 0] = dot(yr, t1_re) - dot(yi, t1_im)   # (Ry, Kzc)
-    o_im[0, 0] = dot(yr, t1_im) + dot(yi, t1_re)
+    u_re = dot(yr, t1_re) - dot(yi, t1_im)         # (Ry, bx*P)
+    u_im = dot(yr, t1_im) + dot(yi, t1_re)
+    if bx > 1:                                     # aligned lane slices
+        unband = lambda t: jnp.stack(
+            [t[:, i * P:i * P + kzc] for i in range(bx)], axis=0)
+    else:
+        unband = lambda t: t[None, :, :kzc]
+    o_re[0] = unband(u_re)                         # (bx, Ry, Kzc)
+    o_im[0] = unband(u_im)
 
 
 def _inv_kernel(a_re_ref, a_im_ref, fy_re, fy_im, bz_re, bz_im, o_ref, *,
                 prec):
-    """One (Ry, Kzc) spectral x-slab -> (ny, nz) physical slab.
+    """bx spectral x-slabs (bx, Ry, Kzc) -> (bx, ny, nz) physical slabs.
 
-    y-inverse: t = Fyi @ a (contract Ry, complex); z-unfold: take the
-    real part of t @ Bz analytically — Re(t) @ Bz_re - Im(t) @ Bz_im —
-    so the imaginary half of the last GEMM is never computed."""
-    ar, ai = a_re_ref[0, 0], a_im_ref[0, 0]        # (Ry, Kzc)
+    y-inverse: t = Fyi @ a (contract Ry, complex) on the lane-banded
+    (Ry, bx*P) regroup (each Kzc slab zero-padded to its P-wide band;
+    Bz rows are zero-padded to match, so the pad lanes contribute
+    nothing); z-unfold: take the real part of t @ Bz analytically —
+    Re(t) @ Bz_re - Im(t) @ Bz_im — so the imaginary half of the last
+    GEMM is never computed."""
+    ar, ai = a_re_ref[0], a_im_ref[0]              # (bx, Ry, Kzc)
+    bx, ry, kzc = ar.shape
+    P = bz_re.shape[0]
     dot = partial(jnp.dot, precision=prec, preferred_element_type=ar.dtype)
+    zpad = (jnp.zeros((ry, P - kzc), ar.dtype) if P > kzc else None)
+
+    def band(t):                                   # -> (Ry, bx*P)
+        pieces = []
+        for i in range(bx):
+            pieces.append(t[i])
+            if zpad is not None:
+                pieces.append(zpad)
+        return (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+                else pieces[0])
+
+    ar, ai = band(ar), band(ai)
     yr, yi = fy_re[...], fy_im[...]                # (ny, Ry)
-    t_re = dot(yr, ar) - dot(yi, ai)               # (ny, Kzc)
+    t_re = dot(yr, ar) - dot(yi, ai)               # (ny, bx*P)
     t_im = dot(yr, ai) + dot(yi, ar)
-    o_ref[0, 0] = dot(t_re, bz_re[...]) - dot(t_im, bz_im[...])
+    ny = t_re.shape[0]
+    if bx > 1:
+        # (ny, bx*P) -> (bx*ny, P): sublane concat of aligned lane bands
+        unband = lambda t: jnp.concatenate(
+            [t[:, i * P:(i + 1) * P] for i in range(bx)], axis=0)
+        t_re, t_im = unband(t_re), unband(t_im)
+    o = dot(t_re, bz_re[...]) - dot(t_im, bz_im[...])
+    o_ref[0] = o.reshape(bx, ny, o.shape[-1])
 
 
 def _full_spec(shape):
@@ -92,18 +163,22 @@ def fused_zy_forward(w: Array, Fz_t: np.ndarray, Fy_t: np.ndarray,
     dt = w.dtype
     wB = w.reshape((-1, nx, ny, nz))
     B = wB.shape[0]
-    consts = [jnp.asarray(Fz_t.T.real, dt), jnp.asarray(Fz_t.T.imag, dt),
+    P = _pad_cols(kzc)
+    fz_pad = np.zeros((nz, P), Fz_t.dtype)
+    fz_pad[:, :kzc] = Fz_t.T
+    consts = [jnp.asarray(fz_pad.real, dt), jnp.asarray(fz_pad.imag, dt),
               jnp.asarray(Fy_t.real, dt), jnp.asarray(Fy_t.imag, dt)]
     out_shape = [jax.ShapeDtypeStruct((B, nx, ry, kzc), dt)] * 2
+    bx = _block_x(nx)
     re, im = pl.pallas_call(
-        partial(_fwd_kernel, prec=_prec(precision)),
+        partial(_fwd_kernel, prec=_prec(precision), kzc=kzc),
         out_shape=out_shape,
-        grid=(B, nx),
-        in_specs=[pl.BlockSpec((1, 1, ny, nz), lambda b, i: (b, i, 0, 0)),
-                  _full_spec((nz, kzc)), _full_spec((nz, kzc)),
+        grid=(B, nx // bx),
+        in_specs=[pl.BlockSpec((1, bx, ny, nz), lambda b, i: (b, i, 0, 0)),
+                  _full_spec((nz, P)), _full_spec((nz, P)),
                   _full_spec((ry, ny)), _full_spec((ry, ny))],
-        out_specs=[pl.BlockSpec((1, 1, ry, kzc), lambda b, i: (b, i, 0, 0))]
-        * 2,
+        out_specs=[pl.BlockSpec((1, bx, ry, kzc),
+                                lambda b, i: (b, i, 0, 0))] * 2,
         interpret=interpret,
     )(wB, *consts)
     z = jax.lax.complex(re, im)
@@ -123,16 +198,20 @@ def fused_yz_inverse(a: Array, Fyi_t: np.ndarray, Bz: np.ndarray,
     dt = jnp.float32 if a.dtype == jnp.complex64 else jnp.float64
     aB = a.reshape((-1, nx, ry, kzc))
     B = aB.shape[0]
+    P = _pad_cols(kzc)
+    bz_pad = np.zeros((P, nz), Bz.dtype)
+    bz_pad[:kzc] = Bz
     consts = [jnp.asarray(Fyi_t.real, dt), jnp.asarray(Fyi_t.imag, dt),
-              jnp.asarray(Bz.real, dt), jnp.asarray(Bz.imag, dt)]
+              jnp.asarray(bz_pad.real, dt), jnp.asarray(bz_pad.imag, dt)]
+    bx = _block_x(nx)
     out = pl.pallas_call(
         partial(_inv_kernel, prec=_prec(precision)),
         out_shape=jax.ShapeDtypeStruct((B, nx, ny, nz), dt),
-        grid=(B, nx),
-        in_specs=[pl.BlockSpec((1, 1, ry, kzc), lambda b, i: (b, i, 0, 0))]
+        grid=(B, nx // bx),
+        in_specs=[pl.BlockSpec((1, bx, ry, kzc), lambda b, i: (b, i, 0, 0))]
         * 2 + [_full_spec((ny, ry)), _full_spec((ny, ry)),
-               _full_spec((kzc, nz)), _full_spec((kzc, nz))],
-        out_specs=pl.BlockSpec((1, 1, ny, nz), lambda b, i: (b, i, 0, 0)),
+               _full_spec((P, nz)), _full_spec((P, nz))],
+        out_specs=pl.BlockSpec((1, bx, ny, nz), lambda b, i: (b, i, 0, 0)),
         interpret=interpret,
     )(aB.real, aB.imag, *consts)
     return out.reshape(lead + (nx, ny, nz))

@@ -85,10 +85,14 @@ class Spectral3DConfig:
     # VMEM-fused z+y transform stages (ops/pallas/transform3d_kernels.py):
     # the inter-stage pencil stays on-chip instead of a full-grid complex
     # HBM round trip. matmul engine + float32 only (Mosaic has no f64).
-    # Default off pending the per-grid measurement (RESULTS.md "VMEM-fused
-    # Pallas 3D transform"); pallas_interpret runs the kernels in
-    # interpreter mode (CPU parity tests).
-    use_pallas_transform: bool = False
+    # 'auto' applies the measured win region (RESULTS.md "VMEM-fused
+    # Pallas 3D transform": 1.18x at 256^3 'default'; XLA already sits at
+    # ~96% of the bandwidth roofline at <=128^3, and the kernel's
+    # 'high'->HIGHEST promotion loses everywhere), i.e. fuse iff
+    # max dim >= PALLAS_FUSE_CROSSOVER and matmul_precision == 'default'.
+    # pallas_interpret runs the kernels in interpreter mode (CPU parity
+    # tests).
+    use_pallas_transform: bool | str = False
     pallas_interpret: bool = False
 
     # measured on v5e (RESULTS.md "3D spectral engines"): the compact
@@ -96,6 +100,12 @@ class Spectral3DConfig:
     # chip; the crossover is kept as a config so 'auto' stays honest if
     # remeasured hardware moves it.
     AUTO_FFT_CROSSOVER = 2048
+
+    # measured win region for the VMEM-fused transform (v5e, RESULTS.md
+    # "VMEM-fused Pallas 3D transform"): below this the plain einsum
+    # chain is already bandwidth-roofline-bound and fusion only adds
+    # pad-GEMM flops.
+    PALLAS_FUSE_CROSSOVER = 256
 
     def __post_init__(self):
         if self.forcing not in ("none", "kolmogorov"):
@@ -116,6 +126,17 @@ class Spectral3DConfig:
             raise ValueError("transform='matmul' carries the dealias-"
                              "truncated compact spectrum and needs "
                              "dealias=True")
+        if self.use_pallas_transform == "auto":
+            object.__setattr__(
+                self, "use_pallas_transform",
+                self.transform == "matmul" and self.dtype == "float32"
+                and self.matmul_precision == "default"
+                and max(self.nx, self.ny, self.nz)
+                >= self.PALLAS_FUSE_CROSSOVER)
+        elif not isinstance(self.use_pallas_transform, bool):
+            raise ValueError(
+                "use_pallas_transform must be a bool or 'auto'; got "
+                f"{self.use_pallas_transform!r}")
         if self.use_pallas_transform and (self.transform != "matmul"
                                           or self.dtype != "float32"):
             raise ValueError(
@@ -652,12 +673,14 @@ class NavierStokesSystem3D:
     def __init__(self, u_ic: Array, nt=100, nx=64, ny=64, nz=64, dt=1e-3,
                  nu=6.25e-4, rho=1.0, dealias=True, dtype="float32",
                  transform="fft", matmul_precision="high",
-                 forcing="none", forcing_k=4, forcing_amp=0.1):
+                 forcing="none", forcing_k=4, forcing_amp=0.1,
+                 use_pallas_transform=False):
         self.cfg = Spectral3DConfig(
             nt=nt, nx=nx, ny=ny, nz=nz, dt=dt, nu=nu, rho=rho,
             dealias=dealias, dtype=dtype, transform=transform,
             matmul_precision=matmul_precision, forcing=forcing,
-            forcing_k=forcing_k, forcing_amp=forcing_amp)
+            forcing_k=forcing_k, forcing_amp=forcing_amp,
+            use_pallas_transform=use_pallas_transform)
         self._u_ic = jnp.asarray(u_ic, self.cfg.real_dtype)
         self.carry0 = init_from_velocity(self.cfg, self._u_ic)
         cfg = self.cfg

@@ -29,12 +29,15 @@ def test_fused_transform_matches_einsum_roundtrip():
     w = jnp.asarray(rng.standard_normal((2, 16, 16, 16)), jnp.float32)
     zb = jax.jit(f_b)(w)
     zp = jax.jit(f_p)(w)
-    np.testing.assert_allclose(np.asarray(zp), np.asarray(zb),
-                               rtol=1e-5, atol=1e-5)
+    # atol scales with the spectrum magnitude (O(100) here): the banded
+    # kernel sums in a different association than the einsum chain, so
+    # the comparison is relative-to-scale, not absolute.
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(zb), rtol=1e-5,
+                               atol=1e-6 * float(np.abs(zb).max()))
     wb = jax.jit(i_b)(zb)
     wp = jax.jit(i_p)(zb)
-    np.testing.assert_allclose(np.asarray(wp), np.asarray(wb),
-                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wb), rtol=1e-5,
+                               atol=1e-6 * float(np.abs(np.asarray(wb)).max()))
 
 
 def test_fused_step_matches_dense_step():
@@ -61,3 +64,23 @@ def test_pallas_transform_config_validation():
     with pytest.raises(ValueError, match="use_pallas_transform"):
         s3.Spectral3DConfig(nx=16, ny=16, nz=16, transform="matmul",
                             dtype="float64", use_pallas_transform=True)
+    with pytest.raises(ValueError, match="use_pallas_transform"):
+        s3.Spectral3DConfig(nx=16, ny=16, nz=16, transform="matmul",
+                            use_pallas_transform="yes")
+
+
+def test_pallas_transform_auto_policy():
+    """'auto' fuses exactly in the measured win region (RESULTS.md): the
+    compact matmul engine at f32/'default' precision on grids >= the
+    crossover; everywhere else it resolves off (and never errors)."""
+    win = s3.Spectral3DConfig(nx=256, ny=16, nz=16, transform="matmul",
+                              matmul_precision="default",
+                              use_pallas_transform="auto")
+    assert win.use_pallas_transform is True
+    for kw in (dict(nx=128, ny=16, nz=16, matmul_precision="default"),
+               dict(nx=256, ny=16, nz=16, matmul_precision="high"),
+               dict(nx=256, ny=16, nz=16, matmul_precision="default",
+                    transform="fft", dealias=False)):
+        kw.setdefault("transform", "matmul")
+        cfg = s3.Spectral3DConfig(use_pallas_transform="auto", **kw)
+        assert cfg.use_pallas_transform is False, kw
