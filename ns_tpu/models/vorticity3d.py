@@ -61,10 +61,9 @@ def _ops(nx: int, ny: int, nz: int, dtype: str = "float32"):
                      mask=_dealias_mask_np(cfg))
 
 
-def _imul(k: Array, a_hat: Array) -> Array:
-    """i * k * a_hat without forming a complex literal on host (axon
-    complex-transfer hazard, CLAUDE.md): i*(re + i*im) = -im + i*re."""
-    return jax.lax.complex(-k * a_hat.imag, k * a_hat.real)
+# i*k multiply without complex literals (axon hazard): the canonical
+# helper lives with the 2D periodic engine.
+from ns_tpu.solvers.spectral_periodic import _ik_mul as _imul
 
 
 def _curl_hat(ops, f_hat: Array) -> Array:

@@ -55,7 +55,8 @@ class CoalescingDispatcher:
     batched engine calls (module docstring)."""
 
     def __init__(self, engine, max_batch: int = 8,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 device_lock: Optional[threading.Lock] = None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if getattr(engine, "n_models", 1) != 1:
@@ -65,8 +66,18 @@ class CoalescingDispatcher:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # engine calls are NOT thread-safe (engine.py's _programs cache is
+        # check-then-insert; the device is one serialized resource): the
+        # server passes its serialized-path lock here so dispatcher
+        # batches and lock-path requests never run engine.predict
+        # concurrently.
+        self.device_lock = device_lock or threading.Lock()
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._closed = False
+        # guards the closed-flag/queue-put pair: without it a submit()
+        # racing close() can enqueue AFTER the loop drained the close
+        # sentinel and block forever on its done event.
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._batches = 0
         self._coalesced = 0
@@ -79,18 +90,20 @@ class CoalescingDispatcher:
     def submit(self, frame0: np.ndarray, steps: int) -> np.ndarray:
         """Blocking predict through the coalescer; raises whatever the
         engine raised for this request's batch."""
-        if self._closed:
-            raise RuntimeError("dispatcher is closed")
         p = _Pending(np.asarray(frame0), int(steps))
-        self._q.put(p)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("dispatcher is closed")
+            self._q.put(p)
         p.done.wait()
         if p.error is not None:
             raise p.error
         return p.result
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)  # wake the loop
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)  # wake the loop
         self._thread.join(timeout=5)
 
     def stats(self) -> dict:
@@ -144,7 +157,8 @@ class CoalescingDispatcher:
     def _run(self, batch: list) -> None:
         try:
             x = np.stack([p.frame0 for p in batch])
-            out = self.engine.predict(x, batch[0].steps)
+            with self.device_lock:
+                out = self.engine.predict(x, batch[0].steps)
             # single-model batched reply contract: (B, steps+1, C, ...)
             for i, p in enumerate(batch):
                 p.result = np.ascontiguousarray(out[i])

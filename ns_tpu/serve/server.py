@@ -158,7 +158,11 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 "ensemble replies already carry a member axis "
                 "(serve/batching.py scope note)")
         from ns_tpu.serve.batching import CoalescingDispatcher
-        dispatcher = CoalescingDispatcher(engine, max_batch=coalesce)
+        # share the serialized-path lock: a coalesced batch and a
+        # client-batched (lock-path) request must never call the engine
+        # concurrently (its program cache is not thread-safe)
+        dispatcher = CoalescingDispatcher(engine, max_batch=coalesce,
+                                          device_lock=Handler.lock)
     Handler.dispatcher = dispatcher
 
     class Server(ThreadingHTTPServer):

@@ -102,9 +102,9 @@ class Spectral3DConfig:
     AUTO_FFT_CROSSOVER = 2048
 
     # measured win region for the VMEM-fused transform (v5e, RESULTS.md
-    # "VMEM-fused Pallas 3D transform"): below this the plain einsum
-    # chain is already bandwidth-roofline-bound and fusion only adds
-    # pad-GEMM flops.
+    # "VMEM-fused Pallas 3D transform"): below a ~256^3-cell VOLUME the
+    # plain einsum chain is already bandwidth-roofline-bound and fusion
+    # only adds pad-GEMM flops.
     PALLAS_FUSE_CROSSOVER = 256
 
     def __post_init__(self):
@@ -127,12 +127,16 @@ class Spectral3DConfig:
                              "truncated compact spectrum and needs "
                              "dealias=True")
         if self.use_pallas_transform == "auto":
+            # volume-gated: the win region is set by the full-grid complex
+            # working set blowing past on-chip caches (~256^3 cells), not
+            # by any single axis — an anisotropic 256x64x64 grid is in the
+            # regime measured slower.
             object.__setattr__(
                 self, "use_pallas_transform",
                 self.transform == "matmul" and self.dtype == "float32"
                 and self.matmul_precision == "default"
-                and max(self.nx, self.ny, self.nz)
-                >= self.PALLAS_FUSE_CROSSOVER)
+                and self.nx * self.ny * self.nz
+                >= self.PALLAS_FUSE_CROSSOVER**3)
         elif not isinstance(self.use_pallas_transform, bool):
             raise ValueError(
                 "use_pallas_transform must be a bool or 'auto'; got "
@@ -488,10 +492,24 @@ def simulate_hat(cfg: Spectral3DConfig, carry0):
     return u_hats
 
 
+def _extract_cfg(cfg: Spectral3DConfig) -> Spectral3DConfig:
+    """Extraction/diagnostic twin: same engine and layout, fused Pallas
+    stages OFF. The fused kernels earn their keep inside the step loop;
+    extraction runs once per saved frame, and callers wrap it in jax.vmap
+    (NavierStokesSystem3D._fields) — batching a Mosaic kernel under vmap
+    adds a grid dim Mosaic compiles pathologically (measured live: a
+    5-frame 64^3 CLI export hung >9 min), while the einsum chain vmaps
+    for free."""
+    if not cfg.use_pallas_transform:
+        return cfg
+    import dataclasses
+    return dataclasses.replace(cfg, use_pallas_transform=False)
+
+
 def fields_from_hat(cfg: Spectral3DConfig, u_hat: Array) -> Array:
     """Physical (3, nx, ny, nz) velocity from a spectrum in the active
-    layout (traceable)."""
-    _, inv = make_transforms(cfg)
+    layout (traceable; always the einsum chain — see _extract_cfg)."""
+    _, inv = make_transforms(_extract_cfg(cfg))
     return inv(u_hat)
 
 
@@ -499,9 +517,11 @@ def pressure_from_hat(cfg: Spectral3DConfig, u_hat: Array) -> Array:
     """Diagnostic pressure: Lap(p) = -rho d_i d_j (u_i u_j), solved by the
     diagonal spectral inverse Laplacian — p_hat = -rho k_i k_j T_ij_hat
     / k^2 (the periodic analogue of the reference families' pressure
-    solves; cf. spectral_periodic.pressure_from_hat for the 2D form)."""
+    solves; cf. spectral_periodic.pressure_from_hat for the 2D form).
+    Always the einsum transform chain (_extract_cfg): diagnostic-path,
+    vmapped by callers."""
     ops = make_ops(cfg)
-    fwd, inv = make_transforms(cfg)
+    fwd, inv = make_transforms(_extract_cfg(cfg))
     u = inv(u_hat)  # (3, nx, ny, nz)
     prods = jnp.stack([u[0] * u[0], u[1] * u[1], u[2] * u[2],
                        u[0] * u[1], u[0] * u[2], u[1] * u[2]])

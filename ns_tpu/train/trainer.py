@@ -416,8 +416,9 @@ class Trainer:
         if n_traj > 1 and cfg.model not in FNO_FAMILIES + ("rnn",):
             raise ValueError(
                 f"multi-trajectory data (M={n_traj}) needs an operator "
-                f"family (fno/fno_w) or rnn; {cfg.model!r} learns a single "
-                "coefficient trajectory by design (reference semantics)")
+                f"family {FNO_FAMILIES} or rnn; {cfg.model!r} learns a "
+                "single coefficient trajectory by design (reference "
+                "semantics)")
         self.mesh = None
         if cfg.dp > 1:
             self.mesh = self._make_dp_mesh(cfg)

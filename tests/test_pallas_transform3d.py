@@ -57,6 +57,29 @@ def test_fused_step_matches_dense_step():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_extraction_paths_never_vmap_pallas():
+    """fields_from_hat / pressure_from_hat always lower to the einsum
+    chain even under a fused config: callers vmap them per saved frame
+    (NavierStokesSystem3D._fields), and a Mosaic kernel batched under
+    vmap compiles pathologically on the TPU (a 5-frame 64^3 CLI export
+    hung >9 min, measured live). Pin: no pallas call in the vmapped
+    extraction HLO, values equal the einsum config's."""
+    base, fused = _cfgs()
+    u0 = s3.random_solenoidal_velocity(base, seed=2, k_peak=3.0)
+    u_hats = jax.jit(lambda c: s3.simulate_hat(
+        dataclasses.replace(fused, nt=2), c))(
+            s3.init_from_velocity(fused, u0))
+    from functools import partial
+    for fn in (s3.fields_from_hat, s3.pressure_from_hat):
+        vm_fused = jax.vmap(partial(fn, fused))
+        txt = jax.jit(vm_fused).lower(u_hats).as_text()
+        assert "tpu_custom_call" not in txt and "pallas" not in txt.lower()
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(vm_fused)(u_hats)),
+            np.asarray(jax.jit(jax.vmap(partial(fn, base)))(u_hats)),
+            rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_transform_config_validation():
     with pytest.raises(ValueError, match="use_pallas_transform"):
         s3.Spectral3DConfig(nx=16, ny=16, nz=16, transform="fft",
@@ -73,13 +96,20 @@ def test_pallas_transform_auto_policy():
     """'auto' fuses exactly in the measured win region (RESULTS.md): the
     compact matmul engine at f32/'default' precision on grids >= the
     crossover; everywhere else it resolves off (and never errors)."""
-    win = s3.Spectral3DConfig(nx=256, ny=16, nz=16, transform="matmul",
+    win = s3.Spectral3DConfig(nx=256, ny=256, nz=256, transform="matmul",
                               matmul_precision="default",
                               use_pallas_transform="auto")
     assert win.use_pallas_transform is True
-    for kw in (dict(nx=128, ny=16, nz=16, matmul_precision="default"),
-               dict(nx=256, ny=16, nz=16, matmul_precision="high"),
-               dict(nx=256, ny=16, nz=16, matmul_precision="default",
+    aniso = s3.Spectral3DConfig(nx=512, ny=256, nz=128, transform="matmul",
+                                matmul_precision="default",
+                                use_pallas_transform="auto")
+    assert aniso.use_pallas_transform is True  # same volume as 256^3
+    for kw in (dict(nx=128, ny=128, nz=128, matmul_precision="default"),
+               # one long axis does NOT put a small volume in the win
+               # region (the gate is the working-set volume)
+               dict(nx=256, ny=16, nz=16, matmul_precision="default"),
+               dict(nx=256, ny=256, nz=256, matmul_precision="high"),
+               dict(nx=256, ny=256, nz=256, matmul_precision="default",
                     transform="fft", dealias=False)):
         kw.setdefault("transform", "matmul")
         cfg = s3.Spectral3DConfig(use_pallas_transform="auto", **kw)

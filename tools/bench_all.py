@@ -159,7 +159,9 @@ def main():
                      f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
 
     # --- chorin_spectral (corrected, stable; the parity-split half-flop
-    # engine auto-enables at interior >= 192 — ops/parity.py) ----------------
+    # engine auto-enables at the measured crossover —
+    # chorin_spectral._PARITY_MIN_INTERIOR) ----------------------------------
+    from ns_tpu.solvers.chorin_spectral import _PARITY_MIN_INTERIOR
     for nx in (128, 256, 512):
         bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
         x = cheb.gauss_lobatto(nx)
@@ -170,7 +172,7 @@ def main():
             u0, v0, np.zeros((nx, nx)), bc0, bc0, nt=200, nx=nx, ny=nx,
             dt=2e-4, rho=1, nu=0.1, dtype=jnp.float32, quirk_compat=False)
         el = timeit(lambda: s.simulate(), n=2)
-        tag = ", parity-split" if nx - 2 >= 192 else ""
+        tag = ", parity-split" if nx - 2 >= _PARITY_MIN_INTERIOR else ""
         rows.append((f"chorin_spectral(corrected{tag}) {nx}^2, 200 steps",
                      f"{200/el:.0f} steps/s",
                      f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))

@@ -190,10 +190,16 @@ def _bench_clients(eng, frame0, args):
         mode = f"coalesce={coalesce}" if coalesce else "serialized"
         try:
             post(port, frame0)  # warm the 1-batch program
-            if coalesce:       # warm the batched buckets
-                for b in {2, coalesce}:
+            if coalesce:
+                # warm EVERY pow2 bucket the dispatcher can form (the
+                # engine pow2-buckets the batch axis, serve/batching.py):
+                # a cold bucket mid-run would bill one request ~seconds
+                # of compile and wreck p95
+                b = 2
+                while b <= coalesce:
                     eng.predict(np.broadcast_to(
                         frame0, (b,) + frame0.shape).copy(), n_steps)
+                    b *= 2
             for n in args.clients:
                 lat = []
                 t0 = time.perf_counter()
