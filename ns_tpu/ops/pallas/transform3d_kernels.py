@@ -145,7 +145,144 @@ def _inv_kernel(a_re_ref, a_im_ref, fy_re, fy_im, bz_re, bz_im, o_ref, *,
 
 
 def _full_spec(shape):
-    return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape))
+    return pl.BlockSpec(shape, lambda *_: (0,) * len(shape))
+
+
+def _lamb_kernel(a_re_ref, a_im_ref, fyi_re, fyi_im, bz_re, bz_im,
+                 fz_re, fz_im, fyf_re, fyf_im, o_re_ref, o_im_ref, *,
+                 prec, kzc):
+    """(6, bx, Ry, Kzc) spectral (u, omega) slabs -> (3, bx, Ry, Kzc)
+    spectral Lamb-vector slabs: yz-inverse of all six fields, the
+    physical cross product u x omega, and the zy-forward of the three
+    products — one program, no physical field ever leaves VMEM.
+
+    The per-field inverse is _inv_kernel's math kept FLAT at (bx*ny, nz)
+    (the pointwise cross product doesn't care about the slab split and
+    the forward z-stage consumes exactly that flat shape), and the
+    per-component forward is _fwd_kernel's math; see those for the
+    banding/padding invariants."""
+    ar6 = a_re_ref[...]                            # (6, bx, ry, kzc)
+    ai6 = a_im_ref[...]
+    _, bx, ry, _ = ar6.shape
+    P = bz_re.shape[0]
+    dot = partial(jnp.dot, precision=prec,
+                  preferred_element_type=ar6.dtype)
+    zpad = (jnp.zeros((ry, P - kzc), ar6.dtype) if P > kzc else None)
+
+    def band_spec(t):                              # (bx, ry, kzc)->(ry,bx*P)
+        pieces = []
+        for i in range(bx):
+            pieces.append(t[i])
+            if zpad is not None:
+                pieces.append(zpad)
+        return (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+                else pieces[0])
+
+    yr_i, yi_i = fyi_re[...], fyi_im[...]          # (ny, Ry)
+    ny = yr_i.shape[0]
+
+    def flatten_rows(t):                           # (ny, bx*P)->(bx*ny, P)
+        return (jnp.concatenate([t[:, i * P:(i + 1) * P]
+                                 for i in range(bx)], axis=0)
+                if bx > 1 else t)
+
+    phys = []
+    for f in range(6):
+        ar, ai = band_spec(ar6[f]), band_spec(ai6[f])
+        t_re = dot(yr_i, ar) - dot(yi_i, ai)       # (ny, bx*P)
+        t_im = dot(yr_i, ai) + dot(yi_i, ar)
+        t_re, t_im = flatten_rows(t_re), flatten_rows(t_im)
+        phys.append(dot(t_re, bz_re[...]) - dot(t_im, bz_im[...]))
+
+    u1, u2, u3, w1, w2, w3 = phys                  # (bx*ny, nz) each
+    lamb = (u2 * w3 - u3 * w2, u3 * w1 - u1 * w3, u1 * w2 - u2 * w1)
+
+    yr_f, yi_f = fyf_re[...], fyf_im[...]          # (Ry, ny)
+
+    def band_rows(t):                              # (bx*ny, P)->(ny, bx*P)
+        return (jnp.concatenate([t[i * ny:(i + 1) * ny]
+                                 for i in range(bx)], axis=1)
+                if bx > 1 else t)
+
+    def unband_out(t):                             # (Ry, bx*P)->(bx,Ry,Kzc)
+        if bx > 1:
+            return jnp.stack([t[:, i * P:i * P + kzc] for i in range(bx)],
+                             axis=0)
+        return t[None, :, :kzc]
+
+    for j, lam in enumerate(lamb):
+        t1_re = dot(lam, fz_re[...])               # (bx*ny, P)
+        t1_im = dot(lam, fz_im[...])
+        t1_re, t1_im = band_rows(t1_re), band_rows(t1_im)
+        o_r = dot(yr_f, t1_re) - dot(yi_f, t1_im)  # (Ry, bx*P)
+        o_i = dot(yr_f, t1_im) + dot(yi_f, t1_re)
+        o_re_ref[j] = unband_out(o_r)
+        o_im_ref[j] = unband_out(o_i)
+
+
+def _block_x_lamb(nx: int, ny: int, nz: int, ry: int, kzc: int, P: int,
+                  itemsize: int = 4,
+                  budget_bytes: int = 10 * 2**20) -> int:
+    """Largest x-slab block whose live VMEM estimate fits the budget.
+
+    The lamb kernel's footprint is dominated by the nine physical
+    (bx*ny, nz) arrays live at the cross product (6 fields + 3 products);
+    the spectral blocks, one t-pair of intermediates, and the transform
+    constants ride along. ~10 MB of the ~16 MB/core VMEM leaves Mosaic
+    room for DMA double-buffering of the in/out spectral blocks."""
+    consts = 2 * (ny * ry + 2 * P * nz + ry * ny)
+    for b in (8, 4, 2, 1):
+        if nx % b:
+            continue
+        phys = 9 * b * ny * nz
+        spec = (6 + 3) * 2 * b * ry * kzc
+        inter = 4 * b * ny * P
+        if (phys + spec + inter + consts) * itemsize <= budget_bytes:
+            return b
+    return 1
+
+
+def fused_lamb(a6: Array, Fyi_t: np.ndarray, Bz: np.ndarray,
+               Fz_t: np.ndarray, Fy_t: np.ndarray, nz: int,
+               precision: str = "default", interpret: bool = False,
+               block_x: int = None) -> Array:
+    """(6, nx, Ry, Kzc) complex (u, omega) after the x-inverse ->
+    (3, nx, Ry, Kzc) complex Lamb vector u x omega before the x-forward.
+
+    Fuses the entire physical-space leg of the nonlinear term
+    (solvers/spectral3d.py::nonlinear_term): per x-slab block, the
+    y/z-inverse of all six fields, the cross product, and the z/y-forward
+    of the three products run in one Pallas program, so the six physical
+    velocity/vorticity grids and three product grids never touch HBM —
+    the step's only full-grid traffic. The x-stage contractions stay the
+    caller's einsums on the truncated tensors (module docstring)."""
+    six, nx, ry, kzc = a6.shape
+    if six != 6:
+        raise ValueError(f"fused_lamb wants (6, nx, Ry, Kzc); got {a6.shape}")
+    ny = Fyi_t.shape[0]
+    dt = jnp.float32 if a6.dtype == jnp.complex64 else jnp.float64
+    P = _pad_cols(kzc)
+    bz_pad = np.zeros((P, nz), Bz.dtype)
+    bz_pad[:kzc] = Bz
+    fz_pad = np.zeros((nz, P), Fz_t.dtype)
+    fz_pad[:, :kzc] = Fz_t.T
+    consts = [jnp.asarray(Fyi_t.real, dt), jnp.asarray(Fyi_t.imag, dt),
+              jnp.asarray(bz_pad.real, dt), jnp.asarray(bz_pad.imag, dt),
+              jnp.asarray(fz_pad.real, dt), jnp.asarray(fz_pad.imag, dt),
+              jnp.asarray(Fy_t.real, dt), jnp.asarray(Fy_t.imag, dt)]
+    bx = block_x or _block_x_lamb(nx, ny, nz, ry, kzc, P,
+                                  itemsize=np.dtype(dt).itemsize)
+    spec_block = pl.BlockSpec((6, bx, ry, kzc), lambda i: (0, i, 0, 0))
+    re, im = pl.pallas_call(
+        partial(_lamb_kernel, prec=_prec(precision), kzc=kzc),
+        out_shape=[jax.ShapeDtypeStruct((3, nx, ry, kzc), dt)] * 2,
+        grid=(nx // bx,),
+        in_specs=[spec_block] * 2 + [_full_spec(c.shape) for c in consts],
+        out_specs=[pl.BlockSpec((3, bx, ry, kzc),
+                                lambda i: (0, i, 0, 0))] * 2,
+        interpret=interpret,
+    )(a6.real, a6.imag, *consts)
+    return jax.lax.complex(re, im)
 
 
 def fused_zy_forward(w: Array, Fz_t: np.ndarray, Fy_t: np.ndarray,

@@ -398,6 +398,41 @@ def leray_project(ops, v_hat: Array) -> Array:
                       v_hat[2] - ops["kz"] * corr])
 
 
+@lru_cache(maxsize=16)
+def _fused_lamb_op(cfg: Spectral3DConfig):
+    """Fully-fused physical leg of the nonlinear term (one closure per
+    config): x-inverse einsum -> Pallas yz-inverse + cross product +
+    zy-forward (ops/pallas/transform3d_kernels.py::fused_lamb — the six
+    physical fields and three products never touch HBM) -> x-forward
+    einsum. Same math as the einsum path in nonlinear_term to fp
+    reassociation (interpret-mode parity: tests/test_pallas_transform3d.py)."""
+    from ns_tpu.ops.pallas.transform3d_kernels import fused_lamb
+
+    M = _dft_constants_np(cfg)
+    f32 = np.float32 if cfg.dtype == "float32" else np.float64
+    # host NumPy only in the closure: the op is lru-cached across traces,
+    # so any device array created here would leak a tracer/constant from
+    # whichever trace first built it. jnp.asarray inside lamb_hat embeds
+    # fresh per-trace constants (same rule as make_compact_transforms).
+    fxi_re = M["Fxi_t"].real.astype(f32)
+    fxi_im = M["Fxi_t"].imag.astype(f32)
+    fx_re = M["Fx_t"].real.astype(f32)
+    fx_im = M["Fx_t"].imag.astype(f32)
+    prec = cfg.matmul_precision
+    ein = lambda s, a, b: jnp.einsum(s, a, b, precision=prec)
+
+    def lamb_hat(z6):
+        fxi = jax.lax.complex(jnp.asarray(fxi_re), jnp.asarray(fxi_im))
+        fx = jax.lax.complex(jnp.asarray(fx_re), jnp.asarray(fx_im))
+        a6 = ein("...abk,xa->...xbk", z6, fxi)
+        out = fused_lamb(a6, M["Fyi_t"], M["Bz"], M["Fz_t"], M["Fy_t"],
+                         cfg.nz, precision=prec,
+                         interpret=cfg.pallas_interpret)
+        return ein("...xbk,ax->...abk", out, fx)
+
+    return lamb_hat
+
+
 def nonlinear_term(cfg: Spectral3DConfig, ops, transforms,
                    u_hat: Array) -> Array:
     """N_hat = P[FFT(u x omega)] (+ f_hat), dealiased. The 6 inverse
@@ -406,12 +441,16 @@ def nonlinear_term(cfg: Spectral3DConfig, ops, transforms,
     (fp hygiene — a drifting mean flow is a conservation-law violation)."""
     fwd, inv = transforms
     w_hat = vorticity_from_velocity_hat(ops, u_hat)
-    fields = inv(jnp.concatenate([u_hat, w_hat]))  # (6, nx, ny, nz)
-    u1, u2, u3, w1, w2, w3 = fields
-    lamb = jnp.stack([u2 * w3 - u3 * w2,
-                      u3 * w1 - u1 * w3,
-                      u1 * w2 - u2 * w1])
-    N = fwd(lamb)
+    if cfg.use_pallas_transform:
+        # the whole physical leg in one fused launch (_fused_lamb_op)
+        N = _fused_lamb_op(cfg)(jnp.concatenate([u_hat, w_hat]))
+    else:
+        fields = inv(jnp.concatenate([u_hat, w_hat]))  # (6, nx, ny, nz)
+        u1, u2, u3, w1, w2, w3 = fields
+        lamb = jnp.stack([u2 * w3 - u3 * w2,
+                          u3 * w1 - u1 * w3,
+                          u1 * w2 - u2 * w1])
+        N = fwd(lamb)
     if not cfg.compact and cfg.dealias:
         N = jnp.where(ops["mask"], N, 0.0)
     N = leray_project(ops, N)

@@ -57,6 +57,63 @@ def test_fused_step_matches_dense_step():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("block_x", [1, 2, 4, 8])
+def test_fused_lamb_matches_einsum_nonlinear(block_x):
+    """fused_lamb (yz-inverse + cross product + zy-forward in one
+    program) equals the einsum nonlinear path at every x-slab blocking
+    (the banding/unbanding invariants differ per bx)."""
+    from ns_tpu.ops.pallas.transform3d_kernels import fused_lamb
+
+    base, _ = _cfgs()
+    ops = s3.make_ops(base)
+    fwd, inv = s3.make_compact_transforms(base)
+    u0 = s3.random_solenoidal_velocity(base, seed=3, k_peak=3.0)
+    u_hat = jax.jit(fwd)(jnp.asarray(u0))
+    w_hat = jax.jit(lambda u: s3.vorticity_from_velocity_hat(ops, u))(u_hat)
+    z6 = jnp.concatenate([u_hat, w_hat])
+
+    # einsum twin: inverse all six, cross product, forward
+    def twin(z6):
+        f = inv(z6)
+        u1, u2, u3, w1, w2, w3 = f
+        return fwd(jnp.stack([u2 * w3 - u3 * w2, u3 * w1 - u1 * w3,
+                              u1 * w2 - u2 * w1]))
+
+    want = np.asarray(jax.jit(twin)(z6))
+
+    M = s3._dft_constants_np(base)
+
+    def run(z6):
+        ein = lambda s, a, b: jnp.einsum(s, a, b, precision="highest")
+        fxi = jax.lax.complex(
+            jnp.asarray(M["Fxi_t"].real, jnp.float32),
+            jnp.asarray(M["Fxi_t"].imag, jnp.float32))
+        fx = jax.lax.complex(jnp.asarray(M["Fx_t"].real, jnp.float32),
+                             jnp.asarray(M["Fx_t"].imag, jnp.float32))
+        a6 = ein("fabk,xa->fxbk", z6, fxi)
+        out = fused_lamb(a6, M["Fyi_t"], M["Bz"], M["Fz_t"], M["Fy_t"],
+                         base.nz, precision="highest", interpret=True,
+                         block_x=block_x)
+        return ein("fxbk,ax->fabk", out, fx)
+
+    got = np.asarray(jax.jit(run)(z6))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * float(np.abs(want).max()))
+
+
+def test_fused_step_contains_one_lamb_launch():
+    """The fused step's nonlinear term lowers to exactly ONE Pallas
+    launch (the whole physical leg — no separate fwd/inv kernel calls
+    and no full-grid physical intermediates in HBM)."""
+    base, fused = _cfgs()
+    carry = s3.init_from_velocity(base, s3.random_solenoidal_velocity(
+        base, seed=1, k_peak=3.0))
+    step, _ = s3.make_step(fused)
+    jaxpr = jax.make_jaxpr(lambda c: step(c)[0])(carry)
+    n = str(jaxpr).count("pallas_call")
+    assert n == 1, f"expected ONE fused lamb launch per step, found {n}"
+
+
 def test_extraction_paths_never_vmap_pallas():
     """fields_from_hat / pressure_from_hat always lower to the einsum
     chain even under a fused config: callers vmap them per saved frame
