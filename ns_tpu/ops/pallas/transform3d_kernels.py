@@ -73,6 +73,44 @@ def _pad_cols(kzc: int) -> int:
     return -(-kzc // _LANE) * _LANE
 
 
+# --- banding invariants shared by every kernel (one copy: Mosaic lane
+# alignment rules live here, module docstring) -------------------------------
+# Slab i of a bx-block occupies flat rows i*ny:(i+1)*ny and lane band
+# i*P:(i+1)*P; Kzc is zero-padded to its P-wide tile so every band
+# boundary is tile-aligned.
+
+def _band_spec(t, zpad):
+    """(bx, r, kzc) slabs -> (r, bx*P) lane bands (zero-pad interleave)."""
+    pieces = []
+    for i in range(t.shape[0]):
+        pieces.append(t[i])
+        if zpad is not None:
+            pieces.append(zpad)
+    return (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+            else pieces[0])
+
+
+def _rows_to_bands(t, bx, ny):
+    """(bx*ny, P) flat rows -> (ny, bx*P) lane bands."""
+    return (jnp.concatenate([t[i * ny:(i + 1) * ny] for i in range(bx)],
+                            axis=1) if bx > 1 else t)
+
+
+def _bands_to_rows(t, bx, P):
+    """(ny, bx*P) lane bands -> (bx*ny, P) flat rows."""
+    return (jnp.concatenate([t[:, i * P:(i + 1) * P] for i in range(bx)],
+                            axis=0) if bx > 1 else t)
+
+
+def _unband_spec(t, bx, P, kzc):
+    """(r, bx*P) lane bands -> (bx, r, kzc) slabs (pad lanes dropped;
+    aligned slice offsets)."""
+    if bx > 1:
+        return jnp.stack([t[:, i * P:i * P + kzc] for i in range(bx)],
+                         axis=0)
+    return t[None, :, :kzc]
+
+
 def _fwd_kernel(w_ref, fz_re, fz_im, fy_re, fy_im, o_re, o_im, *, prec,
                 kzc):
     """bx x-slabs (bx, ny, nz) -> (bx, Ry, Kzc) doubly-transformed slabs.
@@ -89,20 +127,13 @@ def _fwd_kernel(w_ref, fz_re, fz_im, fy_re, fy_im, o_re, o_im, *, prec,
     t1_re = dot(wf, fz_re[...])                    # (bx*ny, P)
     t1_im = dot(wf, fz_im[...])
     P = t1_re.shape[-1]
-    if bx > 1:                                     # -> (ny, bx*P) banded
-        band = lambda t: jnp.concatenate(
-            [t[i * ny:(i + 1) * ny] for i in range(bx)], axis=1)
-        t1_re, t1_im = band(t1_re), band(t1_im)
+    t1_re = _rows_to_bands(t1_re, bx, ny)          # (ny, bx*P)
+    t1_im = _rows_to_bands(t1_im, bx, ny)
     yr, yi = fy_re[...], fy_im[...]                # (Ry, ny)
     u_re = dot(yr, t1_re) - dot(yi, t1_im)         # (Ry, bx*P)
     u_im = dot(yr, t1_im) + dot(yi, t1_re)
-    if bx > 1:                                     # aligned lane slices
-        unband = lambda t: jnp.stack(
-            [t[:, i * P:i * P + kzc] for i in range(bx)], axis=0)
-    else:
-        unband = lambda t: t[None, :, :kzc]
-    o_re[0] = unband(u_re)                         # (bx, Ry, Kzc)
-    o_im[0] = unband(u_im)
+    o_re[0] = _unband_spec(u_re, bx, P, kzc)       # (bx, Ry, Kzc)
+    o_im[0] = _unband_spec(u_im, bx, P, kzc)
 
 
 def _inv_kernel(a_re_ref, a_im_ref, fy_re, fy_im, bz_re, bz_im, o_ref, *,
@@ -120,26 +151,13 @@ def _inv_kernel(a_re_ref, a_im_ref, fy_re, fy_im, bz_re, bz_im, o_ref, *,
     P = bz_re.shape[0]
     dot = partial(jnp.dot, precision=prec, preferred_element_type=ar.dtype)
     zpad = (jnp.zeros((ry, P - kzc), ar.dtype) if P > kzc else None)
-
-    def band(t):                                   # -> (Ry, bx*P)
-        pieces = []
-        for i in range(bx):
-            pieces.append(t[i])
-            if zpad is not None:
-                pieces.append(zpad)
-        return (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
-                else pieces[0])
-
-    ar, ai = band(ar), band(ai)
+    ar, ai = _band_spec(ar, zpad), _band_spec(ai, zpad)  # (Ry, bx*P)
     yr, yi = fy_re[...], fy_im[...]                # (ny, Ry)
     t_re = dot(yr, ar) - dot(yi, ai)               # (ny, bx*P)
     t_im = dot(yr, ai) + dot(yi, ar)
     ny = t_re.shape[0]
-    if bx > 1:
-        # (ny, bx*P) -> (bx*ny, P): sublane concat of aligned lane bands
-        unband = lambda t: jnp.concatenate(
-            [t[:, i * P:(i + 1) * P] for i in range(bx)], axis=0)
-        t_re, t_im = unband(t_re), unband(t_im)
+    t_re = _bands_to_rows(t_re, bx, P)             # (bx*ny, P)
+    t_im = _bands_to_rows(t_im, bx, P)
     o = dot(t_re, bz_re[...]) - dot(t_im, bz_im[...])
     o_ref[0] = o.reshape(bx, ny, o.shape[-1])
 
@@ -168,68 +186,47 @@ def _lamb_kernel(a_re_ref, a_im_ref, fyi_re, fyi_im, bz_re, bz_im,
     dot = partial(jnp.dot, precision=prec,
                   preferred_element_type=ar6.dtype)
     zpad = (jnp.zeros((ry, P - kzc), ar6.dtype) if P > kzc else None)
-
-    def band_spec(t):                              # (bx, ry, kzc)->(ry,bx*P)
-        pieces = []
-        for i in range(bx):
-            pieces.append(t[i])
-            if zpad is not None:
-                pieces.append(zpad)
-        return (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
-                else pieces[0])
-
     yr_i, yi_i = fyi_re[...], fyi_im[...]          # (ny, Ry)
     ny = yr_i.shape[0]
 
-    def flatten_rows(t):                           # (ny, bx*P)->(bx*ny, P)
-        return (jnp.concatenate([t[:, i * P:(i + 1) * P]
-                                 for i in range(bx)], axis=0)
-                if bx > 1 else t)
-
     phys = []
     for f in range(6):
-        ar, ai = band_spec(ar6[f]), band_spec(ai6[f])
+        ar, ai = _band_spec(ar6[f], zpad), _band_spec(ai6[f], zpad)
         t_re = dot(yr_i, ar) - dot(yi_i, ai)       # (ny, bx*P)
         t_im = dot(yr_i, ai) + dot(yi_i, ar)
-        t_re, t_im = flatten_rows(t_re), flatten_rows(t_im)
+        t_re = _bands_to_rows(t_re, bx, P)         # (bx*ny, P)
+        t_im = _bands_to_rows(t_im, bx, P)
         phys.append(dot(t_re, bz_re[...]) - dot(t_im, bz_im[...]))
 
     u1, u2, u3, w1, w2, w3 = phys                  # (bx*ny, nz) each
     lamb = (u2 * w3 - u3 * w2, u3 * w1 - u1 * w3, u1 * w2 - u2 * w1)
 
     yr_f, yi_f = fyf_re[...], fyf_im[...]          # (Ry, ny)
-
-    def band_rows(t):                              # (bx*ny, P)->(ny, bx*P)
-        return (jnp.concatenate([t[i * ny:(i + 1) * ny]
-                                 for i in range(bx)], axis=1)
-                if bx > 1 else t)
-
-    def unband_out(t):                             # (Ry, bx*P)->(bx,Ry,Kzc)
-        if bx > 1:
-            return jnp.stack([t[:, i * P:i * P + kzc] for i in range(bx)],
-                             axis=0)
-        return t[None, :, :kzc]
-
     for j, lam in enumerate(lamb):
         t1_re = dot(lam, fz_re[...])               # (bx*ny, P)
         t1_im = dot(lam, fz_im[...])
-        t1_re, t1_im = band_rows(t1_re), band_rows(t1_im)
+        t1_re = _rows_to_bands(t1_re, bx, ny)      # (ny, bx*P)
+        t1_im = _rows_to_bands(t1_im, bx, ny)
         o_r = dot(yr_f, t1_re) - dot(yi_f, t1_im)  # (Ry, bx*P)
         o_i = dot(yr_f, t1_im) + dot(yi_f, t1_re)
-        o_re_ref[j] = unband_out(o_r)
-        o_im_ref[j] = unband_out(o_i)
+        o_re_ref[j] = _unband_spec(o_r, bx, P, kzc)
+        o_im_ref[j] = _unband_spec(o_i, bx, P, kzc)
 
 
-def _block_x_lamb(nx: int, ny: int, nz: int, ry: int, kzc: int, P: int,
-                  itemsize: int = 4,
-                  budget_bytes: int = 10 * 2**20) -> int:
-    """Largest x-slab block whose live VMEM estimate fits the budget.
+def lamb_block_x(nx: int, ny: int, nz: int, ry: int, kzc: int,
+                 itemsize: int = 4,
+                 budget_bytes: int = 10 * 2**20):
+    """Largest x-slab block whose live VMEM estimate fits the budget, or
+    None when even bx=1 does not fit (the caller must keep the einsum
+    path — Spectral3DConfig's 'auto' gate checks this, so infeasible
+    grids like 512^3 never auto-enable fusion).
 
     The lamb kernel's footprint is dominated by the nine physical
     (bx*ny, nz) arrays live at the cross product (6 fields + 3 products);
     the spectral blocks, one t-pair of intermediates, and the transform
     constants ride along. ~10 MB of the ~16 MB/core VMEM leaves Mosaic
     room for DMA double-buffering of the in/out spectral blocks."""
+    P = _pad_cols(kzc)
     consts = 2 * (ny * ry + 2 * P * nz + ry * ny)
     for b in (8, 4, 2, 1):
         if nx % b:
@@ -239,7 +236,7 @@ def _block_x_lamb(nx: int, ny: int, nz: int, ry: int, kzc: int, P: int,
         inter = 4 * b * ny * P
         if (phys + spec + inter + consts) * itemsize <= budget_bytes:
             return b
-    return 1
+    return None
 
 
 def fused_lamb(a6: Array, Fyi_t: np.ndarray, Bz: np.ndarray,
@@ -262,6 +259,10 @@ def fused_lamb(a6: Array, Fyi_t: np.ndarray, Bz: np.ndarray,
     ny = Fyi_t.shape[0]
     dt = jnp.float32 if a6.dtype == jnp.complex64 else jnp.float64
     P = _pad_cols(kzc)
+    if block_x is not None and (block_x < 1 or nx % block_x):
+        # grid=(nx // bx,) would silently truncate and leave tail x-slabs
+        # of the output uninitialized
+        raise ValueError(f"block_x must divide nx={nx}; got {block_x}")
     bz_pad = np.zeros((P, nz), Bz.dtype)
     bz_pad[:kzc] = Bz
     fz_pad = np.zeros((nz, P), Fz_t.dtype)
@@ -270,8 +271,13 @@ def fused_lamb(a6: Array, Fyi_t: np.ndarray, Bz: np.ndarray,
               jnp.asarray(bz_pad.real, dt), jnp.asarray(bz_pad.imag, dt),
               jnp.asarray(fz_pad.real, dt), jnp.asarray(fz_pad.imag, dt),
               jnp.asarray(Fy_t.real, dt), jnp.asarray(Fy_t.imag, dt)]
-    bx = block_x or _block_x_lamb(nx, ny, nz, ry, kzc, P,
-                                  itemsize=np.dtype(dt).itemsize)
+    bx = block_x if block_x is not None else lamb_block_x(
+        nx, ny, nz, ry, kzc, itemsize=np.dtype(dt).itemsize)
+    if bx is None:
+        raise ValueError(
+            f"fused_lamb at ({nx}, {ny}, {nz}) exceeds the VMEM budget "
+            "even at block_x=1 (lamb_block_x); use the einsum engine "
+            "(use_pallas_transform=False)")
     spec_block = pl.BlockSpec((6, bx, ry, kzc), lambda i: (0, i, 0, 0))
     re, im = pl.pallas_call(
         partial(_lamb_kernel, prec=_prec(precision), kzc=kzc),

@@ -130,13 +130,15 @@ class Spectral3DConfig:
             # volume-gated: the win region is set by the full-grid complex
             # working set blowing past on-chip caches (~256^3 cells), not
             # by any single axis — an anisotropic 256x64x64 grid is in the
-            # regime measured slower.
-            object.__setattr__(
-                self, "use_pallas_transform",
-                self.transform == "matmul" and self.dtype == "float32"
-                and self.matmul_precision == "default"
-                and self.nx * self.ny * self.nz
-                >= self.PALLAS_FUSE_CROSSOVER**3)
+            # regime measured slower. AND VMEM-gated: a grid whose fused
+            # lamb kernel cannot fit on-chip even one x-slab at a time
+            # (512^3) keeps the einsum path instead of failing at compile.
+            on = (self.transform == "matmul" and self.dtype == "float32"
+                  and self.matmul_precision == "default"
+                  and self.nx * self.ny * self.nz
+                  >= self.PALLAS_FUSE_CROSSOVER**3
+                  and self._lamb_fits_vmem())
+            object.__setattr__(self, "use_pallas_transform", on)
         elif not isinstance(self.use_pallas_transform, bool):
             raise ValueError(
                 "use_pallas_transform must be a bool or 'auto'; got "
@@ -147,6 +149,20 @@ class Spectral3DConfig:
                 "use_pallas_transform fuses the compact matmul engine's "
                 "z+y stages and needs transform='matmul' + "
                 "dtype='float32' (Mosaic has no f64)")
+        if self.use_pallas_transform and not self._lamb_fits_vmem():
+            raise ValueError(
+                f"use_pallas_transform=True at ({self.nx}, {self.ny}, "
+                f"{self.nz}): the fused nonlinear-term kernel exceeds "
+                "the VMEM budget even one x-slab at a time "
+                "(transform3d_kernels.lamb_block_x); use the einsum "
+                "engine (use_pallas_transform=False)")
+
+    def _lamb_fits_vmem(self) -> bool:
+        """Whether the fused lamb kernel fits VMEM at some x-slab block."""
+        from ns_tpu.ops.pallas.transform3d_kernels import lamb_block_x
+        _, rows_y, kzc = _compact_meta(self)
+        return lamb_block_x(self.nx, self.ny, self.nz,
+                            len(rows_y), kzc) is not None
 
     @property
     def real_dtype(self):

@@ -114,6 +114,31 @@ def test_fused_step_contains_one_lamb_launch():
     assert n == 1, f"expected ONE fused lamb launch per step, found {n}"
 
 
+def test_vmem_gate_and_block_validation():
+    """Grids whose fused lamb kernel cannot fit VMEM even one x-slab at
+    a time (512^3) resolve 'auto' OFF and reject explicit True at config
+    time; fused_lamb rejects a block_x that does not divide nx (a
+    truncating grid would leave tail output slabs uninitialized)."""
+    from ns_tpu.ops.pallas.transform3d_kernels import (fused_lamb,
+                                                       lamb_block_x)
+
+    big = s3.Spectral3DConfig(nx=512, ny=512, nz=512, transform="matmul",
+                              matmul_precision="default",
+                              use_pallas_transform="auto")
+    assert big.use_pallas_transform is False
+    assert lamb_block_x(512, 512, 512, 341, 86) is None
+    with pytest.raises(ValueError, match="VMEM"):
+        s3.Spectral3DConfig(nx=512, ny=512, nz=512, transform="matmul",
+                            use_pallas_transform=True)
+    base, _ = _cfgs()
+    M = s3._dft_constants_np(base)
+    _, rows_y, kzc = s3._compact_meta(base)
+    a6 = jnp.zeros((6, base.nx, len(rows_y), kzc), jnp.complex64)
+    with pytest.raises(ValueError, match="block_x"):
+        fused_lamb(a6, M["Fyi_t"], M["Bz"], M["Fz_t"], M["Fy_t"],
+                   base.nz, interpret=True, block_x=3)
+
+
 def test_extraction_paths_never_vmap_pallas():
     """fields_from_hat / pressure_from_hat always lower to the einsum
     chain even under a fused config: callers vmap them per saved frame
