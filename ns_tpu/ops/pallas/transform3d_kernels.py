@@ -215,7 +215,8 @@ def _lamb_kernel(a_re_ref, a_im_ref, fyi_re, fyi_im, bz_re, bz_im,
 
 def lamb_block_x(nx: int, ny: int, nz: int, ry: int, kzc: int,
                  itemsize: int = 4,
-                 budget_bytes: int = 10 * 2**20):
+                 budget_bytes: int = 10 * 2**20,
+                 scoped_limit_bytes: int = 16 * 2**20):
     """Largest x-slab block whose live VMEM estimate fits the budget, or
     None when even bx=1 does not fit (the caller must keep the einsum
     path — Spectral3DConfig's 'auto' gate checks this, so infeasible
@@ -225,16 +226,31 @@ def lamb_block_x(nx: int, ny: int, nz: int, ry: int, kzc: int,
     (bx*ny, nz) arrays live at the cross product (6 fields + 3 products);
     the spectral blocks, one t-pair of intermediates, and the transform
     constants ride along. ~10 MB of the ~16 MB/core VMEM leaves Mosaic
-    room for DMA double-buffering of the in/out spectral blocks."""
+    room for DMA double-buffering of the in/out spectral blocks.
+
+    Separately from Mosaic's own needs, XLA:TPU promotes the custom
+    call's WHOLE output tuple onto the scoped-vmem stack when it fits
+    under the ~16 MB/core scoped limit (measured: at 128^3 f32 the two
+    (3, nx, Ry, Kzc) output components — 10.7 MiB together — were
+    stack-allocated and the compile died at 19.75M > 16.00M with a
+    block estimate of ~9 MiB; at 256^3 each component is 45.7 MB, too
+    big to promote, and the same kernel compiles). When each output
+    component is individually promotable, reserve both against the
+    scoped limit (1 MiB headroom) on top of the per-block budget."""
     P = _pad_cols(kzc)
     consts = 2 * (ny * ry + 2 * P * nz + ry * ny)
+    out_component = 3 * nx * ry * kzc * itemsize
+    reserved = 2 * out_component if out_component < scoped_limit_bytes else 0
+    headroom = 2**20
     for b in (8, 4, 2, 1):
         if nx % b:
             continue
         phys = 9 * b * ny * nz
         spec = (6 + 3) * 2 * b * ry * kzc
         inter = 4 * b * ny * P
-        if (phys + spec + inter + consts) * itemsize <= budget_bytes:
+        est = (phys + spec + inter + consts) * itemsize
+        if est <= budget_bytes and \
+                est + reserved <= scoped_limit_bytes - headroom:
             return b
     return None
 

@@ -127,6 +127,16 @@ def test_vmem_gate_and_block_validation():
                               use_pallas_transform="auto")
     assert big.use_pallas_transform is False
     assert lamb_block_x(512, 512, 512, 341, 86) is None
+    # XLA:TPU stack-promotes the custom call's output tuple into scoped
+    # vmem when each component fits under the ~16 MB scoped limit; at
+    # 128^3 f32 that reservation (10.7 MiB for both (3, nx, Ry, Kzc)
+    # components) caps the block at 2 — bx=8's ~9 MiB estimate compiled
+    # fine at 256^3 (outputs too big to promote) but died in the Mosaic
+    # compiler at 128^3 with "19.75M > 16.00M" (measured on the v5e).
+    assert lamb_block_x(128, 128, 128, 85, 43) == 2
+    out_bytes = 2 * 3 * 128 * 85 * 43 * 4
+    assert out_bytes < 16 * 2**20  # the 128^3 outputs ARE promotable
+    assert lamb_block_x(256, 256, 256, 171, 87) == 2  # not promotable
     with pytest.raises(ValueError, match="VMEM"):
         s3.Spectral3DConfig(nx=512, ny=512, nz=512, transform="matmul",
                             use_pallas_transform=True)
