@@ -86,7 +86,6 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
 
     # ---- padded right-multipliers (host-built, device constants) --------
     R_DyrT = _pad_right_mult(h(C["Dy_rows"]).T, Ny, False, dtype)
-    R_Dy2rT = _pad_right_mult(h(C["Dy_sqr_rows"]).T, Ny, False, dtype)
     R_DPyT = _pad_right_mult(h(C["DPy"]).T, Ny, True, dtype)
     R_pQinvT = _pad_right_mult(h(C["p_Q_inv"]).T, Ny, True, dtype)
     R_pQT = _pad_right_mult(h(C["p_Q"]).T, Ny, True, dtype)
@@ -194,29 +193,25 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
         edgeN = jnp.where(last, yN[:, None], out[1:-1, :])
         return out.at[1:-1, :].set(edgeN)
 
-    def lift_of(ops):
-        """RHS data lift (Nx-2, by chunk) — static per field."""
+    def lift_consts(ops):
+        """Per-field boundary-lift constants (predictor docstring in
+        solvers/chorin_spectral.py: the CN diffusion folds into the
+        Helmholtz solve; only rank-1 boundary algebra stays on the RHS)."""
         g, kx, ky = ops.g, ops.kx, ops.ky
-        gx0 = (kx["c0_plus"] * g["g_plus_x"]
-               + kx["c0_minus"] * g["g_minus_x"]) / kx["e"]
-        gxN = (kx["cN_plus"] * g["g_plus_x"]
-               + kx["cN_minus"] * g["g_minus_x"]) / kx["e"]
-        gy0 = (ky["c0_plus"] * g["g_plus_y"]
-               + ky["c0_minus"] * g["g_minus_y"]) / ky["e"]
-        gyN = (ky["cN_plus"] * g["g_plus_y"]
-               + ky["cN_minus"] * g["g_minus_y"]) / ky["e"]
-        Dx2r = h(C["Dx_sqr_rows"])
-        Dy2r = h(C["Dy_sqr_rows"])
-        lift = np.zeros((Nx - 2, Ny))
-        lift[:, 1:-1] = (Dx2r[:, 0][:, None] * gx0
-                         + Dx2r[:, -1][:, None] * gxN
-                         + gy0 * Dy2r[:, 0][None, :]
-                         + gyN * Dy2r[:, -1][None, :])
-        return jnp.asarray(lift, dtype)
+        return dict(
+            ex=kx["e"],
+            gx0=(kx["c0_plus"] * g["g_plus_x"]
+                 + kx["c0_minus"] * g["g_minus_x"]) / kx["e"],
+            gxN=(kx["cN_plus"] * g["g_plus_x"]
+                 + kx["cN_minus"] * g["g_minus_x"]) / kx["e"],
+        )
 
-    lifts = {id(u_ops): lift_of(u_ops), id(v_ops): lift_of(v_ops)}
+    lift_k = {id(u_ops): lift_consts(u_ops), id(v_ops): lift_consts(v_ops)}
+    Dx2c0 = C["Dx_sqr_rows"][:, 0]                      # (Nx-2,)
+    Dx2cN = C["Dx_sqr_rows"][:, -1]
+    Dy2c0 = jnp.asarray(pad_cols(h(C["Dy_sqr_rows"])[:, 0]), dtype)  # (Ny,)
+    Dy2cN = jnp.asarray(pad_cols(h(C["Dy_sqr_rows"])[:, -1]), dtype)
     Dxr = C["Dx_rows"]
-    Dx2r = C["Dx_sqr_rows"]
     DPx = C["DPx"]
     p_P = C["p_P"]
     p_P_inv = C["p_P_inv"]
@@ -233,14 +228,27 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
             h1_dx = Dxr @ h1_loc
             h_dy = ymm(h_g[1:-1, :], R_DyrT)        # gathered operand
             h1_dy = ymm(h1_g[1:-1, :], R_DyrT)
-            h_ddx = Dx2r @ h_loc
-            h_ddy = ymm(h_g[1:-1, :], R_Dy2rT)
             hi = h_loc[1:-1, :]
-            F = (2.0 * hi
+            # CN diffusion folded into the Helmholtz solve (4h - (2-A)h
+            # identity, solvers/chorin_spectral.py predictor_corrected):
+            # no D^2 GEMMs; the boundary algebra below is rank-1/O(n^2)
+            F = (4.0 * hi
                  - 3.0 * dt * (_un * h_dx + _vn * h_dy)
-                 + dt * (_un1 * h1_dx + _vn1 * h1_dy)
-                 + nu * dt * (h_ddx + h_ddy))
-            F = F + nu * dt * chunk(lifts[id(ops)])
+                 + dt * (_un1 * h1_dx + _vn1 * h1_dy))
+            k, w = lift_k[id(ops)], bc_y[id(ops)]
+            cx0 = h_loc[0, :] - (ops.b0_x @ hi) / k["ex"] + k["gx0"]
+            cxN = h_loc[-1, :] - (ops.bN_x @ hi) / k["ex"] + k["gxN"]
+            part0 = jnp.sum(chunk(w["b0"][None, :]) * hi, axis=1)
+            partN = jnp.sum(chunk(w["bN"][None, :]) * hi, axis=1)
+            cy0 = (h_g[1:-1, 0] - jax.lax.psum(part0, axis) / w["e"]
+                   + w["data0"])
+            cyN = (h_g[1:-1, -1] - jax.lax.psum(partN, axis) / w["e"]
+                   + w["dataN"])
+            lift = (Dx2c0[:, None] * cx0[None, :]
+                    + Dx2cN[:, None] * cxN[None, :]
+                    + cy0[:, None] * chunk(Dy2c0[None, :])
+                    + cyN[:, None] * chunk(Dy2cN[None, :]))
+            F = F + nu * dt * lift
             # zero the global boundary columns (the solve is interior-only)
             return jnp.where(interior_c, F, 0.0)
 
@@ -265,6 +273,11 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
         else:
             u_soln = helmholtz(u_F, u_ops)
             v_soln = helmholtz(v_F, v_ops)
+        # the 4h - (2-A)h identity solves for u* + h; subtract h's interior
+        # (only on interior global columns — boundary columns stay zero for
+        # the reconstruction masks in assemble)
+        u_soln = u_soln - jnp.where(interior_c, _un, 0.0)
+        v_soln = v_soln - jnp.where(interior_c, _vn, 0.0)
         ui = assemble(u_soln, u_ops)
         vi = assemble(v_soln, v_ops)
 

@@ -408,8 +408,8 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         p_py = ParityEig(host["DyDPy"], "pressure-y", dtype)
         dx_l = make_parity_apply(host["Dx_rows"], dtype, "left")
         dy_r = make_parity_apply(host["Dy_rows"], dtype, "right")
-        dx2_l = make_parity_apply(host["Dx_sqr_rows"], dtype, "left")
-        dy2_r = make_parity_apply(host["Dy_sqr_rows"], dtype, "right")
+        # no dx2/dy2 appliers: the corrected predictor folds CN diffusion
+        # into the Helmholtz solve (predictor_corrected docstring)
         dpx_l = make_parity_apply(host["DPx"], dtype, "left")
         dpy_r = make_parity_apply(host["DPy"], dtype, "right")
 
@@ -441,8 +441,6 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         _add_dense_pressure_eig(C, host, dtype)
         dx_l = lambda X: C["Dx_rows"] @ X
         dy_r = lambda X: X @ C["Dy_rows"].T
-        dx2_l = lambda X: C["Dx_sqr_rows"] @ X
-        dy2_r = lambda X: X @ C["Dy_sqr_rows"].T
         dpx_l = lambda X: C["DPx"] @ X
         dpy_r = lambda X: X @ C["DPy"].T
 
@@ -490,7 +488,7 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         vi = _assemble(Nx, Ny, v_soln, _boundary_rows(v_soln, v_ops), dtype)
         return ui, vi
 
-    def predictor_corrected(un, vn, un1, vn1):
+    def predictor_corrected(un, vn, un1, vn1, cache=None):
         """Corrected-mode predictor: same AB/CN Helmholtz structure, but all
         spatial derivatives use the FULL interior operator rows (boundary
         columns included) and the known Dirichlet boundary values of u* are
@@ -499,29 +497,43 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
             (2 - dt*Lap_int) u*_int = F + dt * (D2x boundary cols + y terms)
 
         which is the standard collocation treatment the reference omits.
+
+        The CN diffusion term never runs an explicit D^2 GEMM: with
+        A = nu*dt*(Mx (+) My) the RHS satisfies 2h + A h = 4h - (2-A)h, so
+
+            u* = (2-A)^{-1} (4h - adv + nu*dt*lift_total) - h
+
+        and the Helmholtz eigen transforms (already paid) absorb the
+        diffusion operator. What remains of Lap.h beyond A.h is the rank-1
+        boundary algebra: Lap_rows.h_full = Mx.h_int (+) h_int.My^T plus
+        outer products of the D^2 boundary columns with
+        (actual boundary row - interior-dependent reconstruction part) —
+        data terms for states on the BC manifold, plus an exact O(n^2)
+        discrepancy correction for arbitrary states (e.g. raw ICs). Cuts
+        4 of the ~28 per-step O(n^3) GEMMs (~14% of step flops; RESULTS.md
+        "Parity-split Chebyshev engine").
         """
         _un, _vn = un[1:-1, 1:-1], vn[1:-1, 1:-1]
         _un1, _vn1 = un1[1:-1, 1:-1], vn1[1:-1, 1:-1]
 
-        def F_of(h_full, h1_full, ops):
-            h, h1 = h_full[1:-1, 1:-1], h1_full[1:-1, 1:-1]
+        def F_of(h_full, h1d, ops):
+            h = h_full[1:-1, 1:-1]
             h_dx, h_dy = dx_l(h_full[:, 1:-1]), dy_r(h_full[1:-1, :])
-            h1_dx, h1_dy = dx_l(h1_full[:, 1:-1]), dy_r(h1_full[1:-1, :])
-            h_ddx, h_ddy = dx2_l(h_full[:, 1:-1]), dy2_r(h_full[1:-1, :])
+            h1_dx, h1_dy = h1d
             # NOTE the nu factor: the reference stores self.nu but never
             # multiplies any diffusion term by it (ref :258-298 — its
             # momentum equation effectively runs at nu = 1 regardless of
             # config). Quirk mode replicates that (predictor_ref above);
             # corrected mode applies the configured viscosity.
-            F = (2.0 * h
+            F = (4.0 * h
                  - 3.0 * dt * (_un * h_dx + _vn * h_dy)
-                 + dt * (_un1 * h1_dx + _vn1 * h1_dy)
-                 + cfg.nu * dt * (h_ddx + h_ddy))
-            # lift the DATA part of the reconstructed u* boundary values
-            # into the RHS (the interior-dependent part is folded into the
-            # eigen-solved operator in _FieldOps). For Dirichlet this is
-            # just the boundary value g; for Neumann/Robin it is the 2x2
-            # boundary-solve data term.
+                 + dt * (_un1 * h1_dx + _vn1 * h1_dy))
+            # Boundary-column algebra of Lap.h plus the u* data lift, as
+            # four rank-1 outer products. Each coefficient vector is
+            #   (actual boundary values of h) - (b.h_int)/e + g_data
+            # = (reconstruction discrepancy, zero on the BC manifold)
+            #   + 2 x (data term: one from Lap.h, one lifting u*'s
+            #     reconstructed boundary values out of the solved operator).
             g, kx, ky = ops.g, ops.kx, ops.ky
             gx0_v = (kx["c0_plus"] * g["g_plus_x"]
                      + kx["c0_minus"] * g["g_minus_x"]) / kx["e"]
@@ -531,26 +543,43 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
                      + ky["c0_minus"] * g["g_minus_y"]) / ky["e"]
             gyN_v = (ky["cN_plus"] * g["g_plus_y"]
                      + ky["cN_minus"] * g["g_minus_y"]) / ky["e"]
-            gx0 = jnp.full((Ny - 2,), gx0_v, dtype)   # row 0 = x=+1
-            gxN = jnp.full((Ny - 2,), gxN_v, dtype)   # row N = x=-1
-            gy0 = jnp.full((Nx - 2,), gy0_v, dtype)
-            gyN = jnp.full((Nx - 2,), gyN_v, dtype)
-            lift = (C["Dx_sqr_rows"][:, 0][:, None] * gx0[None, :]
-                    + C["Dx_sqr_rows"][:, -1][:, None] * gxN[None, :]
-                    + gy0[:, None] * C["Dy_sqr_rows"][:, 0][None, :]
-                    + gyN[:, None] * C["Dy_sqr_rows"][:, -1][None, :])
-            return F + cfg.nu * dt * lift
+            cx0 = h_full[0, 1:-1] - (ops.b0_x @ h) / kx["e"] + gx0_v
+            cxN = h_full[-1, 1:-1] - (ops.bN_x @ h) / kx["e"] + gxN_v
+            cy0 = h_full[1:-1, 0] - (h @ ops.b0_y) / ky["e"] + gy0_v
+            cyN = h_full[1:-1, -1] - (h @ ops.bN_y) / ky["e"] + gyN_v
+            lift = (C["Dx_sqr_rows"][:, 0][:, None] * cx0[None, :]
+                    + C["Dx_sqr_rows"][:, -1][:, None] * cxN[None, :]
+                    + cy0[:, None] * C["Dy_sqr_rows"][:, 0][None, :]
+                    + cyN[:, None] * C["Dy_sqr_rows"][:, -1][None, :])
+            return F + cfg.nu * dt * lift, (h_dx, h_dy)
 
-        u_F = F_of(un, un1, u_ops)
-        v_F = F_of(vn, vn1, v_ops)
+        # AB derivative reuse: this step's (h_dx, h_dy) of u^n IS next
+        # step's (h1_dx, h1_dy) — the identical GEMM on the identical
+        # operand, so a caller threading the returned cache through a
+        # rollout (cached_step below) drops 4 of the remaining per-step
+        # O(n^3) GEMMs bitwise-for-free. cache layout:
+        # (u_dx, u_dy, v_dx, v_dy) of the state's u_prev/v_prev interiors.
+        if cache is None:
+            u1d = (dx_l(un1[:, 1:-1]), dy_r(un1[1:-1, :]))
+            v1d = (dx_l(vn1[:, 1:-1]), dy_r(vn1[1:-1, :]))
+        else:
+            u1d, v1d = (cache[0], cache[1]), (cache[2], cache[3])
+        u_F, u_d = F_of(un, u1d, u_ops)
+        v_F, v_d = F_of(vn, v1d, v_ops)
         u_soln, v_soln = _solve_uv(u_F, v_F)
+        u_soln = u_soln - un[1:-1, 1:-1]
+        v_soln = v_soln - vn[1:-1, 1:-1]
         ui = _assemble(Nx, Ny, u_soln,
                        _boundary_rows(u_soln, u_ops, corrected=True), dtype)
         vi = _assemble(Nx, Ny, v_soln,
                        _boundary_rows(v_soln, v_ops, corrected=True), dtype)
-        return ui, vi
+        return ui, vi, u_d + v_d
 
-    predictor = predictor_ref if cfg.quirk_compat else predictor_corrected
+    if cfg.quirk_compat:
+        predictor = lambda un, vn, un1, vn1, cache=None: (
+            *predictor_ref(un, vn, un1, vn1), None)
+    else:
+        predictor = predictor_corrected
 
     def correction(ui, vi, p):
         """Uzawa P_N - P_{N-2} pressure solve + projection (ref :339-383)."""
@@ -597,17 +626,35 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         p_next = p.at[1:-1, 1:-1].set(Q)
         return u_next, v_next, p_next
 
-    def step(state: FlowState) -> FlowState:
+    def cached_step(state: FlowState, cache):
+        """step plus the AB-derivative carry (predictor_corrected notes):
+        cache is (u_dx, u_dy, v_dx, v_dy) of state.u_prev/v_prev — thread
+        it through a rollout to skip recomputing them (bitwise-identical
+        values; ~14% of the corrected step's GEMMs). Pass None to
+        recompute (also: quirk mode always returns None)."""
         # cfg.matmul_precision is applied HERE, not in the wrapper, so
         # every consumer of make_step (benchmarks, serving, CLI) honors
         # it — the context must be live while the body TRACES
         with jax.default_matmul_precision(cfg.matmul_precision):
-            ui, vi = predictor(state.u, state.v, state.u_prev,
-                               state.v_prev)
+            ui, vi, new_cache = predictor(state.u, state.v, state.u_prev,
+                                          state.v_prev, cache)
             u_next, v_next, p_next = correction(ui, vi, state.p)
         return FlowState(u=u_next, v=v_next, p=p_next,
-                         u_prev=state.u, v_prev=state.v)
+                         u_prev=state.u, v_prev=state.v), new_cache
 
+    def seed(state: FlowState):
+        """Initial derivative cache for cached_step (None in quirk mode)."""
+        if cfg.quirk_compat:
+            return None
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return (dx_l(state.u_prev[:, 1:-1]), dy_r(state.u_prev[1:-1, :]),
+                    dx_l(state.v_prev[:, 1:-1]), dy_r(state.v_prev[1:-1, :]))
+
+    def step(state: FlowState) -> FlowState:
+        return cached_step(state, None)[0]
+
+    step.cached = cached_step
+    step.seed = seed
     return step
 
 
@@ -621,11 +668,21 @@ def init_state(cfg, u_ic, v_ic, p_ic, u_bc, v_bc, dtype=jnp.float64) -> FlowStat
 
 
 def simulate(cfg, state0: FlowState, step_fn):
-    def body(state, _):
-        state = step_fn(state)
-        return state, (state.u, state.v, state.p)
+    cached = getattr(step_fn, "cached", None)
+    if cached is not None:
+        # thread the AB-derivative cache through the rollout (cached_step
+        # docstring: values are bitwise-identical to recomputation)
+        def body(carry, _):
+            state, cache = cached(*carry)
+            return (state, cache), (state.u, state.v, state.p)
+        carry0 = (state0, step_fn.seed(state0))
+    else:
+        def body(state, _):
+            state = step_fn(state)
+            return state, (state.u, state.v, state.p)
+        carry0 = state0
 
-    _, seqs = jax.lax.scan(body, state0, None, length=cfg.nt)
+    _, seqs = jax.lax.scan(body, carry0, None, length=cfg.nt)
     return seqs
 
 

@@ -221,3 +221,42 @@ def test_neumann_raises_like_reference():
     bcs = [neumann(0, "left", 0.1, 0.1)] + u_bc[1:]
     with pytest.raises(NotImplementedError):
         chorin_spectral._process_bcs(bcs)
+
+
+def test_cached_step_rollout_matches_plain_step():
+    """The AB-derivative carry (make_step's step.cached/step.seed) reuses
+    this step's h_dx/h_dy as next step's h1 derivatives — the identical
+    GEMM on the identical operand, so a cached rollout must be BITWISE
+    equal to scanning the plain step. Covers both corrected engines and
+    quirk mode (where the cache is None end to end)."""
+    import jax
+
+    u_bc, v_bc = cavity_u_v_bcs()
+    z = np.zeros((24, 24))
+    for quirk, parity in ((False, False), (False, True), (True, False)):
+        cfg = chorin_spectral.ChorinSpectralConfig(
+            nt=5, nx=24, ny=24, dt=1e-4, rho=1, nu=0.1,
+            quirk_compat=quirk, parity_split=parity or None,
+            deflate_pressure_nullspace=not quirk)
+        step = chorin_spectral.make_step(cfg, u_bc, v_bc)
+        s0 = chorin_spectral.init_state(cfg, z, z, z, u_bc, v_bc)
+
+        @jax.jit
+        def plain(s):
+            def body(s, _):
+                return step(s), None
+            return jax.lax.scan(body, s, None, length=5)[0]
+
+        @jax.jit
+        def cached(s):
+            def body(c, _):
+                return step.cached(*c), None
+            return jax.lax.scan(body, (s, step.seed(s)), None,
+                                length=5)[0][0]
+
+        a, b = plain(s0), cached(s0)
+        for f in ("u", "v", "p"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)),
+                                          err_msg=f"{f} quirk={quirk} "
+                                                  f"parity={parity}")

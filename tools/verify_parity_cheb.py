@@ -43,9 +43,12 @@ for nx in (256, 512, 1024):
         def roll_n(n):
             @jax.jit
             def roll(s):
-                def body(s, _):
-                    return step(s), None
-                s, _ = jax.lax.scan(body, s, None, length=n)
+                # rollout path: AB-derivative cache threaded through the
+                # scan (bitwise-identical to the plain step — cached_step)
+                def body(c, _):
+                    return step.cached(*c), None
+                (s, _), _ = jax.lax.scan(body, (s, step.seed(s)), None,
+                                         length=n)
                 return s.u, s.v, s.p
             return roll
 
