@@ -238,12 +238,15 @@ def make_sharded_step(cfg: ChorinSpectralConfig, u_bc, v_bc, mesh: Mesh,
             k, w = lift_k[id(ops)], bc_y[id(ops)]
             cx0 = h_loc[0, :] - (ops.b0_x @ hi) / k["ex"] + k["gx0"]
             cxN = h_loc[-1, :] - (ops.bN_x @ hi) / k["ex"] + k["gxN"]
-            part0 = jnp.sum(chunk(w["b0"][None, :]) * hi, axis=1)
-            partN = jnp.sum(chunk(w["bN"][None, :]) * hi, axis=1)
-            cy0 = (h_g[1:-1, 0] - jax.lax.psum(part0, axis) / w["e"]
-                   + w["data0"])
-            cyN = (h_g[1:-1, -1] - jax.lax.psum(partN, axis) / w["e"]
-                   + w["dataN"])
+            # h_g is the fully-gathered field, so the global y-boundary
+            # sums are computable locally — no psum (w["b0"]/w["bN"] carry
+            # zero pads on the global boundary columns, so summing all Ny
+            # columns equals the interior sum). Keeps the step at the
+            # pinned 8 all_reduces (tests/test_collectives.py).
+            sum0 = jnp.sum(w["b0"][None, :] * h_g[1:-1, :], axis=1)
+            sumN = jnp.sum(w["bN"][None, :] * h_g[1:-1, :], axis=1)
+            cy0 = h_g[1:-1, 0] - sum0 / w["e"] + w["data0"]
+            cyN = h_g[1:-1, -1] - sumN / w["e"] + w["dataN"]
             lift = (Dx2c0[:, None] * cx0[None, :]
                     + Dx2cN[:, None] * cxN[None, :]
                     + cy0[:, None] * chunk(Dy2c0[None, :])

@@ -436,9 +436,27 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
                 Q_hat = H_hat / denom
             return p_px.inverse(p_py.inverse(Q_hat, -1), -2)
     else:
-        u_ops.build_dense_eig()
-        v_ops.build_dense_eig()
-        _add_dense_pressure_eig(C, host, dtype)
+        try:
+            u_ops.build_dense_eig()
+            v_ops.build_dense_eig()
+            _add_dense_pressure_eig(C, host, dtype)
+        except ValueError as e:
+            if cfg.quirk_compat:
+                # fail fast with guidance instead of the bare eig_real
+                # guard: the quirk-mode (reference-defect) operators have a
+                # materially complex spectrum at every even N (verified
+                # 16..64; every odd N in 9..63 builds) — the reference's
+                # own workload is odd (51, ref :584)
+                raise ValueError(
+                    f"quirk_compat=True cannot build a "
+                    f"{cfg.nx}x{cfg.ny} grid: {e}. The reference's "
+                    "defective operators (D@D.T second derivative, "
+                    "M=N sin denominators) only have a real spectrum at "
+                    "ODD grid sizes (the reference's own workload is "
+                    "nx=ny=51, chorin_spectral/simulate.py:584); use an "
+                    "odd nx/ny, or quirk_compat=False for the corrected "
+                    "operators which build at any size") from e
+            raise
         dx_l = lambda X: C["Dx_rows"] @ X
         dy_r = lambda X: X @ C["Dy_rows"].T
         dpx_l = lambda X: C["DPx"] @ X

@@ -223,6 +223,16 @@ def test_neumann_raises_like_reference():
         chorin_spectral._process_bcs(bcs)
 
 
+def test_quirk_even_grid_fails_fast_with_guidance():
+    """Even-N quirk grids can never construct (complex pressure spectrum);
+    make_step must say so actionably instead of the bare eig_real raise."""
+    u_bc, v_bc = cavity_u_v_bcs()
+    cfg = chorin_spectral.ChorinSpectralConfig(
+        nt=2, nx=24, ny=24, quirk_compat=True)
+    with pytest.raises(ValueError, match="ODD grid sizes"):
+        chorin_spectral.make_step(cfg, u_bc, v_bc)
+
+
 def test_cached_step_rollout_matches_plain_step():
     """The AB-derivative carry (make_step's step.cached/step.seed) reuses
     this step's h_dx/h_dy as next step's h1 derivatives — the identical
@@ -232,10 +242,13 @@ def test_cached_step_rollout_matches_plain_step():
     import jax
 
     u_bc, v_bc = cavity_u_v_bcs()
-    z = np.zeros((24, 24))
-    for quirk, parity in ((False, False), (False, True), (True, False)):
+    # quirk mode needs an ODD grid (its defective pressure operator has a
+    # complex spectrum at every even N — see make_step's fail-fast)
+    for quirk, parity, n in ((False, False, 24), (False, True, 24),
+                             (True, False, 25)):
+        z = np.zeros((n, n))
         cfg = chorin_spectral.ChorinSpectralConfig(
-            nt=5, nx=24, ny=24, dt=1e-4, rho=1, nu=0.1,
+            nt=5, nx=n, ny=n, dt=1e-4, rho=1, nu=0.1,
             quirk_compat=quirk, parity_split=parity or None,
             deflate_pressure_nullspace=not quirk)
         step = chorin_spectral.make_step(cfg, u_bc, v_bc)
