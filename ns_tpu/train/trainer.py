@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import warnings
 from typing import Optional
 
 import jax
@@ -183,6 +184,18 @@ class TrainConfig:
                 f"batch_size samples next-step training windows, which "
                 f"only the operator families (fno/fno_w/fno3d) have; "
                 f"{self.model!r} trains on the whole trajectory")
+        if self.model == "fno3d_w":
+            # not an error (the family is kept as a measured negative
+            # result) but every benchmark run of it diverged — steer
+            # users to the working representations
+            warnings.warn(
+                "fno3d_w (raw 3-component vorticity representation) "
+                "reproducibly diverges to inf on this repo's own 3D "
+                "benchmarks at every tried capacity/noise setting "
+                "(RESULTS.md '3D surrogate quality' table). Use "
+                "fno3d_a (vector-potential representation, exactly "
+                "divergence-free) or fno3d (raw uvwp) instead.",
+                stacklevel=2)
 
 
 def load_obs(npz_path: str, n_frames: Optional[int]):

@@ -576,3 +576,17 @@ def test_minibatch_validation(small_npz, tmp_path):
         EnsembleTrainer(TrainConfig(model="fno", npz_path=small_npz,
                                     out_dir=str(tmp_path / "e"),
                                     n_frames=8, batch_size=2), 2)
+
+
+def test_fno3d_w_selection_warns_divergence():
+    """fno3d_w reproducibly diverges on this repo's own 3D benchmarks
+    (RESULTS.md 3D table); selecting it must warn with the working
+    alternatives, and the other 3D families must stay silent."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="fno3d_a"):
+        TrainConfig(model="fno3d_w")
+    for ok in ("fno3d", "fno3d_a"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            TrainConfig(model=ok)
