@@ -24,11 +24,15 @@ engine:
     (engine.py::_predict_fno), so at most log2(max_batch)+1 distinct
     traced programs exist.
 
-Scope: single-model engines (n_models == 1). Ensemble replies carry a
-leading member axis whose interaction with a client batch axis is
-ambiguous on the wire today; the server falls back to the serialized
-lock path for ensembles (serve/server.py keeps that path for all
-non-coalescible requests).
+Scope: surrogate InferenceEngines, single-model or ensemble. For an
+M-member ensemble the engine's batched reply is (M, B, steps+1, C, ...)
+— members first, the coalesced batch axis second — and the dispatcher
+hands request i its `out[:, i]` slice, so every client receives exactly
+the (M, steps+1, C, ...) reply the serialized single-state path would
+have produced. The internal batch axis never reaches the wire; the one
+genuinely ambiguous composition (a CLIENT-batched request to an
+ensemble endpoint) keeps the serialized lock path in serve/server.py,
+as do the single-state solver oracles.
 """
 
 from __future__ import annotations
@@ -59,10 +63,6 @@ class CoalescingDispatcher:
                  device_lock: Optional[threading.Lock] = None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
-        if getattr(engine, "n_models", 1) != 1:
-            raise ValueError("coalescing serves single-model engines; "
-                             "ensembles use the serialized path "
-                             "(module docstring)")
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
@@ -159,9 +159,13 @@ class CoalescingDispatcher:
             x = np.stack([p.frame0 for p in batch])
             with self.device_lock:
                 out = self.engine.predict(x, batch[0].steps)
-            # single-model batched reply contract: (B, steps+1, C, ...)
+            # batched reply contract: (B, steps+1, C, ...) single-model,
+            # (M, B, steps+1, C, ...) ensemble — members first, so each
+            # request's slice matches its serialized single-state reply
+            ensemble = getattr(self.engine, "n_models", 1) > 1
             for i, p in enumerate(batch):
-                p.result = np.ascontiguousarray(out[i])
+                p.result = np.ascontiguousarray(
+                    out[:, i] if ensemble else out[i])
         except BaseException as e:  # deliver to every waiter
             for p in batch:
                 p.error = e

@@ -98,9 +98,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             # single-state requests ride the coalescer when enabled: the
             # dispatcher stacks concurrent same-shape requests into ONE
-            # batched device program (serve/batching.py). Client-batched
-            # requests (an extra leading axis) and ensemble engines keep
-            # the serialized path.
+            # batched device program and slices each reply back out —
+            # ensemble replies keep their members-first contract
+            # (serve/batching.py). Client-batched requests (an extra
+            # leading axis) keep the serialized path.
             state_rank = 4 if getattr(self.engine, "nz", None) else 3
             if self.dispatcher is not None and frame0.ndim == state_rank:
                 out = self.dispatcher.submit(frame0, steps)
@@ -135,12 +136,14 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     """Build (not start) the HTTP server; call .serve_forever() or drive
     it from a thread (tests).
 
-    coalesce > 0 turns on request coalescing for single-model surrogate
-    engines: up to `coalesce` concurrent same-shape requests share one
-    batched device program (serve/batching.py). Ensembles and the
-    single-state solver oracles keep the serialized lock path. The
-    returned server's .dispatcher (when set) owns a daemon thread;
-    server_close() shuts it down."""
+    coalesce > 0 turns on request coalescing for surrogate engines
+    (single-model or ensemble): up to `coalesce` concurrent same-shape
+    single-state requests share one batched device program
+    (serve/batching.py; ensemble replies keep their members-first
+    contract per request). Client-batched requests and the single-state
+    solver oracles keep the serialized lock path. The returned server's
+    .dispatcher (when set) owns a daemon thread; server_close() shuts it
+    down."""
 
     class Handler(_Handler):
         pass
@@ -150,13 +153,10 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     Handler.quiet = quiet
     dispatcher = None
     if coalesce > 0:
-        if not (isinstance(engine, InferenceEngine)
-                and engine.n_models == 1):
+        if not isinstance(engine, InferenceEngine):
             raise ValueError(
-                "coalesce > 0 needs a single-model surrogate engine: the "
-                "solver oracles are single-state (serve/solver.py) and "
-                "ensemble replies already carry a member axis "
-                "(serve/batching.py scope note)")
+                "coalesce > 0 needs a surrogate engine: the solver "
+                "oracles are single-state (serve/solver.py)")
         from ns_tpu.serve.batching import CoalescingDispatcher
         # share the serialized-path lock: a coalesced batch and a
         # client-batched (lock-path) request must never call the engine
@@ -166,6 +166,12 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     Handler.dispatcher = dispatcher
 
     class Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5: a burst of N>5 simultaneous
+        # connects gets TCP-reset before accept() ever runs (measured at
+        # 16 concurrent clients). Deep backlog is the correct serving
+        # posture — requests queue on the socket, not in the client.
+        request_queue_size = 128
+
         def server_close(self):
             if dispatcher is not None:
                 dispatcher.close()

@@ -518,12 +518,69 @@ def test_coalescing_matches_serialized_and_batches(tmp_path):
     assert not httpd.dispatcher._thread.is_alive()
 
 
-def test_coalesce_rejected_for_solver_and_ensemble(tmp_path):
+def test_coalesce_rejected_for_solver(tmp_path):
     from ns_tpu.serve.server import make_server
     from ns_tpu.serve.solver import SolverEngine
 
-    with pytest.raises(ValueError, match="single-model surrogate"):
+    with pytest.raises(ValueError, match="surrogate"):
         make_server(SolverEngine(8, 8), port=0, coalesce=4)
+
+
+def test_coalescing_ensemble_members_first(tmp_path):
+    """Ensemble endpoints coalesce too: every concurrent single-state
+    request gets the identical (M, steps+1, C, nx, ny) members-first
+    reply the serialized path produces (serve/batching.py scope note),
+    reduce= still collapses the member axis, and the dispatcher actually
+    batches. Client-batched requests keep the serialized path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ns_tpu.serve.server import make_server
+    from ns_tpu.train.ensemble import EnsembleTrainer
+
+    npz, nt, nx, ny = _toy_npz(tmp_path, name="enscoal.npz")
+    cfg = TrainConfig(model="fno", npz_path=npz,
+                      out_dir=str(tmp_path / "enscoal"), n_iters=4,
+                      n_frames=nt, ckpt_every=4, fno_modes=3, fno_width=6)
+    EnsembleTrainer(cfg, n_models=2).train(progress=False)
+    eng = InferenceEngine.from_checkpoint(str(tmp_path / "enscoal"),
+                                          chunk=4)
+    assert eng.n_models == 2
+    httpd = make_server(eng, host="127.0.0.1", port=0, coalesce=8)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    rng = np.random.default_rng(1)
+    frames = [rng.standard_normal((3, nx, ny)).astype(np.float32)
+              for _ in range(8)]
+    want = [eng.predict(f, 3) for f in frames]  # serialized oracle
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            got = list(ex.map(
+                lambda f: _post_npy(
+                    port, "/rollout?steps=3&reduce=members", f), frames))
+        for (status, body), w in zip(got, want):
+            assert status == 200
+            out = np.load(io.BytesIO(body), allow_pickle=False)
+            assert out.shape == (2, 4, 3, nx, ny)
+            np.testing.assert_allclose(out, w, rtol=1e-4, atol=1e-5)
+        st = httpd.dispatcher.stats()
+        assert st["coalesced_requests"] >= 8
+        assert st["batches"] < 8
+        # reduce=mean collapses the member axis on a coalesced reply
+        status, body = _post_npy(
+            port, "/rollout?steps=3&reduce=mean", frames[0])
+        assert status == 200
+        out = np.load(io.BytesIO(body), allow_pickle=False)
+        np.testing.assert_allclose(out, want[0].mean(axis=0),
+                                   rtol=1e-4, atol=1e-5)
+        # client-batched ensemble requests keep the serialized path
+        status, body = _post_npy(
+            port, "/rollout?steps=2&reduce=members", np.stack(frames[:2]))
+        assert status == 200
+        out = np.load(io.BytesIO(body), allow_pickle=False)
+        assert out.shape == (2, 2, 3, 3, nx, ny)  # (M, B, t, C, nx, ny)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_coalescer_propagates_engine_errors(tmp_path):
