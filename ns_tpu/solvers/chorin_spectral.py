@@ -534,9 +534,9 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         _un, _vn = un[1:-1, 1:-1], vn[1:-1, 1:-1]
         _un1, _vn1 = un1[1:-1, 1:-1], vn1[1:-1, 1:-1]
 
-        def F_of(h_full, h1d, ops):
+        def F_of(h_full, hd, h1d, ops):
             h = h_full[1:-1, 1:-1]
-            h_dx, h_dy = dx_l(h_full[:, 1:-1]), dy_r(h_full[1:-1, :])
+            h_dx, h_dy = hd
             h1_dx, h1_dy = h1d
             # NOTE the nu factor: the reference stores self.nu but never
             # multiplies any diffusion term by it (ref :258-298 — its
@@ -577,13 +577,21 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         # rollout (cached_step below) drops 4 of the remaining per-step
         # O(n^3) GEMMs bitwise-for-free. cache layout:
         # (u_dx, u_dy, v_dx, v_dy) of the state's u_prev/v_prev interiors.
+        # All advection derivatives run as ONE batched apply per side
+        # (matrix @ stacked operands — same per-element contraction, so
+        # bitwise-equal to per-field GEMMs; fewer, MXU-fatter dispatches).
         if cache is None:
-            u1d = (dx_l(un1[:, 1:-1]), dy_r(un1[1:-1, :]))
-            v1d = (dx_l(vn1[:, 1:-1]), dy_r(vn1[1:-1, :]))
+            dxs = dx_l(jnp.stack([un[:, 1:-1], vn[:, 1:-1],
+                                  un1[:, 1:-1], vn1[:, 1:-1]]))
+            dys = dy_r(jnp.stack([un[1:-1, :], vn[1:-1, :],
+                                  un1[1:-1, :], vn1[1:-1, :]]))
+            u1d, v1d = (dxs[2], dys[2]), (dxs[3], dys[3])
         else:
+            dxs = dx_l(jnp.stack([un[:, 1:-1], vn[:, 1:-1]]))
+            dys = dy_r(jnp.stack([un[1:-1, :], vn[1:-1, :]]))
             u1d, v1d = (cache[0], cache[1]), (cache[2], cache[3])
-        u_F, u_d = F_of(un, u1d, u_ops)
-        v_F, v_d = F_of(vn, v1d, v_ops)
+        u_F, u_d = F_of(un, (dxs[0], dys[0]), u1d, u_ops)
+        v_F, v_d = F_of(vn, (dxs[1], dys[1]), v1d, v_ops)
         u_soln, v_soln = _solve_uv(u_F, v_F)
         u_soln = u_soln - un[1:-1, 1:-1]
         v_soln = v_soln - vn[1:-1, 1:-1]
@@ -665,8 +673,11 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         if cfg.quirk_compat:
             return None
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return (dx_l(state.u_prev[:, 1:-1]), dy_r(state.u_prev[1:-1, :]),
-                    dx_l(state.v_prev[:, 1:-1]), dy_r(state.v_prev[1:-1, :]))
+            dxs = dx_l(jnp.stack([state.u_prev[:, 1:-1],
+                                  state.v_prev[:, 1:-1]]))
+            dys = dy_r(jnp.stack([state.u_prev[1:-1, :],
+                                  state.v_prev[1:-1, :]]))
+            return (dxs[0], dys[0], dxs[1], dys[1])
 
     def step(state: FlowState) -> FlowState:
         return cached_step(state, None)[0]

@@ -1,5 +1,6 @@
 """chorin_fd with the multigrid pressure mode vs the SOR mode."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,7 @@ def cavity_bcs(dx, dy):
     return u_bc, v_bc, p_bc
 
 
+@pytest.mark.slow
 def test_multigrid_pressure_matches_sor():
     nx = ny = 65  # 2^6 + 1
     dx = dy = 2.0 / (nx - 1)
@@ -36,6 +38,7 @@ def test_multigrid_pressure_matches_sor():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_multigrid_pressure_at_reference_51sq():
     """pressure_mode='multigrid' now runs the reference's own 51^2 default
     config (chorin_fd/simulate.py:278-287) via the masked padded grid and

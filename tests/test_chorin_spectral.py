@@ -233,6 +233,7 @@ def test_quirk_even_grid_fails_fast_with_guidance():
         chorin_spectral.make_step(cfg, u_bc, v_bc)
 
 
+@pytest.mark.slow
 def test_cached_step_rollout_matches_plain_step():
     """The AB-derivative carry (make_step's step.cached/step.seed) reuses
     this step's h_dx/h_dy as next step's h1 derivatives — the identical

@@ -12,6 +12,7 @@ regardless of trip count, so a rollout's count = init sites + per-step
 sites + output sites, and a step's count is its true per-step budget.
 """
 
+import pytest
 import re
 from collections import Counter
 
@@ -219,6 +220,7 @@ def test_ensemble_axis_never_communicates():
             assert len(rows) == 1, f"collective crosses ensemble rows: {g}"
 
 
+@pytest.mark.slow
 def test_dp_train_step_grad_sync_only(tmp_path):
     """Data-parallel training (TrainConfig.dp, scaling.md): the sharded
     window batch makes every comm an ALL-REDUCE (loss + gradient sync) —

@@ -5,6 +5,7 @@
   - CG Poisson fallback solver correctness
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,6 +66,7 @@ def test_cg_poisson_solves_dirichlet_frame():
     assert resid < 1e-6
 
 
+@pytest.mark.slow
 def test_conv_basis_model():
     from ns_tpu.models.basis import BasisODEConv
     import jax

@@ -139,6 +139,7 @@ def test_evaluate_physics_metrics(tmp_path, capsys):
     assert ph_bad["divergence_max_pred"] > 10 * ph["divergence_max_pred"]
 
 
+@pytest.mark.slow
 def test_evaluate_cli_ensemble_checkpoint(tmp_path, capsys):
     """Ensemble checkpoints score the member mean; the report carries
     member count and spread."""

@@ -12,6 +12,7 @@ from ns_tpu.train import TrainConfig, Trainer
 from tests.conftest import GOLDEN_DIR
 
 
+@pytest.mark.slow
 def test_fno_shapes_and_batch_polymorphism():
     model = FNO2D(16, 16, width=8, modes=4, depth=2)
     params = model.init(jax.random.PRNGKey(0))
@@ -34,6 +35,7 @@ def test_fno_rollout():
     assert np.isfinite(np.asarray(xs)).all()
 
 
+@pytest.mark.slow
 def test_fno_rollout_training_objective(tmp_path):
     g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
     path = tmp_path / "d.npz"
@@ -64,6 +66,7 @@ def test_fno_trains_on_rollout(tmp_path):
     assert out.shape == (12, 3, 13, 13)
 
 
+@pytest.mark.slow
 def test_fno_input_noise_trains_and_perturbs(tmp_path):
     """input_noise: loss still decreases; the noise stream actually changes
     the training trajectory (same seed, sigma=0 vs sigma>0 diverge), and
@@ -102,6 +105,7 @@ def test_input_noise_rejects_negative(tmp_path):
         Trainer(cfg)
 
 
+@pytest.mark.slow
 def test_fno_remat_matches_nonremat(tmp_path):
     """jax.checkpoint on the k-step unroll changes memory, not values."""
     g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
@@ -125,6 +129,7 @@ def test_fno_remat_matches_nonremat(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_spectral_engines_agree():
     """The matmul-DFT engine computes the identical layer to the fft one
     (retained-mode DFT GEMMs vs rfft2+mask), across even/odd grids and

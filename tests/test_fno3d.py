@@ -93,6 +93,7 @@ def test_validation():
         FNO3D(8, 8, 8, transform="bogus")
 
 
+@pytest.mark.slow
 def test_fno3d_trains_and_extrapolates(tmp_path):
     """End to end on tiny 3D data: run_solver 3D npz -> Trainer(fno3d)
     loss decreases -> frame-aligned extrapolation -> checkpoint resume."""
@@ -133,6 +134,7 @@ def test_fno3d_trains_and_extrapolates(tmp_path):
 
 
 
+@pytest.mark.slow
 def test_fno3d_serve_and_evaluate_roundtrip(tmp_path, capsys):
     """Checkpoint -> InferenceEngine predictions match the trainer's
     frame-aligned extrapolation; evaluate CLI scores the 3D rollout."""
@@ -187,6 +189,7 @@ def test_fno3d_serve_and_evaluate_roundtrip(tmp_path, capsys):
     assert ph["divergence_max_pred"] < 1e-3
 
 
+@pytest.mark.slow
 def test_fno3d_ensemble_trains(tmp_path):
     """EnsembleTrainer vmaps fno3d members; extrapolate stacks them."""
     from ns_tpu.cli.run_solver import main as run_main

@@ -40,6 +40,7 @@ def test_odeint_bad_method():
         node.odeint(lambda t, z: z, jnp.ones(1), 5, "RK7")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cls", [basis.BasisODE, basis.BasisODE2, basis.BasisGRU])
 def test_basis_models_shapes_and_grads(cls):
     K, nx, ny, nt, mb = 4, 8, 9, 6, 2
@@ -68,6 +69,7 @@ def test_diversity_penalty_matches_pairwise_loop():
     np.testing.assert_allclose(got, 1.0 / acc, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fullfield_gru_teacher_forced_and_extrapolate():
     D, H, mb, nt = 12, 16, 3, 5
     model = gru.FullFieldGRU(D, H)

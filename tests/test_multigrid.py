@@ -42,6 +42,7 @@ def test_multigrid_vs_direct_residual():
     assert resid < 1e-6 * np.abs(f).max(), resid
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(51, 51), (50, 50), (51, 40)])
 def test_multigrid_masked_arbitrary_sizes(shape):
     """Non-2^k+1 grids run on the padded grid with a masked interior and
@@ -62,6 +63,7 @@ def test_multigrid_masked_arbitrary_sizes(shape):
     assert err < 6.0 / (min(nx, ny) - 1) ** 2, err
 
 
+@pytest.mark.slow
 def test_multigrid_masked_convergence_rate():
     """Each masked V-cycle contracts the error (the padding does not stall
     convergence)."""
@@ -103,6 +105,7 @@ def test_restrict_matches_strided_slicing():
                                       np.asarray(w)[::2, ::2])
 
 
+@pytest.mark.slow
 def test_prolong_matches_scatter_form():
     """`_prolong`'s interleave form equals the literal .at[::2].set /
     .at[1::2].set scatter construction: bitwise on the even lattice and

@@ -16,6 +16,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# every test here spawns real worker processes (seconds to a minute
+# each) — excluded from the fast profile (CLAUDE.md "Test profiles")
+pytestmark = pytest.mark.slow
+
 
 def test_launch_selftest_two_processes(tmp_path):
     """2 processes x 2 devices: halo exchange, distributed matmul-DFT

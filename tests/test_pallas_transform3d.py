@@ -40,6 +40,7 @@ def test_fused_transform_matches_einsum_roundtrip():
                                atol=1e-6 * float(np.abs(np.asarray(wb)).max()))
 
 
+@pytest.mark.slow
 def test_fused_step_matches_dense_step():
     """A full IF-AB2 solver step through the fused engine equals the
     einsum engine (the kernels slot under make_transforms unchanged)."""

@@ -65,6 +65,7 @@ def test_parity_apply_matches_dense(n):
                                rtol=0, atol=1e-13)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nx,ny", [(24, 24), (25, 25), (24, 28)])
 def test_parity_step_equals_dense_step_f64(nx, ny):
     """One corrected step, parity vs dense, float64: agreement to fp

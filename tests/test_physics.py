@@ -2,6 +2,7 @@
 (the north star gates fidelity on divergence residuals AND vorticity
 spectra — BASELINE.json)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +106,7 @@ def test_spatial_convergence_is_spectral():
     assert errs[64] < errs[32] / 30.0, errs
 
 
+@pytest.mark.slow
 def test_ghia_cavity_re100_corrected_vs_quirk():
     """Independent physics validation against Ghia, Ghia & Shin (1982):
     u-velocity along the vertical centerline of the Re=100 lid-driven

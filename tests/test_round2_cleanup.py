@@ -93,6 +93,7 @@ def test_checkpoint_treedef_mismatch_raises(tmp_path):
     assert np.array_equal(out["b"]["c"], np.ones(2))
 
 
+@pytest.mark.slow
 def test_trainer_basis_ode_conv(tmp_path):
     from ns_tpu.train.trainer import TrainConfig, Trainer
     nt, nx, ny = 6, 8, 8

@@ -1,5 +1,6 @@
 """Deployment runtime + ensemble training tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +44,7 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_train_ensemble_reduces_all_losses():
     rng = np.random.default_rng(0)
     nt, nx, ny = 6, 8, 8
@@ -56,6 +58,7 @@ def test_train_ensemble_reduces_all_losses():
     assert not np.allclose(basis[0], basis[1])
 
 
+@pytest.mark.slow
 def test_train_ensemble_sharded():
     rng = np.random.default_rng(0)
     nt, nx, ny = 4, 8, 8

@@ -39,6 +39,7 @@ def _train(tmp_path, model, name, **kw):
     return tr, os.path.join(cfg.out_dir, "checkpoint.npz"), nt, nx, ny
 
 
+@pytest.mark.slow
 def test_engine_fno_roundtrip_and_chunk_equivalence(tmp_path):
     """from_checkpoint rebuilds the trained model exactly: the engine's
     chunked rollout equals the Trainer's in-memory extrapolation, for any
@@ -52,6 +53,7 @@ def test_engine_fno_roundtrip_and_chunk_equivalence(tmp_path):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_fno_w_roundtrip(tmp_path):
     """Engine equals Trainer.extrapolate when both start from the same
     RAW data frame (both derive w with the same adapter; feeding a
@@ -67,6 +69,7 @@ def test_engine_fno_w_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["basis_ode", "basis_gru", "rnn"])
 def test_engine_other_families(tmp_path, model):
     tr, ckpt, nt, nx, ny = _train(tmp_path, model, model)
@@ -95,6 +98,7 @@ def test_engine_batched_matches_single(tmp_path):
         np.testing.assert_allclose(batch[i], single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_ensemble_members(tmp_path):
     """EnsembleTrainer checkpoints serve member-stacked rollouts; members
     differ (distinct seeds) and the member axis reduces to a mean."""
@@ -473,6 +477,7 @@ def test_serve_cli_3d_validation():
 # Request coalescing (serve/batching.py — VERDICT r3 weak #5)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_coalescing_matches_serialized_and_batches(tmp_path):
     """N concurrent clients through the coalescing server get byte-
     identical replies to the serialized engine path, and the dispatcher
@@ -526,6 +531,7 @@ def test_coalesce_rejected_for_solver(tmp_path):
         make_server(SolverEngine(8, 8), port=0, coalesce=4)
 
 
+@pytest.mark.slow
 def test_coalescing_ensemble_members_first(tmp_path):
     """Ensemble endpoints coalesce too: every concurrent single-state
     request gets the identical (M, steps+1, C, nx, ny) members-first

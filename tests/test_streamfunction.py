@@ -60,6 +60,7 @@ def test_apply_velocity_increment_is_divergence_free():
     assert np.abs(div).max() < 1e-10 * max(np.abs(du).max(), 1e-12)
 
 
+@pytest.mark.slow
 def test_apply_batched_and_channels_guard():
     model = FNOPsi(8, 8, width=4, modes=2)
     params = model.init(jax.random.PRNGKey(0))
@@ -69,6 +70,7 @@ def test_apply_batched_and_channels_guard():
         FNOPsi(8, 8, channels=1)
 
 
+@pytest.mark.slow
 def test_fno_psi_trains_serves_and_stays_solenoidal(tmp_path):
     """End to end on tiny periodic data: fno_psi trains (loss decreases),
     extrapolates in the uvp contract with divergence-free velocity at
@@ -101,6 +103,7 @@ def test_fno_psi_trains_serves_and_stays_solenoidal(tmp_path):
     np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fno_psi_ensemble_trains(tmp_path):
     from ns_tpu.cli.run_solver import main as run_main
     from ns_tpu.train.ensemble import EnsembleTrainer

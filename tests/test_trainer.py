@@ -24,6 +24,7 @@ def small_npz(tmp_path_factory):
     return str(path)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["basis_ode", "basis_ode2", "basis_gru", "rnn"])
 def test_training_reduces_loss(model, small_npz, tmp_path):
     cfg = TrainConfig(model=model, npz_path=small_npz,
@@ -40,6 +41,7 @@ def test_training_reduces_loss(model, small_npz, tmp_path):
     assert out.shape[0] == 12 and out.shape[1] == 3
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(small_npz, tmp_path):
     cfg = TrainConfig(model="basis_gru", npz_path=small_npz,
                       out_dir=str(tmp_path / "a"), n_iters=10,
@@ -209,6 +211,7 @@ def _toy_npz(tmp_path, nt=6, nx=8, ny=8, name="edata.npz"):
     return str(path), nt, nx, ny
 
 
+@pytest.mark.slow
 def test_ensemble_trainer_trains_and_resumes(tmp_path):
     import numpy as np
     from ns_tpu.train.ensemble import EnsembleTrainer
@@ -262,6 +265,7 @@ def test_ensemble_trainer_sharded_matches_unsharded(tmp_path):
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_cli(tmp_path, monkeypatch):
     import numpy as np
     from ns_tpu.cli.train import main as train_main
@@ -294,6 +298,7 @@ def test_ensemble_trainer_rejects_bad_model(tmp_path):
         EnsembleTrainer(cfg2, n_models=2)
 
 
+@pytest.mark.slow
 def test_ensemble_trainer_fno_w(tmp_path):
     """fno ensembles: per-model losses decrease, seeds differ, and the
     vmapped closed-loop extrapolation returns per-model uvp rollouts."""
@@ -317,6 +322,7 @@ def test_ensemble_trainer_fno_w(tmp_path):
     assert np.isfinite(extrap).all()
 
 
+@pytest.mark.slow
 def test_input_noise_stream_survives_resume(tmp_path):
     """Resume continues the advanced noise stream: iterations after a
     checkpoint must see the SAME noise draws as an uninterrupted run
@@ -420,6 +426,7 @@ def test_run_solver_n_traj(tmp_path):
 # -- data-parallel training (TrainConfig.dp) --------------------------------
 
 
+@pytest.mark.slow
 def test_dp_fno_matches_single_device(tmp_path):
     """dp=4 shards the fno training-window axis over a {'data': 4} mesh;
     params stay replicated and the grad sync is jit's all-reduce, so the
@@ -440,6 +447,7 @@ def test_dp_fno_matches_single_device(tmp_path):
     assert out.shape == (9, 3, 8, 8) and np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_dp_fno_w_and_pushforward(tmp_path):
     """dp composes with the vorticity family and the k-step objective
     (sharded windows feed back through the rollout constraint map)."""
@@ -523,6 +531,7 @@ def test_schedule_validation():
 # -- stochastic minibatch training (TrainConfig.batch_size) -----------------
 
 
+@pytest.mark.slow
 def test_minibatch_training(tmp_path):
     """Sampled-window training runs for k=1 and k-step objectives, and the
     per-step cost no longer binds the loss to all nt windows (losses are
@@ -546,6 +555,7 @@ def test_minibatch_training(tmp_path):
     assert np.isfinite(Trainer(cfg).train(progress=False)).all()
 
 
+@pytest.mark.slow
 def test_minibatch_sample_stream_survives_resume(tmp_path):
     """The window-sampling PRNG rides the noise-key stream, so a resumed
     run replays the exact remaining sample sequence."""

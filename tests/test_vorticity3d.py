@@ -83,6 +83,7 @@ def test_dealias_idempotent_and_band_limited():
     assert np.abs(yh[:, 5, :, :]).max() < 1e-10  # |kx|=5 >= 12/3 zeroed
 
 
+@pytest.mark.slow
 def test_fno3d_w_trains_serves_and_stays_solenoidal(tmp_path):
     """End to end on tiny 3D data: fno3d_w trains (loss decreases),
     extrapolates in the (u,v,w,p) contract with exactly divergence-free
@@ -126,6 +127,7 @@ def test_fno3d_w_trains_serves_and_stays_solenoidal(tmp_path):
         Trainer(dataclasses.replace(cfg, model="fno_w"))
 
 
+@pytest.mark.slow
 def test_fno3d_w_ensemble_trains(tmp_path):
     from ns_tpu.cli.run_solver import main as run_main
     from ns_tpu.train.ensemble import EnsembleTrainer

@@ -41,6 +41,18 @@ def timeit(fn, n=3, min_plausible=1e-3):
     return best
 
 
+def slope_timeit(make_roll, n1, n2, reps=3):
+    """Marginal seconds/step by slope: time an n1-step and an n2-step
+    rollout of the same workload and return (t2-t1)/(n2-n1). The fixed
+    per-execution dispatch latency (~1-30 ms through the axon tunnel —
+    CLAUDE.md hazards) cancels, so sub-100-ms workloads report their true
+    per-step cost instead of mostly the transport. Same protocol as the
+    RESULTS.md parity/roofline tables (tools/profile_spectral_step.py)."""
+    t1 = timeit(make_roll(n1), n=reps)
+    t2 = timeit(make_roll(n2), n=reps)
+    return max((t2 - t1) / (n2 - n1), 1e-12)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -66,33 +78,38 @@ def main():
     for nx in (256, 512, 1024):
         for transform, prec in (("fft", "high"), ("matmul", "high"),
                                 ("matmul", "default")):
-            cfg = sp.SpectralPeriodicConfig(
-                nt=200, nx=nx, ny=nx, dt=5e-4, nu=1e-4, dtype="float32",
-                transform=transform, matmul_precision=prec)
-            w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=nx / 30)
-            c0 = sp.init_from_vorticity(cfg, w0)
-            roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
-            el = timeit(lambda: roll(c0))
+            def mk(nt, nx=nx, transform=transform, prec=prec):
+                cfg = sp.SpectralPeriodicConfig(
+                    nt=nt, nx=nx, ny=nx, dt=5e-4, nu=1e-4, dtype="float32",
+                    transform=transform, matmul_precision=prec)
+                w0 = sp.decaying_turbulence_vorticity(cfg, seed=0,
+                                                      k_peak=nx / 30)
+                c0 = sp.init_from_vorticity(cfg, w0)
+                roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
+                return lambda: roll(c0)
+            per = slope_timeit(mk, 50, 200)
             tag = transform if transform == "fft" else f"matmul/{prec}"
-            rows.append((f"spectral_periodic {nx}^2 ({tag}), 200 steps",
-                         f"{200/el:.0f} steps/s",
-                         f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
+            rows.append((f"spectral_periodic {nx}^2 ({tag})",
+                         f"{1/per:.0f} steps/s",
+                         f"{nx*nx/per/1e9:.2f}e9 cell-updates/s"))
 
     # --- compact-spectrum carry (the bench.py flagship path) --------------
     for prec, rg in (("high", False), ("default", False),
                      ("high", True), ("default", True)):
-        cfg = sp.SpectralPeriodicConfig(
-            nt=200, nx=1024, ny=1024, dt=5e-4, nu=1e-4, dtype="float32",
-            transform="matmul", matmul_precision=prec, compact_spectrum=True,
-            real_gemm=rg)
-        w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
-        c0 = sp.init_from_vorticity(cfg, w0)
-        roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
-        el = timeit(lambda: roll(c0))
+        def mk(nt, prec=prec, rg=rg):
+            cfg = sp.SpectralPeriodicConfig(
+                nt=nt, nx=1024, ny=1024, dt=5e-4, nu=1e-4, dtype="float32",
+                transform="matmul", matmul_precision=prec,
+                compact_spectrum=True, real_gemm=rg)
+            w0 = sp.decaying_turbulence_vorticity(cfg, seed=0, k_peak=30.0)
+            c0 = sp.init_from_vorticity(cfg, w0)
+            roll = jax.jit(lambda c, cfg=cfg: sp.rollout_final(cfg, c))
+            return lambda: roll(c0)
+        per = slope_timeit(mk, 50, 200)
         tag = ("real-GEMM engine" if rg else "compact matmul") + f"/{prec}"
-        rows.append((f"spectral_periodic 1024^2 ({tag}), 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*1024*1024/el/1e9:.2f}e9 cell-updates/s"))
+        rows.append((f"spectral_periodic 1024^2 ({tag})",
+                     f"{1/per:.0f} steps/s",
+                     f"{1024*1024/per/1e9:.2f}e9 cell-updates/s"))
 
     # --- ensemble: batch-64 trajectories at 1024^2 (north-star scale-out
     # config, here saturating ONE chip; on a v4-32 mesh the batch axis
@@ -114,30 +131,35 @@ def main():
     carry = init_b(w0)
     step, _ = sp.make_step(cfg)  # batch-polymorphic
 
-    @jax.jit
-    def roll_b(c):
-        def body(c, _):
-            nc, _ = step(c)
-            return nc, None
-        c, _ = jax.lax.scan(body, c, None, length=cfg.nt)
-        return c
+    def mk_ens(nt):
+        @jax.jit
+        def roll_b(c):
+            def body(c, _):
+                nc, _ = step(c)
+                return nc, None
+            c, _ = jax.lax.scan(body, c, None, length=nt)
+            return c
+        return lambda: roll_b(carry)
 
-    el = timeit(lambda: roll_b(carry), n=2)
-    rows.append((f"spectral_periodic ensemble B=64 @1024^2 (matmul), 20 steps",
-                 f"{cfg.nt/el:.1f} ensemble-steps/s",
-                 f"{B*cfg.nt*cfg.nx*cfg.ny/el/1e9:.2f}e9 cell-updates/s"))
+    per = slope_timeit(mk_ens, 5, 20, reps=2)
+    rows.append((f"spectral_periodic ensemble B=64 @1024^2 (matmul)",
+                 f"{1/per:.1f} ensemble-steps/s",
+                 f"{B*cfg.nx*cfg.ny/per/1e9:.2f}e9 cell-updates/s"))
 
     # --- direct_fd ---------------------------------------------------------
     for nx, nit, nu in ((50, 50, 0.1), (64, 50, 0.02)):
         u_bc, v_bc, p_bc = cavity(nx)
         z = np.zeros((nx, nx))
-        s = direct_fd.NavierStokesSystem(z, z, z, u_bc, v_bc, p_bc, nt=200,
-                                         nit=nit, nx=nx, ny=nx, dt=5e-4,
-                                         rho=1, nu=nu)
-        el = timeit(lambda: s.simulate())
-        rows.append((f"direct_fd {nx}^2 cavity (nit={nit}), 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+
+        def mk(nt, nx=nx, nit=nit, nu=nu, bcs=(u_bc, v_bc, p_bc), z=z):
+            s = direct_fd.NavierStokesSystem(z, z, z, *bcs, nt=nt,
+                                             nit=nit, nx=nx, ny=nx, dt=5e-4,
+                                             rho=1, nu=nu)
+            return lambda: s.simulate()
+        per = slope_timeit(mk, 50, 200)
+        rows.append((f"direct_fd {nx}^2 cavity (nit={nit})",
+                     f"{1/per:.0f} steps/s",
+                     f"{nx*nx/per/1e6:.1f}e6 cell-updates/s"))
 
     # --- chorin_fd ----------------------------------------------------------
     for nx, nu, pallas, pmode in ((51, 0.1, False, "redblack"),
@@ -147,16 +169,20 @@ def main():
                                   (128, 0.005, False, "dst")):
         u_bc, v_bc, p_bc = cavity(nx)
         z = np.zeros((nx, nx))
-        s = chorin_fd.NavierStokesSystem(
-            z, z, z, u_bc, v_bc, p_bc, nt=200, nit=200, nx=nx, ny=nx,
-            dt=5e-4, rho=1, nu=nu, beta=1.25, method="semi_implicit",
-            use_pallas=pallas, pressure_mode=pmode)
-        el = timeit(lambda: s.simulate())
+
+        def mk(nt, nx=nx, nu=nu, pallas=pallas, pmode=pmode,
+               bcs=(u_bc, v_bc, p_bc), z=z):
+            s = chorin_fd.NavierStokesSystem(
+                z, z, z, *bcs, nt=nt, nit=200, nx=nx, ny=nx,
+                dt=5e-4, rho=1, nu=nu, beta=1.25, method="semi_implicit",
+                use_pallas=pallas, pressure_mode=pmode)
+            return lambda: s.simulate()
+        per = slope_timeit(mk, 50, 200)
         tag = " (pallas SOR)" if pallas else (
             " (dst direct pressure)" if pmode == "dst" else "")
-        rows.append((f"chorin_fd {nx}^2 semi-implicit{tag}, 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*nx*nx/el/1e6:.1f}e6 cell-updates/s"))
+        rows.append((f"chorin_fd {nx}^2 semi-implicit{tag}",
+                     f"{1/per:.0f} steps/s",
+                     f"{nx*nx/per/1e6:.1f}e6 cell-updates/s"))
 
     # --- chorin_spectral (corrected, stable; the parity-split half-flop
     # engine auto-enables at the measured crossover —
@@ -168,33 +194,42 @@ def main():
         X, Y = np.meshgrid(x, x, indexing="ij")
         u0 = 2 * (1 - X**2) ** 2 * (1 - Y**2) * (-2 * Y)
         v0 = -2 * (1 - X**2) * (-2 * X) * (1 - Y**2) ** 2
-        s = chorin_spectral.NavierStokesSystem(
-            u0, v0, np.zeros((nx, nx)), bc0, bc0, nt=200, nx=nx, ny=nx,
-            dt=2e-4, rho=1, nu=0.1, dtype=jnp.float32, quirk_compat=False)
-        el = timeit(lambda: s.simulate(), n=2)
+
+        def mk(nt, nx=nx, u0=u0, v0=v0, bc0=bc0):
+            s = chorin_spectral.NavierStokesSystem(
+                u0, v0, np.zeros((nx, nx)), bc0, bc0, nt=nt, nx=nx, ny=nx,
+                dt=2e-4, rho=1, nu=0.1, dtype=jnp.float32,
+                quirk_compat=False)
+            return lambda: s.simulate()
+        per = slope_timeit(mk, 50, 200, reps=2)
         tag = ", parity-split" if nx - 2 >= _PARITY_MIN_INTERIOR else ""
-        rows.append((f"chorin_spectral(corrected{tag}) {nx}^2, 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*nx*nx/el/1e9:.2f}e9 cell-updates/s"))
+        rows.append((f"chorin_spectral(corrected{tag}) {nx}^2",
+                     f"{1/per:.0f} steps/s",
+                     f"{nx*nx/per/1e9:.2f}e9 cell-updates/s"))
 
     # --- 3D spectral family (matmul engine; fft rows in the RESULTS 3D
     # engine table — tools/bench_3d.py) --------------------------------------
     from ns_tpu.solvers import spectral3d as s3
     for n in (128, 256):
-        cfg3 = s3.Spectral3DConfig(nt=200, nx=n, ny=n, nz=n, dt=5e-4,
-                                   nu=6.25e-4, dtype="float32",
-                                   transform="matmul",
-                                   matmul_precision="default")
-        c0 = s3.init_from_velocity(cfg3, s3.taylor_green_velocity(cfg3))
-        roll3 = jax.jit(lambda c, cfg3=cfg3: s3.rollout_final(cfg3, c))
-        el = timeit(lambda: roll3(c0))
-        rows.append((f"spectral3d {n}^3 TGV (matmul/default), 200 steps",
-                     f"{200/el:.0f} steps/s",
-                     f"{200*n**3/el/1e9:.2f}e9 cell-updates/s"))
+        def mk(nt, n=n):
+            cfg3 = s3.Spectral3DConfig(nt=nt, nx=n, ny=n, nz=n, dt=5e-4,
+                                       nu=6.25e-4, dtype="float32",
+                                       transform="matmul",
+                                       matmul_precision="default")
+            c0 = s3.init_from_velocity(cfg3, s3.taylor_green_velocity(cfg3))
+            roll3 = jax.jit(lambda c, cfg3=cfg3: s3.rollout_final(cfg3, c))
+            return lambda: roll3(c0)
+        per = slope_timeit(mk, 50, 200, reps=2)
+        rows.append((f"spectral3d {n}^3 TGV (matmul/default)",
+                     f"{1/per:.0f} steps/s",
+                     f"{n**3/per/1e9:.2f}e9 cell-updates/s"))
 
     out = ["# RESULTS — measured on " + str(dev), "",
-           "Warm timings (compile excluded), best of repeats. Reference CPU",
-           "oracle rates for comparison are in BASELINE.md (e.g. chorin_fd",
+           "Slope-timed marginal per-step rates (a 50-step and a 200-step",
+           "warm rollout of the same workload; the fixed ~1-30 ms",
+           "per-dispatch tunnel latency cancels in the slope — same",
+           "protocol as the roofline/parity tables). Reference CPU oracle",
+           "rates for comparison are in BASELINE.md (e.g. chorin_fd",
            "semi-implicit: ~1 step/s on CPU).", "",
            "| workload | steps/s | throughput |", "|---|---|---|"]
     for r in rows:

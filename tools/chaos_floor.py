@@ -38,7 +38,9 @@ def _rel_per_frame(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _report(name: str, rel: np.ndarray) -> None:
     nt = rel.shape[0]
     probes = [i for i in (25, 50, 100, nt - 1) if i < nt]
-    cells = " | ".join(f"{rel[i]:.3f}" for i in probes)
+    cells = " | ".join(
+        f"{rel[i]:.3f}" if rel[i] >= 5e-4 else f"{rel[i]:.1e}"
+        for i in probes)
 
     def first_above(th):
         idx = np.argmax(rel > th)
