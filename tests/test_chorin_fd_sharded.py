@@ -87,6 +87,7 @@ def test_sharded_rejects_unsupported_modes():
                                                       devices=jax.devices()[:4]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_shards", [2, 4, 8])
 def test_sharded_dst_matches_single_device(n_shards):
     """Distributed matmul-DST pressure (all_to_all transposes + padded
@@ -110,6 +111,7 @@ def test_sharded_dst_matches_single_device(n_shards):
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_shards", [2, 8])
 def test_sharded_helmholtz_matches_single_device(n_shards):
     """Distributed unsplit-CN predictor (method='helmholtz', eigenbasis

@@ -45,6 +45,7 @@ def test_sharded_corrected_matches_single_device(n_shards):
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=ATOL)
 
 
+@pytest.mark.slow
 def test_sharded_corrected_neumann_matches_single_device():
     """Neumann x-faces work sharded too (the boundary reconstruction rides
     the same padded-operator gathers)."""
@@ -77,6 +78,7 @@ def test_sharded_rejects_quirk_mode():
         chorin_spectral_sharded.make_sharded_step(cfg, u_bc, u_bc, mesh)
 
 
+@pytest.mark.slow
 def test_sharded_preserves_pressure_boundary_ring():
     """The single-device solver writes only p's interior each step
     (p.at[1:-1,1:-1].set(Q)); the sharded step must preserve a nonzero

@@ -36,6 +36,7 @@ def test_direct_fd_64_re100():
     assert np.abs(np.asarray(u)).max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_chorin_fd_128_re400():
     # Re = 1*2/0.005 = 400
     nx = 128

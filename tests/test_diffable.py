@@ -1,5 +1,6 @@
 """Differentiable-physics tests: gradients through solver rollouts."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ from ns_tpu.solvers.diffable import (fit_initial_vorticity, rollout_chunked_rema
                                      rollout_final)
 
 
+@pytest.mark.slow
 def test_gradient_through_spectral_rollout_nonzero():
     cfg = sp.SpectralPeriodicConfig(nt=8, nx=16, ny=16, dt=0.005, nu=1e-2,
                                     dtype="float64")

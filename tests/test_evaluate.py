@@ -40,6 +40,7 @@ def test_evaluate_shape_mismatch_raises(tmp_path):
         evaluate(np.zeros((4, 3, 8, 9), np.float32), obs, 2)
 
 
+@pytest.mark.slow
 def test_evaluate_cli_ckpt_and_extrapolation(tmp_path, capsys):
     from ns_tpu.cli.evaluate import main
 
@@ -108,6 +109,7 @@ def test_evaluate_cli_offset_beyond_train_window_is_clear(tmp_path):
               "--n-frames", "4", "--offset", "5"])
 
 
+@pytest.mark.slow
 def test_evaluate_physics_metrics(tmp_path, capsys):
     """--physics: solver-produced frames score ~zero spectrum error and
     near-machine divergence; a perturbed prediction scores worse."""

@@ -339,6 +339,7 @@ def test_mixed_poisson_requires_bc_per_side():
         make_mixed_poisson(9, 9, 0.1, 0.1, [dirichlet(0, "top")])
 
 
+@pytest.mark.slow
 def test_direct_fd_exact_pressure_mode_tracks_converged_jacobi():
     """Full direct_fd rollout with pressure_mode='exact' tracks a
     rollout whose Jacobi solve is run to tight convergence (nit=20000);

@@ -50,6 +50,7 @@ def test_fno_rollout_training_objective(tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_fno_trains_on_rollout(tmp_path):
     g = np.load(os.path.join(GOLDEN_DIR, "chorin_fd_semi_implicit_nt12.npz"))
     path = tmp_path / "d.npz"
@@ -148,6 +149,7 @@ def test_spectral_engines_agree():
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fno_apply_engines_agree_and_checkpoints_transfer():
     """Same params through both engines -> same operator; a model built
     with transform='fft' serves a 'matmul' rollout and vice versa (the
@@ -175,6 +177,7 @@ def test_fno_rejects_bad_transform():
         TrainConfig(model="fno", fno_transform="dft")
 
 
+@pytest.mark.slow
 def test_dealias_engines_agree():
     """matmul dealias (two real cosine-kernel GEMMs) == masked-rfft2
     round trip, including odd grids."""
@@ -188,6 +191,7 @@ def test_dealias_engines_agree():
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spectral_engines_agree_odd_ny_full_band_and_f64():
     """The two remaining gc-weight edges: odd ny with my == ny//2 + 1
     (no Nyquist column exists), and float64 inputs (dtype-aware DFT

@@ -18,6 +18,7 @@ def manufactured(nx, ny):
     return p_exact, f, x[1] - x[0], y[1] - y[0]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [65, 129])
 def test_multigrid_manufactured_solution(n):
     p_exact, f, dx, dy = manufactured(n, n)

@@ -150,6 +150,7 @@ def test_vmem_gate_and_block_validation():
                    base.nz, interpret=True, block_x=3)
 
 
+@pytest.mark.slow
 def test_extraction_paths_never_vmap_pallas():
     """fields_from_hat / pressure_from_hat always lower to the einsum
     chain even under a fused config: callers vmap them per saved frame

@@ -1,5 +1,6 @@
 """Training-free divergence projection tests."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ def test_periodic_projection_kills_divergence():
     np.testing.assert_allclose(np.asarray(u2), ud, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_bounded_projection_kills_backward_divergence():
     """In the projection's own (backward-difference) metric, interior
     divergence vanishes to solver tolerance — the consistent-pair identity

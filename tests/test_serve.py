@@ -84,6 +84,7 @@ def test_engine_other_families(tmp_path, model):
         np.testing.assert_array_equal(out[0], frame0)
 
 
+@pytest.mark.slow
 def test_engine_batched_matches_single(tmp_path):
     """A batch row must equal the same request served alone (bucket
     padding is invisible), and a 3-row batch exercises pad-to-4."""
@@ -124,6 +125,7 @@ def test_engine_ensemble_members(tmp_path):
     np.testing.assert_array_equal(out[0][0], out[1][0])
 
 
+@pytest.mark.slow
 def test_engine_validation_errors(tmp_path):
     tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnov")
     eng = InferenceEngine.from_checkpoint(ckpt)
@@ -146,6 +148,7 @@ def test_engine_validation_errors(tmp_path):
         InferenceEngine.from_checkpoint(alt)
 
 
+@pytest.mark.slow
 def test_engine_stats(tmp_path):
     tr, ckpt, nt, nx, ny = _train(tmp_path, "fno", "fnos")
     eng = InferenceEngine.from_checkpoint(ckpt, chunk=4)
@@ -257,6 +260,7 @@ def test_server_client_errors(running_server):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_solver_engine_matches_simulate():
     """Served frames equal the solver's own rollout: frames[i] is the
     state after i solver steps (simulate()'s frame k is the state after
@@ -297,6 +301,7 @@ def test_solver_engine_matches_simulate():
         np.testing.assert_allclose(out[0], frame0, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_solver_engine_forced_matches_simulate():
     """The oracle endpoint serves FORCED dynamics when asked: frames
     equal the forced solver's own rollout (and differ from unforced)."""
@@ -419,6 +424,7 @@ def test_client_roundtrip(running_server):
         c.rollout(frame0, 2, reduce="median")
 
 
+@pytest.mark.slow
 def test_solver_engine_3d_matches_simulate():
     """3D oracle endpoint: served frames equal NavierStokesSystem3D's own
     rollout, chunking-invariant; frame 0 echoes the (projected) input."""

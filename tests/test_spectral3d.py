@@ -156,6 +156,7 @@ def test_energy_spectrum_parseval():
     assert abs(float(jnp.sum(spec)) - e) < 1e-12 * max(e, 1.0)
 
 
+@pytest.mark.slow
 def test_strided_matches_simulate():
     cfg_kw = dict(nt=6, nx=12, ny=12, nz=12, dt=1e-3, nu=1e-3,
                   dtype="float64")

@@ -243,6 +243,7 @@ def test_ensemble_trainer_trains_and_resumes(tmp_path):
     assert len(losses2) == 9
 
 
+@pytest.mark.slow
 def test_ensemble_trainer_sharded_matches_unsharded(tmp_path):
     """The ensemble-sharded run computes the same losses as mesh=None."""
     import numpy as np
@@ -368,6 +369,7 @@ def _multi_npz(tmp_path, m=2, nt=6, nx=8, name="mt.npz"):
     return path, m, nt, nx
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["fno", "fno_w", "rnn"])
 def test_multi_trajectory_training(model, tmp_path):
     """(M, nt, nx, ny) datasets train the operator/rnn families: the
@@ -392,6 +394,7 @@ def test_multi_trajectory_rejects_basis_families(tmp_path):
                             out_dir=str(tmp_path / "mtb"), n_frames=nt))
 
 
+@pytest.mark.slow
 def test_single_trajectory_4d_matches_3d(tmp_path):
     """An (1, nt, nx, ny) dataset trains identically to the same data in
     the reference's (nt, nx, ny) layout."""
@@ -487,6 +490,7 @@ def test_dp_rejects_basis_and_bad_sizes(tmp_path, small_npz):
 # -- lr schedule / warmup / grad clip ---------------------------------------
 
 
+@pytest.mark.slow
 def test_lr_schedule_and_clip_train(small_npz, tmp_path):
     cfg = TrainConfig(model="basis_gru", npz_path=small_npz,
                       out_dir=str(tmp_path / "sched"), n_iters=10,
@@ -496,6 +500,7 @@ def test_lr_schedule_and_clip_train(small_npz, tmp_path):
     assert np.isfinite(losses).all() and len(losses) == 10
 
 
+@pytest.mark.slow
 def test_lr_schedule_resumes_mid_schedule(small_npz, tmp_path):
     """The schedule count rides opt_state, so 5 iters + resume-to-10
     reproduces the one-shot 10-iter run."""

@@ -1,5 +1,6 @@
 """Aux subsystem tests: guards, ensemble sharding, JSONL logging, timing."""
 
+import pytest
 import json
 import os
 
@@ -190,6 +191,7 @@ def test_run_solver_cli_streams_fd_families(tmp_path):
         np.testing.assert_allclose(a, ref[k], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_solver_cli_progress_matches_plain(tmp_path):
     """--progress (chunked tqdm rollout) produces the same fields as the
     fused one-scan rollout, for a cavity family and a periodic one."""

@@ -181,6 +181,7 @@ def test_vecpot_round_trip_and_div_free():
     assert hi_frac(A_np) < hi_frac(u) < hi_frac(om)
 
 
+@pytest.mark.slow
 def test_fno3d_a_trains_and_extrapolates(tmp_path):
     from ns_tpu.cli.run_solver import main as run_main
     from ns_tpu.train.trainer import TrainConfig, Trainer
