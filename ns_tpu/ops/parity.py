@@ -245,3 +245,65 @@ class ParityEig:
     def same_blocks(self, other: "ParityEig") -> bool:
         return (np.array_equal(self._Me_np, other._Me_np)
                 and np.array_equal(self._Mo_np, other._Mo_np))
+
+
+class ParityEig2D:
+    """Separable two-axis eigen solve in QUADRANT form.
+
+    `hx.forward / hy.forward -> eigen divide -> hy.inverse / hx.inverse`
+    materializes a parity-ordered concatenation after every transform —
+    at 1024^2 that is four full-array HBM concats per solve that the
+    GEMMs never needed. This solver folds the operand once per axis into
+    its four parity quadrants (ss, sd, ds, dd), transforms each quadrant
+    with its (x-block, y-block) eigenbasis pair, divides by the matching
+    eigenvalue grid, and mirrors straight back — same MAC count, zero
+    parity-order concats. Differs from the ParityEig composition only by
+    fp reassociation (the y-fold commutes with the x-contraction in
+    exact arithmetic); f64 equality tests in tests/test_parity_cheb.py
+    hold it to the dense path at the same tolerance.
+
+    The eigenvalue grids are setup-time constants, so callers build the
+    four per-quadrant RECIPROCAL grids once (`denoms(fn)` -> mask/invert
+    -> pass to `solve`) and the hot path multiplies instead of divides;
+    nullspace deflation (chorin_spectral's _psolve) becomes a zero in
+    the reciprocal."""
+
+    def __init__(self, hx: ParityEig, hy: ParityEig):
+        self.hx, self.hy = hx, hy
+        cex, cey = (hx.m + 1) // 2, (hy.m + 1) // 2
+        self._lams = ((hx.lam[:cex], hy.lam[:cey]),
+                      (hx.lam[:cex], hy.lam[cey:]),
+                      (hx.lam[cex:], hy.lam[:cey]),
+                      (hx.lam[cex:], hy.lam[cey:]))
+
+    def quadrants(self, F: Array):
+        """(ss, sd, ds, dd) parity quadrants of F over its last two axes."""
+        s, d = _fold(F, -2, self.hx.m)
+        ss, sd = _fold(s, -1, self.hy.m)
+        ds, dd = _fold(d, -1, self.hy.m)
+        return ss, sd, ds, dd
+
+    def assemble(self, ss: Array, sd: Array, ds: Array, dd: Array) -> Array:
+        s = _unfold(ss, sd, -1, self.hy.m)
+        d = _unfold(ds, dd, -1, self.hy.m)
+        return _unfold(s, d, -2, self.hx.m)
+
+    def denoms(self, denom_fn):
+        """The four quadrant divisor grids (ee, eo, oe, oo order)."""
+        return tuple(denom_fn(lx[:, None], ly[None, :])
+                     for lx, ly in self._lams)
+
+    def solve(self, F: Array, recips) -> Array:
+        """F -> eigen solve with per-quadrant reciprocal grids `recips`
+        (built once from .denoms at setup; multiply, never divide)."""
+        hx, hy = self.hx, self.hy
+        quads = self.quadrants(F)
+        xf = (hx.Ve_inv, hx.Ve_inv, hx.Vo_inv, hx.Vo_inv)
+        yf = (hy.Ve_inv, hy.Vo_inv, hy.Ve_inv, hy.Vo_inv)
+        xb = (hx.Ve, hx.Ve, hx.Vo, hx.Vo)
+        yb = (hy.Ve, hy.Vo, hy.Ve, hy.Vo)
+        out = []
+        for q, A, B, Ai, Bi, r in zip(quads, xf, yf, xb, yb, recips):
+            g = jnp.matmul(jnp.matmul(A, q), B.swapaxes(-1, -2)) * r
+            out.append(jnp.matmul(jnp.matmul(Ai, g), Bi.swapaxes(-1, -2)))
+        return self.assemble(*out)

@@ -397,7 +397,8 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         # every per-step GEMM — derivative applications, Helmholtz eigen
         # transforms, Uzawa eigen transforms, projection — runs as two
         # half-size GEMMs via the operators' reversal parity
-        from ns_tpu.ops.parity import ParityEig, make_parity_apply
+        from ns_tpu.ops.parity import (ParityEig, ParityEig2D,
+                                       make_parity_apply)
         u_hx = ParityEig(u_ops._Mx_np, "helmholtz-x[u]", dtype)
         u_hy = ParityEig(u_ops._My_np, "helmholtz-y[u]", dtype)
         v_hx = u_hx if same_ops else ParityEig(v_ops._Mx_np,
@@ -413,28 +414,36 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         dpx_l = make_parity_apply(host["DPx"], dtype, "left")
         dpy_r = make_parity_apply(host["DPy"], dtype, "right")
 
-        def _hsolve(F, hx, hy):
-            G = hy.forward(hx.forward(F, -2), -1)
-            denom = (2.0 - dt_eff * hx.lam[:, None]
-                     - dt_eff * hy.lam[None, :])
-            return hx.inverse(hy.inverse(G / denom, -1), -2)
+        # quadrant-form eigen solves (ParityEig2D): reciprocal grids are
+        # setup-time constants; the hot loop multiplies, never divides
+        u_h2d = ParityEig2D(u_hx, u_hy)
+        v_h2d = u_h2d if same_ops else ParityEig2D(v_hx, v_hy)
+        p_2d = ParityEig2D(p_px, p_py)
+        h_fn = lambda lx, ly: 2.0 - dt_eff * lx - dt_eff * ly
+        u_recips = tuple(1.0 / d for d in u_h2d.denoms(h_fn))
+        v_recips = (u_recips if same_ops else
+                    tuple(1.0 / d for d in v_h2d.denoms(h_fn)))
+        p_denoms = p_2d.denoms(lambda lx, ly: lx + ly)
+        if cfg.deflate_pressure_nullspace:
+            dmax = jnp.max(jnp.stack([jnp.max(jnp.abs(d))
+                                      for d in p_denoms]))
+            p_recips = tuple(
+                jnp.where(jnp.abs(d) > 1e-8 * dmax,
+                          1.0 / jnp.where(jnp.abs(d) > 1e-8 * dmax, d, 1.0),
+                          0.0)
+                for d in p_denoms)
+        else:
+            p_recips = tuple(1.0 / d for d in p_denoms)
 
         def _solve_uv(u_F, v_F):
             if same_ops:
-                soln = _hsolve(jnp.stack([u_F, v_F]), u_hx, u_hy)
+                soln = u_h2d.solve(jnp.stack([u_F, v_F]), u_recips)
                 return soln[0], soln[1]
-            return _hsolve(u_F, u_hx, u_hy), _hsolve(v_F, v_hx, v_hy)
+            return (u_h2d.solve(u_F, u_recips),
+                    v_h2d.solve(v_F, v_recips))
 
         def _psolve(H):
-            H_hat = p_py.forward(p_px.forward(H, -2), -1)
-            denom = p_px.lam[:, None] + p_py.lam[None, :]
-            if cfg.deflate_pressure_nullspace:
-                keep = jnp.abs(denom) > 1e-8 * jnp.max(jnp.abs(denom))
-                Q_hat = jnp.where(keep,
-                                  H_hat / jnp.where(keep, denom, 1.0), 0.0)
-            else:
-                Q_hat = H_hat / denom
-            return p_px.inverse(p_py.inverse(Q_hat, -1), -2)
+            return p_2d.solve(H, p_recips)
     else:
         try:
             u_ops.build_dense_eig()
@@ -577,18 +586,21 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         # rollout (cached_step below) drops 4 of the remaining per-step
         # O(n^3) GEMMs bitwise-for-free. cache layout:
         # (u_dx, u_dy, v_dx, v_dy) of the state's u_prev/v_prev interiors.
-        # All advection derivatives run as ONE batched apply per side
-        # (matrix @ stacked operands — same per-element contraction, so
-        # bitwise-equal to per-field GEMMs; fewer, MXU-fatter dispatches).
+        # The (u, v) advection derivatives run as ONE batch-2 apply per
+        # side (matrix @ stacked operands — fewer, MXU-fatter
+        # dispatches). The history pair gets its own batch-2 apply
+        # rather than widening to batch-4: XLA's batched matmul rounds
+        # differently at different batch counts, and the cached path's
+        # bitwise-equality contract (cached_step docstring, locked by
+        # test_cached_step_rollout_matches_plain_step) requires the
+        # (u, v) GEMM to have the identical shape in both paths.
+        dxs = dx_l(jnp.stack([un[:, 1:-1], vn[:, 1:-1]]))
+        dys = dy_r(jnp.stack([un[1:-1, :], vn[1:-1, :]]))
         if cache is None:
-            dxs = dx_l(jnp.stack([un[:, 1:-1], vn[:, 1:-1],
-                                  un1[:, 1:-1], vn1[:, 1:-1]]))
-            dys = dy_r(jnp.stack([un[1:-1, :], vn[1:-1, :],
-                                  un1[1:-1, :], vn1[1:-1, :]]))
-            u1d, v1d = (dxs[2], dys[2]), (dxs[3], dys[3])
+            dxs1 = dx_l(jnp.stack([un1[:, 1:-1], vn1[:, 1:-1]]))
+            dys1 = dy_r(jnp.stack([un1[1:-1, :], vn1[1:-1, :]]))
+            u1d, v1d = (dxs1[0], dys1[0]), (dxs1[1], dys1[1])
         else:
-            dxs = dx_l(jnp.stack([un[:, 1:-1], vn[:, 1:-1]]))
-            dys = dy_r(jnp.stack([un[1:-1, :], vn[1:-1, :]]))
             u1d, v1d = (cache[0], cache[1]), (cache[2], cache[3])
         u_F, u_d = F_of(un, (dxs[0], dys[0]), u1d, u_ops)
         v_F, v_d = F_of(vn, (dxs[1], dys[1]), v1d, v_ops)
