@@ -307,3 +307,28 @@ class ParityEig2D:
             g = jnp.matmul(jnp.matmul(A, q), B.swapaxes(-1, -2)) * r
             out.append(jnp.matmul(jnp.matmul(Ai, g), Bi.swapaxes(-1, -2)))
         return self.assemble(*out)
+
+    def full_recip(self, recips) -> Array:
+        """Quadrant reciprocal grids -> one parity-ordered (m_x, m_y)
+        grid for `solve_composed` (even-block rows/cols first, matching
+        ParityEig.forward's output order)."""
+        top = jnp.concatenate([recips[0], recips[1]], axis=-1)
+        bot = jnp.concatenate([recips[2], recips[3]], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    def solve_composed(self, F: Array, full_recip: Array) -> Array:
+        """Same solve via the per-axis forward/inverse composition.
+
+        Mathematically identical to `solve` (fp reassociation only) but a
+        different GEMM schedule: per-axis transforms on the full second
+        axis (fatter GEMMs, but one parity-ordered concat after each of
+        the four transforms). Measured (tools/verify_parity_cheb.py
+        --form both, v5e, f32 'highest'): the two schedules are within
+        ~1-5% of each other at 256^2-1024^2 once both use setup-time
+        reciprocal grids (composed 47.8/178.1/961.8 us/step vs quadrant
+        46.1/186.5/981.4) — the concats XLA emits for the composed form
+        are cheaper than its fatter GEMMs are faster, and vice versa.
+        chorin_spectral defaults to composed (best at the north-star
+        1024^2) and exposes the choice as cfg.parity_eig_form."""
+        G = self.hy.forward(self.hx.forward(F, -2), -1)
+        return self.hx.inverse(self.hy.inverse(G * full_recip, -1), -2)

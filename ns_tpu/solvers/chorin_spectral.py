@@ -91,6 +91,13 @@ class ChorinSpectralConfig:
     # False forces the dense path. Results differ from dense only by fp
     # reassociation (f64 equality tests in tests/test_parity_cheb.py).
     parity_split: bool | None = None
+    # Eigen-solve schedule under parity_split: 'composed' (ParityEig2D
+    # .solve_composed — per-axis transforms, fatter GEMMs, one
+    # parity-order concat per transform) or 'quadrant' (.solve —
+    # per-quadrant GEMM chains, zero concats). Measured within ~1-5% of
+    # each other at 256^2-1024^2 (ParityEig2D.solve_composed docstring);
+    # None = 'composed', the faster at the north-star 1024^2 grid.
+    parity_eig_form: str | None = None
 
     @property
     def dx(self) -> float:
@@ -414,8 +421,16 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
         dpx_l = make_parity_apply(host["DPx"], dtype, "left")
         dpy_r = make_parity_apply(host["DPy"], dtype, "right")
 
-        # quadrant-form eigen solves (ParityEig2D): reciprocal grids are
-        # setup-time constants; the hot loop multiplies, never divides
+        # eigen solves via ParityEig2D: reciprocal grids are setup-time
+        # constants; the hot loop multiplies, never divides. Two GEMM
+        # schedules for the same solve — 'composed' per-axis transforms
+        # vs 'quadrant' per-quadrant chains — measured within noise of
+        # each other (ParityEig2D.solve_composed docstring); composed is
+        # the default (fastest at the 1024^2 north-star grid).
+        form = cfg.parity_eig_form or "composed"
+        if form not in ("quadrant", "composed"):
+            raise ValueError(f"parity_eig_form must be quadrant|composed|"
+                             f"None, got {form!r}")
         u_h2d = ParityEig2D(u_hx, u_hy)
         v_h2d = u_h2d if same_ops else ParityEig2D(v_hx, v_hy)
         p_2d = ParityEig2D(p_px, p_py)
@@ -434,16 +449,26 @@ def make_step(cfg: ChorinSpectralConfig, u_bc, v_bc, dtype=jnp.float64):
                 for d in p_denoms)
         else:
             p_recips = tuple(1.0 / d for d in p_denoms)
+        if form == "composed":
+            u_recips = u_h2d.full_recip(u_recips)
+            v_recips = (u_recips if same_ops
+                        else v_h2d.full_recip(v_recips))
+            p_recips = p_2d.full_recip(p_recips)
+            u_solve = u_h2d.solve_composed
+            v_solve = v_h2d.solve_composed
+            p_solve = p_2d.solve_composed
+        else:
+            u_solve, v_solve, p_solve = (u_h2d.solve, v_h2d.solve,
+                                         p_2d.solve)
 
         def _solve_uv(u_F, v_F):
             if same_ops:
-                soln = u_h2d.solve(jnp.stack([u_F, v_F]), u_recips)
+                soln = u_solve(jnp.stack([u_F, v_F]), u_recips)
                 return soln[0], soln[1]
-            return (u_h2d.solve(u_F, u_recips),
-                    v_h2d.solve(v_F, v_recips))
+            return u_solve(u_F, u_recips), v_solve(v_F, v_recips)
 
         def _psolve(H):
-            return p_2d.solve(H, p_recips)
+            return p_solve(H, p_recips)
     else:
         try:
             u_ops.build_dense_eig()

@@ -66,14 +66,17 @@ def test_parity_apply_matches_dense(n):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("form", ["composed", "quadrant"])
 @pytest.mark.parametrize("nx,ny", [(24, 24), (25, 25), (24, 28)])
-def test_parity_step_equals_dense_step_f64(nx, ny):
+def test_parity_step_equals_dense_step_f64(nx, ny, form):
     """One corrected step, parity vs dense, float64: agreement to fp
-    reassociation (<= 1e-11 on unit-scale fields)."""
+    reassociation (<= 1e-11 on unit-scale fields) — for BOTH eigen-solve
+    schedules (the size gate must never change the answer)."""
     u_bc, v_bc = _cavity_bcs(nx, ny)
     mk_cfg = lambda ps: cs.ChorinSpectralConfig(
         nx=nx, ny=ny, dt=1e-3, nu=0.1, quirk_compat=False,
-        deflate_pressure_nullspace=True, parity_split=ps)
+        deflate_pressure_nullspace=True, parity_split=ps,
+        parity_eig_form=form if ps else None)
     step_d = cs.make_step(mk_cfg(False), u_bc, v_bc, dtype=jnp.float64)
     step_p = cs.make_step(mk_cfg(True), u_bc, v_bc, dtype=jnp.float64)
     s0 = _random_state(mk_cfg(False))

@@ -188,7 +188,7 @@ def main():
     # engine auto-enables at the measured crossover —
     # chorin_spectral._PARITY_MIN_INTERIOR) ----------------------------------
     from ns_tpu.solvers.chorin_spectral import _PARITY_MIN_INTERIOR
-    for nx in (128, 256, 512):
+    for nx in (128, 256, 512, 1024):
         bc0 = [dirichlet(0, s) for s in ("left", "right", "top", "bottom")]
         x = cheb.gauss_lobatto(nx)
         X, Y = np.meshgrid(x, x, indexing="ij")

@@ -6,9 +6,13 @@ dispatch latency cancels) and the n-step f32 field drift between the two
 engines at 256^2/512^2/1024^2. Source of the RESULTS.md
 "Parity-split Chebyshev engine" table.
 
-Usage: python tools/verify_parity_cheb.py   (runs on the default backend)
+Usage: python tools/verify_parity_cheb.py [--form auto|both]
+  auto (default): dense vs the solver's auto-gated parity engine
+  both: dense vs composed vs quadrant eigen-solve schedules (the
+        measurement behind the ChorinSpectralConfig.parity_eig_form gate)
 """
 
+import argparse
 import os
 import sys
 import time
@@ -22,6 +26,10 @@ from ns_tpu.core.bc import dirichlet
 from ns_tpu.solvers import chorin_spectral as cs
 from ns_tpu.utils.host import to_host, sync
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--form", default="auto", choices=["auto", "both"])
+args = ap.parse_args()
+
 for nx in (256, 512, 1024):
     ny = nx
     dx = dy = 2.0 / nx
@@ -30,13 +38,21 @@ for nx in (256, 512, 1024):
     v_bc = [dirichlet(0.0, s, dx, dy) for s in ("left", "right", "bottom", "top")]
     z = np.zeros((nx, ny), np.float32)
 
+    variants = [("dense", dict(parity_split=False)),
+                ("parity", dict(parity_split=True))]
+    if args.form == "both":
+        variants = [("dense", dict(parity_split=False)),
+                    ("composed", dict(parity_split=True,
+                                      parity_eig_form="composed")),
+                    ("quadrant", dict(parity_split=True,
+                                      parity_eig_form="quadrant"))]
+
     res = {}
-    for ps in (False, True):
+    for name, kw in variants:
         cfg = cs.ChorinSpectralConfig(nt=200, nx=nx, ny=ny, dt=1e-4, nu=0.1,
                                       quirk_compat=False,
                                       deflate_pressure_nullspace=True,
-                                      matmul_precision="highest",
-                                      parity_split=ps)
+                                      matmul_precision="highest", **kw)
         state0 = cs.init_state(cfg, z, z, z, u_bc, v_bc, dtype=jnp.float32)
         step = cs.make_step(cfg, u_bc, v_bc, dtype=jnp.float32)
 
@@ -56,8 +72,9 @@ for nx in (256, 512, 1024):
         n_lo = 64 if nx <= 512 else 16
         r_hi, r_lo = roll_n(n_hi), roll_n(n_lo)
         u, v, p = (to_host(a) for a in r_lo(state0))
-        assert np.isfinite(u).all() and np.isfinite(v).all(), f"nonfinite ps={ps}"
-        res[ps] = dict(u=u, v=v, p=p)
+        assert np.isfinite(u).all() and np.isfinite(v).all(), \
+            f"nonfinite {name}"
+        res[name] = dict(u=u, v=v, p=p)
         sync(r_hi(state0)[0]); sync(r_lo(state0)[0])
         best = 1e9
         for _ in range(3):
@@ -65,10 +82,16 @@ for nx in (256, 512, 1024):
             t0 = time.perf_counter(); sync(r_lo(state0)[0]); t_lo = time.perf_counter() - t0
             best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
         gcups = nx * ny / best / 1e9
-        res[ps]["gcups"] = gcups
-        print(f"{nx}^2 parity={ps}: per-step {best*1e6:.1f} us, {gcups:.2f} Gcups", flush=True)
+        res[name]["gcups"] = gcups
+        print(f"{nx}^2 {name}: per-step {best*1e6:.1f} us, "
+              f"{gcups:.2f} Gcups", flush=True)
 
-    du = np.abs(res[False]["u"] - res[True]["u"]).max()
-    scale = np.abs(res[False]["u"]).max()
-    print(f"{nx}^2: {res[True]['gcups']/res[False]['gcups']:.2f}x parity/dense, "
-          f"{n_lo}-step f32 max|du|={du:.3e} (u scale {scale:.3f})", flush=True)
+    for name in res:
+        if name == "dense":
+            continue
+        du = np.abs(res["dense"]["u"] - res[name]["u"]).max()
+        scale = np.abs(res["dense"]["u"]).max()
+        print(f"{nx}^2 {name}: "
+              f"{res[name]['gcups']/res['dense']['gcups']:.2f}x vs dense, "
+              f"{n_lo}-step f32 max|du|={du:.3e} (u scale {scale:.3f})",
+              flush=True)
