@@ -66,8 +66,27 @@ def _dft_mats3d(nx: int, ny: int, nz: int, mx: int, my: int, mz: int,
 
 
 def _mix3d(block, W, prec=None):
-    # block (..., C, X, Y, Z) x W (C, C_out, X, Y, Z) -> (..., C_out, X, Y, Z)
-    return jnp.einsum("...ixyz,ioxyz->...oxyz", block, W, precision=prec)
+    """Per-mode channel mixing: block (..., C, X, Y, Z) x W (C_out, C,
+    X*Y*Z) -> (..., C_out, X, Y, Z), as broadcast-multiply-reduce over
+    the channel axis with ALL mode axes flattened.
+
+    Layout, not FLOPs, dictates this shape. The mixing is a tiny C x C
+    map per retained mode; any dot_general formulation puts either a
+    mode axis (mz ~ 8-21) or the channel pair (C ~ 24-32) on the
+    128-lane minor tile, and XLA then pads every weight, gradient,
+    Adam-state, and remat copy ~5-6x — measured 434 MB per 81 MB weight
+    tensor at modes 21, ~19 live copies, which OOMed 64^3 training by
+    4.7 GB. With (C_out, C, M) storage and an elementwise
+    multiply-reduce the minor axis is M (thousands; <2% tile pad),
+    every copy stays compact, and the VPU reduction is
+    bandwidth-bound on the same bytes the GEMM would have read.
+    `prec` is unused (no dot); kept for signature parity with the 2D
+    family."""
+    del prec
+    m = block.shape[-3] * block.shape[-2] * block.shape[-1]
+    b2 = block.reshape(block.shape[:-3] + (m,))
+    out = (b2[..., None, :, :] * W).sum(axis=-2)
+    return out.reshape(out.shape[:-1] + block.shape[-3:])
 
 
 def _spectral_conv3d_fft(wts, x: Array, mx: int, my: int, mz: int,
@@ -78,7 +97,7 @@ def _spectral_conv3d_fft(wts, x: Array, mx: int, my: int, mz: int,
     W = jax.lax.complex(wts["re"], wts["im"]).astype(xh.dtype)
     block = xh[..., rx[:, None], ry[None, :], :mz]
     mixed = _mix3d(block, W, prec)
-    out = jnp.zeros(x.shape[:-4] + (W.shape[1], nx, ny, nz // 2 + 1),
+    out = jnp.zeros(x.shape[:-4] + (W.shape[0], nx, ny, nz // 2 + 1),
                     xh.dtype)
     out = out.at[..., rx[:, None], ry[None, :], :mz].set(mixed)
     return jnp.fft.irfftn(out, s=(nx, ny, nz), axes=(-3, -2, -1))
@@ -145,7 +164,10 @@ class FNO3D:
             "proj": dense_init(keys[1], self.width, self.channels),
             "spectral": [], "bypass": [],
         }
-        shape = (self.width, self.width, 2 * self.mx, 2 * self.my, self.mz)
+        # (C_out, C_in, X*Y*Z) with mode axes flattened — _mix3d's layout
+        # note explains why this shape is load-bearing on TPU
+        shape = (self.width, self.width,
+                 2 * self.mx * 2 * self.my * self.mz)
         for l in range(self.depth):
             k1, k2 = jax.random.split(keys[2 + 2 * l])
             p["spectral"].append({"re": scale * jax.random.normal(k1, shape),

@@ -129,6 +129,14 @@ def test_parity_resolution_rules():
     step(_random_state(cs.ChorinSpectralConfig(nx=16, ny=16)))
 
 
+def test_parity_eig_form_validated():
+    u_bc, v_bc = _cavity_bcs(24, 24)
+    with pytest.raises(ValueError, match="parity_eig_form"):
+        cs.make_step(cs.ChorinSpectralConfig(
+            nx=24, ny=24, quirk_compat=False, parity_split=True,
+            parity_eig_form="diagonal"), u_bc, v_bc, dtype=jnp.float64)
+
+
 def test_parity_neumann_explicit_runs_or_names_offender():
     """Symmetric Neumann data keeps operator parity, so the explicit
     parity path must work with the corrected-mode Neumann support."""
