@@ -51,6 +51,15 @@ def main():
                          "width 24 / modes 12 / batch 4 fits the 16 GB "
                          "chip with the 100-frame 64^3 dataset resident; "
                          "modes 16 / width 32 / batch 8 OOMs)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine + warmup + clip is the long-run recipe: "
+                         "constant lr 1e-3 is fine at 300 iters but "
+                         "measured DIVERGENT by 1500 (train rel 0.92 and "
+                         "a 1e13 rollout)")
+    ap.add_argument("--warmup-iters", type=int, default=0)
+    ap.add_argument("--grad-clip", type=float, default=0.0)
     ap.add_argument("--batch-size", type=int, default=4,
                     help="training windows sampled per step (full-batch "
                          "3D training at 64^3 exceeds HBM; stochastic "
@@ -163,7 +172,10 @@ def main():
         tc = TrainConfig(npz_path=npz, out_dir=os.path.join(tmp, name),
                          n_iters=args.n_iters, n_frames=100, ckpt_every=50,
                          fno_modes=modes, fno_width=args.fno_width,
-                         batch_size=args.batch_size, **kw)
+                         batch_size=args.batch_size, lr=args.lr,
+                         lr_schedule=args.lr_schedule,
+                         warmup_iters=args.warmup_iters,
+                         grad_clip=args.grad_clip, **kw)
         t0 = time.perf_counter()
         tr = Trainer(tc)
         tr.train(progress=False)
