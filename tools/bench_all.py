@@ -16,38 +16,38 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def timeit(fn, n=3, min_plausible=1e-3):
-    import jax
+def timeit(fn, n=8):
+    """Best-of-n with a HARD host-readback sync on every rep.
 
+    Two axon-tunnel lessons baked in: (1) block_until_ready can return
+    before the remote work is done right after compile, so the warm-up
+    and every timed rep sync via host readback; (2) the per-dispatch
+    latency is base + one-sided positive jitter that some nights reaches
+    tens of ms — best-of-3 kept enough jitter to make slope differences
+    negative (observed: "1e12 steps/s" rows), while the MIN of 8 reps
+    converges to the base latency on both slope endpoints so the
+    difference is trustworthy."""
     from ns_tpu.utils.host import sync
 
-    # Warm-up MUST be a hard sync (host readback): through the axon tunnel
-    # block_until_ready on the first post-compile call can return before the
-    # remote compile finishes, making subsequent "timed" calls measure only
-    # dispatch latency. Once truly warm, blocked timings are trustworthy.
-    sync(fn())
+    sync(fn())  # warm-up (compile)
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        sync(fn())
         best = min(best, time.perf_counter() - t0)
-    if best < min_plausible:  # still not synced: time with hard readbacks
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            sync(fn())
-            best = min(best, time.perf_counter() - t0)
     return best
 
 
-def slope_timeit(make_roll, n1, n2, reps=3):
+def slope_timeit(make_roll, n1, n2, reps=8):
     """Marginal seconds/step by slope: time an n1-step and an n2-step
     rollout of the same workload and return (t2-t1)/(n2-n1). The fixed
-    per-execution dispatch latency (~1-30 ms through the axon tunnel —
-    CLAUDE.md hazards) cancels, so sub-100-ms workloads report their true
-    per-step cost instead of mostly the transport. Same protocol as the
-    RESULTS.md parity/roofline tables (tools/profile_spectral_step.py)."""
+    per-execution dispatch + readback cost (~1-30 ms through the axon
+    tunnel — CLAUDE.md hazards) cancels, so sub-100-ms workloads report
+    their true per-step cost instead of mostly the transport. Same
+    protocol as the RESULTS.md parity/roofline tables
+    (tools/profile_spectral_step.py). A non-positive slope (jitter
+    exceeded the workload delta even at best-of-reps) reports inf-rate
+    1e-12 — treat any such row as a re-run signal, never publish it."""
     t1 = timeit(make_roll(n1), n=reps)
     t2 = timeit(make_roll(n2), n=reps)
     return max((t2 - t1) / (n2 - n1), 1e-12)
