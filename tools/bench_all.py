@@ -224,6 +224,26 @@ def main():
                      f"{1/per:.0f} steps/s",
                      f"{n**3/per/1e9:.2f}e9 cell-updates/s"))
 
+    # --- publish gate: refuse to write files from a jitter-corrupted run.
+    # A clamped slope formats as 1e12 steps/s, and no single-chip workload
+    # here can exceed ~15e9 cell-updates/s (the 1024^2 compact-matmul
+    # flagship at the HBM roofline, docs/roofline.md); any row past 50e9
+    # means the tunnel's dispatch jitter exceeded the slope delta and the
+    # WHOLE run is suspect (observed 2026-08-21: the same row swinging
+    # 5-40x between runs). Print for diagnosis, write nothing.
+    def _gcups(r):
+        t = r[2]
+        return (float(t.split("e9")[0]) if "e9 cell" in t
+                else float(t.split("e6")[0]) / 1e3)
+    bad = [r for r in rows if _gcups(r) > 50.0 or "1000000000000" in r[1]]
+    if bad:
+        for r in bad:
+            print("IMPLAUSIBLE: | " + " | ".join(r) + " |")
+        raise SystemExit(
+            f"{len(bad)}/{len(rows)} rows implausible (slope jitter) — "
+            "RESULTS.md/BASELINE.md NOT written; re-run when the tunnel "
+            "is calm")
+
     out = ["# RESULTS — measured on " + str(dev), "",
            "Slope-timed marginal per-step rates (a 50-step and a 200-step",
            "warm rollout of the same workload; the fixed ~1-30 ms",
